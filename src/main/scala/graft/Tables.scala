@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated test tables (TESTDATA.md).
+  *
+  * The reference engine scans many small JSON files per query
+  * (aden-hive-fork `storage/session_store.py:121-173`); here every
+  * analytics surface reads columnar Parquet so Catalyst gets
+  * predicate pushdown + column pruning for free. At 100 TB these
+  * reads become partitioned multi-file scans — the code is
+  * identical, only the path glob changes.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view (the family-A SQL surface:
+    * reference registers each CSV/sheet as a queryable table,
+    * `csv_tool.py:355-358`, `excel_tool.py:574-617`).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,502 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Family A — the relational SELECT surface (SURVEY §2.1–§2.8).
+  *
+  * The reference delegates its whole SELECT grammar to DuckDB
+  * (`csv_tool.py:273-386`, `excel_tool.py:474-653`); here each
+  * capability is a declarative DataFrame plan so Catalyst does
+  * pushdown/pruning/join-reorder, and dimension joins are
+  * broadcast (nation/region/part are small at any SF — at 100 TB
+  * the fact tables scale, the dims don't).
+  */
+object Relational {
+
+  private val D12_2 = DecimalType(12, 2)
+  private val D4_2 = DecimalType(4, 2)
+
+  /** exact per-row discounted price: ep*(1-disc) in DECIMAL */
+  private def discPrice(ep: Column, disc: Column): Column =
+    (ep.cast(D12_2) * (lit(1).cast(D4_2) - disc.cast(D4_2)))
+      .cast(DecimalType(18, 4))
+
+  // ---------------------------------------------------------------
+  // q01 pricing summary — full-scan groupBy w/ exact decimal sums
+  // (SQL GROUP BY contract, csv_tool.py:301-303; TPC-H Q1 shape)
+  val q01 = Q(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) {
+    (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val dp = discPrice(col("l_extendedprice"), col("l_discount"))
+      val charge = (dp * (lit(1).cast(D4_2) + col("l_tax").cast(D4_2)))
+        .cast(DecimalType(24, 6))
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(D12_2)).cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(D12_2)).cast(DoubleType)
+            .as("sum_base_price"),
+          sum(dp).cast(DoubleType).as("sum_disc_price"),
+          sum(charge).cast(DoubleType).as("sum_charge"),
+          (sum(col("l_quantity").cast(D12_2)).cast(DoubleType) /
+            count(lit(1))).as("avg_qty"),
+          (sum(col("l_extendedprice").cast(D12_2)).cast(DoubleType) /
+            count(lit(1))).as("avg_price"),
+          (sum(col("l_discount").cast(D4_2)).cast(DoubleType) /
+            count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+  }
+
+  // ---------------------------------------------------------------
+  // q02 filter + project + ORDER BY ... LIMIT with unique tiebreak
+  // (csv_sql contract `SELECT name, price FROM data ORDER BY price
+  //  DESC LIMIT 5`, csv_tool.py:305-306)
+  val q02 = Q(
+    "q02_filter_topk",
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price,
+      |  CAST(o_orderdate AS DATE) AS order_date
+      |FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) {
+    (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O")
+        .select(
+          col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast(D12_2).cast(DoubleType).as("total_price"),
+          col("o_orderdate").cast(DateType).as("order_date"))
+        .orderBy(col("total_price").desc, col("o_orderkey"))
+        .limit(10)
+  }
+
+  // ---------------------------------------------------------------
+  // q03 revenue per nation — fact⋈fact shuffle join + broadcast dims
+  // (multi-table equi-join contract, excel_tool.py:505-509)
+  val q03 = Q(
+    "q03_revenue_by_nation",
+    """SELECT n.n_name AS nation,
+      |  CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n.n_name""".stripMargin) { (s, dir) =>
+    val li = Tables.load(s, dir, "lineitem")
+    val o = Tables.load(s, dir, "orders")
+    val c = Tables.load(s, dir, "customer")
+    val n = Tables.load(s, dir, "nation")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  // ---------------------------------------------------------------
+  // q04 top-k customers by revenue (top-k contract, SURVEY §2.6)
+  val q04 = Q(
+    "q04_top_customers",
+    """SELECT c.c_custkey, c.c_name,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      |GROUP BY c.c_custkey, c.c_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin) { (s, dir) =>
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders")
+    // aggregate the fact table BEFORE the join: at scale the
+    // per-customer partial agg is tiny vs joining raw orders first
+    val byCust = o.groupBy("o_custkey").agg(
+      sum(col("o_totalprice").cast(D12_2)).cast(DoubleType).as("revenue"),
+      count(lit(1)).as("n_orders"))
+    byCust.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------
+  // q05 region revenue — 5-way join through the dim hierarchy
+  val q05 = Q(
+    "q05_region_revenue",
+    """SELECT r.r_name AS region,
+      |  CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r.r_name""".stripMargin) { (s, dir) =>
+    val li = Tables.load(s, dir, "lineitem")
+    val o = Tables.load(s, dir, "orders")
+    val c = Tables.load(s, dir, "customer")
+    val n = Tables.load(s, dir, "nation")
+    val r = Tables.load(s, dir, "region")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast(DoubleType).as("revenue"))
+  }
+
+  // ---------------------------------------------------------------
+  // q06 selective filter + single agg (predicate-pushdown showcase;
+  // TPC-H Q6 shape — filters reach the parquet scan)
+  val q06 = Q(
+    "q06_selective_agg",
+    """SELECT
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_discount >= 0.05 AND l_quantity < 25
+      |  AND CAST(l_shipdate AS DATE) >= DATE '1995-01-01'""".stripMargin) {
+    (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_discount") >= 0.05 && col("l_quantity") < 25 &&
+          col("l_shipdate").cast(DateType) >= lit("1995-01-01").cast(DateType))
+        .agg(
+          sum((col("l_extendedprice").cast(D12_2) *
+            col("l_discount").cast(D4_2)).cast(DecimalType(18, 4)))
+            .cast(DoubleType).as("promo_revenue"),
+          count(lit(1)).as("n_rows"))
+  }
+
+  // ---------------------------------------------------------------
+  // q07 semi-join: customers having at least one high-value order
+  // (EXISTS; reference tool-availability joins, SURVEY §2.3)
+  val q07 = Q(
+    "q07_semi_join",
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 100000)""".stripMargin) {
+    (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 100000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+  }
+
+  // ---------------------------------------------------------------
+  // q08 anti-join: customers with no urgent orders (NOT EXISTS;
+  // missing-tools difference, executor.py:275 → left_anti)
+  val q08 = Q(
+    "q08_anti_join",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')""".stripMargin) {
+    (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+  }
+
+  // ---------------------------------------------------------------
+  // q09 set ops — INTERSECT / EXCEPT / UNION (SURVEY §2.7)
+  val q09 = Q(
+    "q09_set_ops",
+    """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      |INTERSECT
+      |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000
+      |UNION
+      |SELECT c_custkey FROM customer WHERE c_acctbal < 0
+      |EXCEPT
+      |SELECT o_custkey AS c_custkey FROM orders
+      |WHERE o_orderstatus = 'F' AND o_totalprice > 250000""".stripMargin) {
+    (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      val rich = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+      val big = o.filter(col("o_totalprice") > 150000)
+        .select(col("o_custkey").as("c_custkey"))
+      val neg = c.filter(col("c_acctbal") < 0).select("c_custkey")
+      val oldBig = o.filter(col("o_orderstatus") === "F" &&
+          col("o_totalprice") > 250000)
+        .select(col("o_custkey").as("c_custkey"))
+      rich.intersect(big).union(neg).distinct().except(oldBig)
+  }
+
+  // ---------------------------------------------------------------
+  // q10 GROUP BY ... HAVING (failure-rate > 0.10 filter shape,
+  // builder/query.py:270)
+  val q10 = Q(
+    "q10_having",
+    """SELECT p_brand, COUNT(*) AS n_parts,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(MAX(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price
+      |FROM part GROUP BY p_brand HAVING COUNT(*) > 5""".stripMargin) {
+    (s, dir) =>
+      Tables.load(s, dir, "part")
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n_parts"),
+          (sum(col("p_retailprice").cast(D12_2)).cast(DoubleType) /
+            count(lit(1))).as("avg_price"),
+          max(col("p_retailprice").cast(D12_2)).cast(DoubleType)
+            .as("max_price"))
+        .filter(col("n_parts") > 5)
+  }
+
+  // ---------------------------------------------------------------
+  // q11 string functions (LOWER/LIKE/substring/length contracts,
+  // csv_tool.py:308-309, excel_tool.py:656-790, safe_eval.py:199-208)
+  val q11 = Q(
+    "q11_string_ops",
+    """SELECT p_partkey,
+      |  UPPER(p_brand) AS brand_upper,
+      |  SUBSTRING(p_name, 1, 12) AS name_prefix,
+      |  LENGTH(p_name) AS name_len,
+      |  CASE WHEN p_type LIKE '%BRASS%' THEN 'brass' ELSE 'other' END AS type_class
+      |FROM part
+      |WHERE LOWER(p_name) LIKE '%a%' AND p_size >= 10
+      |ORDER BY p_partkey LIMIT 100""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "part")
+      .filter(lower(col("p_name")).like("%a%") && col("p_size") >= 10)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_name"), 1, 12).as("name_prefix"),
+        length(col("p_name")).as("name_len"),
+        when(col("p_type").like("%BRASS%"), "brass").otherwise("other")
+          .as("type_class"))
+      .orderBy("p_partkey")
+      .limit(100)
+  }
+
+  // ---------------------------------------------------------------
+  // q12 date breakdown — year/month extraction + grouping
+  // (ISO timestamp handling, SURVEY §2.8)
+  val q12 = Q(
+    "q12_date_breakdown",
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+      |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+      |  COUNT(DISTINCT o_custkey) AS n_customers
+      |FROM orders GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(D12_2)).cast(DoubleType).as("total"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+  }
+
+  // ---------------------------------------------------------------
+  // q13 conditional aggregation — CASE WHEN routing predicates
+  // (edge-condition semantics, edge.py:39-46 → when/otherwise)
+  val q13 = Q(
+    "q13_conditional_agg",
+    """SELECT o_orderstatus,
+      |  COUNT(*) AS n_orders,
+      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS n_high_priority,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS high_priority_rate,
+      |  SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_big
+      |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.load(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(hi, 1).otherwise(0)).as("n_high_priority"),
+        (sum(when(hi, 1).otherwise(0)).cast(DoubleType) / count(lit(1)))
+          .as("high_priority_rate"),
+        sum(when(col("o_totalprice") > 200000, 1).otherwise(0)).as("n_big"))
+  }
+
+  // ---------------------------------------------------------------
+  // q14 decorrelated subquery — orders above their customer's mean
+  // (summary-fallback lookup shape, storage/backend.py:116-127)
+  val q14 = Q(
+    "q14_above_avg_orders",
+    """WITH cust_avg AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT o.o_orderkey, o.o_custkey,
+      |  CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price,
+      |  a.avg_price AS cust_avg_price
+      |FROM orders o JOIN cust_avg a ON o.o_custkey = a.o_custkey
+      |WHERE o.o_totalprice > 1.5 * a.avg_price""".stripMargin) { (s, dir) =>
+    val o = Tables.load(s, dir, "orders")
+    val avg = o.groupBy("o_custkey").agg(
+      (sum(col("o_totalprice").cast(D12_2)).cast(DoubleType) /
+        count(lit(1))).as("avg_price"))
+    o.join(avg, Seq("o_custkey"))
+      .filter(col("o_totalprice") > lit(1.5) * col("avg_price"))
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(D12_2).cast(DoubleType).as("total_price"),
+        col("avg_price").as("cust_avg_price"))
+  }
+
+  // ---------------------------------------------------------------
+  // q15 window rank — top-3 parts by price within each brand
+  // (modal-choice row_number()=1 shape, builder/query.py:453-462)
+  val q15 = Q(
+    "q15_window_rank",
+    """SELECT p_brand, p_partkey,
+      |  CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price, rnk
+      |FROM (SELECT p_brand, p_partkey, p_retailprice,
+      |        ROW_NUMBER() OVER (PARTITION BY p_brand
+      |          ORDER BY p_retailprice DESC, p_partkey) AS rnk
+      |      FROM part) t WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.load(s, dir, "part")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(
+        col("p_brand"), col("p_partkey"),
+        col("p_retailprice").cast(D12_2).cast(DoubleType).as("price"),
+        col("rnk"))
+  }
+
+  // ---------------------------------------------------------------
+  // q16 running aggregate — cumulative spend per customer over time
+  // (RunMetrics incremental agg shape, run.py:111-131)
+  val q16 = Q(
+    "q16_running_total",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+      |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) AS order_seq
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.load(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(D12_2))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType).as("running_spend"),
+        row_number().over(w).as("order_seq"))
+  }
+
+  // ---------------------------------------------------------------
+  // q17 lag — gap in days between consecutive orders per customer
+  // (stall-detection lag shape, event_loop_node.py:2047-2055)
+  val q17 = Q(
+    "q17_order_gaps",
+    """SELECT o_custkey, o_orderkey,
+      |  DATEDIFF('day',
+      |    LAG(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey),
+      |    CAST(o_orderdate AS DATE)) AS gap_days
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.load(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        datediff(
+          col("o_orderdate").cast(DateType),
+          lag(col("o_orderdate").cast(DateType), 1).over(w)).as("gap_days"))
+  }
+
+  // ---------------------------------------------------------------
+  // q18 rollup — multi-level aggregation with grouping id
+  // (grouping sets noted free via spark.sql, SURVEY §2.4)
+  val q18 = Q(
+    "q18_rollup",
+    """SELECT COALESCE(l_returnflag, '<all>') AS return_flag,
+      |  COALESCE(l_linestatus, '<all>') AS line_status,
+      |  GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS grouping_lvl,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin) {
+    (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+            .as("grouping_lvl"),
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(D12_2)).cast(DoubleType).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("<all>")).as("return_flag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("line_status"),
+          col("grouping_lvl"), col("n_items"), col("sum_qty"))
+  }
+
+  // ---------------------------------------------------------------
+  // q19 manual variance/stddev via exact sums — order-independent
+  // (perf-stats aggregations, builder/query.py:366-396)
+  val q19 = Q(
+    "q19_dispersion",
+    """WITH s AS (
+      |  SELECT p_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2)) * CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sxx
+      |  FROM part GROUP BY p_type)
+      |SELECT p_type, n, sx / n AS mean_price,
+      |  CASE WHEN n > 1 THEN (sxx - sx * sx / n) / (n - 1) ELSE NULL END AS var_price
+      |FROM s""".stripMargin) { (s, dir) =>
+    val px = col("p_retailprice").cast(D12_2)
+    Tables.load(s, dir, "part")
+      .groupBy("p_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(px).cast(DoubleType).as("sx"),
+        sum(px * px).cast(DoubleType).as("sxx"))
+      .select(
+        col("p_type"), col("n"),
+        (col("sx") / col("n")).as("mean_price"),
+        when(col("n") > 1,
+          (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .otherwise(lit(null)).as("var_price"))
+  }
+
+  // ---------------------------------------------------------------
+  // q20 multi-fact join: supplier-part shipping volumes
+  val q20 = Q(
+    "q20_supplier_part_volume",
+    """SELECT s.s_name, p.p_brand,
+      |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+      |  COUNT(*) AS n_shipments
+      |FROM lineitem l
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |GROUP BY s.s_name, p.p_brand""".stripMargin) { (s, dir) =>
+    val li = Tables.load(s, dir, "lineitem")
+    val sup = Tables.load(s, dir, "supplier")
+    val p = Tables.load(s, dir, "part")
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("s_name", "p_brand")
+      .agg(
+        sum(col("l_quantity").cast(D12_2)).cast(DoubleType).as("total_qty"),
+        count(lit(1)).as("n_shipments"))
+  }
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+}
