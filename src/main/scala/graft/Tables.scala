@@ -16,8 +16,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+      // reader rejects; read it as a LongType of epoch-nanoseconds.
+      // Millisecond values derive via INTEGER division (`ts div 1000000`)
+      // — float division loses precision at 1.7e18-ns magnitudes.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Register every table as a temp view (the family-A SQL surface:
     * reference registers each CSV/sheet as a queryable table,

@@ -1,0 +1,306 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Families B/C/D re-expressed on the `events` table — the reference's
+  * event-bus history queries (`event_bus.py:1017-1059`), run/decision
+  * analytics (`builder/query.py`), and L2/L3 rollup + needs-attention
+  * semantics (`runtime_log_schemas.py`, `RUNTIME_LOGGING.md:97-106`).
+  *
+  * Timestamp parity note: events.ts is nanosecond parquet; Spark reads
+  * µs-truncated, DuckDB keeps ns. All outputs and ordering therefore use
+  * epoch milliseconds (`unix_millis` / `epoch_ms`) or the unique
+  * `event_id` — the shared exact precision.
+  */
+object EventAnalytics {
+
+  private val D12_2 = DecimalType(12, 2)
+
+  // e01 — event-type histogram + per-type stats (event_bus.py:1048-1059)
+  val e01 = Q(
+    "e01_type_histogram",
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(D12_2)).cast(DoubleType).as("total_value"))
+  }
+
+  // e02 — per-user aggregator stats (outcome_aggregator.py:285-295:
+  // totals + countDistinct + first/last timestamps)
+  val e02 = Q(
+    "e02_user_stats",
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT event_type) AS n_types,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+      |  MIN(epoch_ms(ts)) AS first_ms, MAX(epoch_ms(ts)) AS last_ms
+      |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        sum(col("value").cast(D12_2)).cast(DoubleType).as("total_value"),
+        min(expr("ts div 1000000")).as("first_ms"),
+        max(expr("ts div 1000000")).as("last_ms"))
+  }
+
+  // e03 — last-N per key (recent_verdicts tail-N,
+  // worker_monitoring_tools.py:152-156)
+  val e03 = Q(
+    "e03_recent_per_user",
+    """SELECT user_id, event_id, event_type,
+      |  CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value, recency
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |        ORDER BY event_id DESC) AS recency FROM events) t
+      |WHERE recency <= 3""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+    Tables.load(s, dir, "events")
+      .withColumn("recency", row_number().over(w))
+      .filter(col("recency") <= 3)
+      .select(
+        col("user_id"), col("event_id"), col("event_type"),
+        col("value").cast(D12_2).cast(DoubleType).as("value"),
+        col("recency"))
+  }
+
+  // e04 — steps since last marker event (steps_since_last_accept,
+  // worker_monitoring_tools.py:158-163): running max of marker seq
+  val e04 = Q(
+    "e04_steps_since_error",
+    """WITH s AS (
+      |  SELECT user_id, event_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+      |  FROM events)
+      |SELECT user_id, event_id, seq - last_err AS steps_since_error
+      |FROM (SELECT user_id, event_id, seq,
+      |        MAX(CASE WHEN event_type = 'error' THEN seq END) OVER
+      |          (PARTITION BY user_id ORDER BY event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_err
+      |      FROM s) t""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .withColumn("seq", row_number().over(w))
+      .withColumn("last_err",
+        max(when(col("event_type") === "error", col("seq"))).over(wRun))
+      .select(col("user_id"), col("event_id"),
+        (col("seq") - col("last_err")).as("steps_since_error"))
+  }
+
+  // e05 — gap-based sessionization (session-window semantics the
+  // reference lacks; SURVEY §2.9 tumbling/session windows)
+  val e05 = Q(
+    "e05_sessionize",
+    """WITH g AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER
+      |           (PARTITION BY user_id ORDER BY event_id) > 1800000
+      |         OR LAG(epoch_ms(ts)) OVER
+      |           (PARTITION BY user_id ORDER BY event_id) IS NULL
+      |      THEN 1 ELSE 0 END AS is_new
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, event_id,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM g),
+      |per_session AS (
+      |  SELECT user_id, session_seq, COUNT(*) AS n
+      |  FROM sess GROUP BY user_id, session_seq)
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |  MAX(n) AS max_session_events,
+      |  CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_session_events
+      |FROM per_session GROUP BY user_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = Tables.load(s, dir, "events")
+      .withColumn("ms", expr("ts div 1000000"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ms").isNull ||
+          col("ms") - col("prev_ms") > 1800000L, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("is_new")).over(wRun))
+    g.groupBy("user_id", "session_seq").agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        max(col("n")).as("max_session_events"),
+        (sum(col("n")).cast(DoubleType) / count(lit(1)))
+          .as("avg_session_events"))
+  }
+
+  // e06 — per-type distribution quantiles (interpolated; rounded to
+  // DECIMAL(18,4) on both sides — interpolation formulas can differ
+  // in the last ulp between engines)
+  val e06 = Q(
+    "e06_value_quantiles",
+    """SELECT event_type,
+      |  CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,4)) AS DOUBLE) AS median_value,
+      |  CAST(CAST(quantile_cont(value, 0.9) AS DECIMAL(18,4)) AS DOUBLE) AS p90_value,
+      |  CAST(MIN(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS min_value,
+      |  CAST(MAX(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS max_value
+      |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5)").cast(DecimalType(18, 4))
+          .cast(DoubleType).as("median_value"),
+        expr("percentile(value, 0.9)").cast(DecimalType(18, 4))
+          .cast(DoubleType).as("p90_value"),
+        min(col("value").cast(D12_2)).cast(DoubleType).as("min_value"),
+        max(col("value").cast(D12_2)).cast(DoubleType).as("max_value"))
+  }
+
+  // e07 — stall detection: N consecutive identical values
+  // (event_loop_node.py:2047-2055, threshold 3)
+  val e07 = Q(
+    "e07_stall_detect",
+    """SELECT user_id, COUNT(*) AS n_stall_points FROM (
+      |  SELECT user_id,
+      |    LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS t1,
+      |    LAG(event_type, 2) OVER (PARTITION BY user_id ORDER BY event_id) AS t2,
+      |    event_type
+      |  FROM events) t
+      |WHERE event_type = t1 AND event_type = t2
+      |GROUP BY user_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.load(s, dir, "events")
+      .withColumn("t1", lag(col("event_type"), 1).over(w))
+      .withColumn("t2", lag(col("event_type"), 2).over(w))
+      .filter(col("event_type") === col("t1") &&
+        col("event_type") === col("t2"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_stall_points"))
+  }
+
+  // e08 — needs-attention flags with reason list (L2 rollup semantics,
+  // RUNTIME_LOGGING.md:97-106: threshold flags + reasons array;
+  // reasons emitted as a deterministic comma-joined string)
+  val e08 = Q(
+    "e08_needs_attention",
+    """WITH u AS (
+      |  SELECT user_id, COUNT(*) AS n_events,
+      |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, n_events, n_errors, total_value,
+      |  (n_errors > 3 OR n_events > 20 OR total_value > 2000) AS needs_attention,
+      |  concat_ws(',',
+      |    CASE WHEN n_errors > 3 THEN 'errors' END,
+      |    CASE WHEN n_events > 20 THEN 'volume' END,
+      |    CASE WHEN total_value > 2000 THEN 'value' END) AS attention_reasons
+      |FROM u""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1).otherwise(0))
+          .as("n_errors"),
+        sum(col("value").cast(D12_2)).cast(DoubleType).as("total_value"))
+      .select(
+        col("user_id"), col("n_events"), col("n_errors"), col("total_value"),
+        (col("n_errors") > 3 || col("n_events") > 20 ||
+          col("total_value") > 2000).as("needs_attention"),
+        concat_ws(",",
+          when(col("n_errors") > 3, "errors"),
+          when(col("n_events") > 20, "volume"),
+          when(col("total_value") > 2000, "value")).as("attention_reasons"))
+  }
+
+  // e09 — first divergence between two keyed sequences (run
+  // comparison zip-join, builder/query.py:469-501): position-join
+  // per user pair, min index where the types differ
+  val e09 = Q(
+    "e09_sequence_divergence",
+    """WITH seqs AS (
+      |  SELECT user_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      |  FROM events WHERE user_id < 10)
+      |SELECT a.user_id AS user_a, b.user_id AS user_b,
+      |  MIN(CASE WHEN a.event_type <> b.event_type THEN a.rn END) AS first_divergence,
+      |  COUNT(*) AS compared_steps
+      |FROM seqs a JOIN seqs b ON a.rn = b.rn AND a.user_id < b.user_id
+      |GROUP BY a.user_id, b.user_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val seqs = Tables.load(s, dir, "events")
+      .filter(col("user_id") < 10)
+      .withColumn("rn", row_number().over(w))
+      .select("user_id", "event_type", "rn")
+    val a = seqs.select(
+      col("user_id").as("user_a"), col("event_type").as("type_a"),
+      col("rn"))
+    val b = seqs.select(
+      col("user_id").as("user_b"), col("event_type").as("type_b"),
+      col("rn"))
+    a.join(b, Seq("rn"))
+      .filter(col("user_a") < col("user_b"))
+      .groupBy("user_a", "user_b")
+      .agg(
+        min(when(col("type_a") =!= col("type_b"), col("rn")))
+          .as("first_divergence"),
+        count(lit(1)).as("compared_steps"))
+  }
+
+  // e10 — JSON payload extraction (AgentEvent.data map payloads,
+  // event_bus.py:139-168; from_json/get_json_object path)
+  val e10 = Q(
+    "e10_json_extract",
+    """SELECT event_type,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |  COUNT(DISTINCT json_extract_string(props, '$.k')) AS n_distinct_k
+      |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+    val k = get_json_object(col("props"), "$.k")
+    Tables.load(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        sum(k.cast(LongType)).as("sum_k"),
+        max(k.cast(LongType)).as("max_k"),
+        countDistinct(k).as("n_distinct_k"))
+  }
+
+  // e11 — tumbling time buckets (batch analog of the streaming
+  // window("ts", "1 hour") rollup, SURVEY §2.9)
+  val e11 = Q(
+    "e11_hourly_buckets",
+    """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy(
+        expr("(ts div 3600000000000) * 3600000").as("bucket_ms"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(D12_2)).cast(DoubleType).as("total_value"))
+  }
+
+  // e12 — filtered history query: most-recent-first with type filter
+  // + limit (event_bus.py:1017-1046)
+  val e12 = Q(
+    "e12_filtered_history",
+    """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+      |FROM events WHERE event_type IN ('error','purchase')
+      |ORDER BY event_id DESC LIMIT 50""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .filter(col("event_type").isin("error", "purchase"))
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000000").as("ts_ms"))
+      .orderBy(col("event_id").desc)
+      .limit(50)
+  }
+
+  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
+    e11, e12)
+}
