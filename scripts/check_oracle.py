@@ -67,6 +67,18 @@ def main():
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
             continue
+        # dtype check: the driver hashes typed values; DuckDB widening
+        # (e.g. SUM(int) -> HUGEINT vs Spark BIGINT) breaks the hash even
+        # when python-level values compare equal. Flag any oracle column
+        # type with no parquet/Spark equivalent.
+        otypes = con.execute(f"DESCRIBE {sql}").fetchall()
+        bad = [(r[0], r[1]) for r in otypes
+               if r[1] in ("HUGEINT", "UHUGEINT", "UINTEGER", "UBIGINT")]
+        if bad:
+            print(f"FAIL {name}: oracle dtype not parquet-representable: {bad}"
+                  " (CAST the aggregate in the oracle SQL)")
+            n_fail += 1
+            continue
         og, ocols_s = norm(orows, ocols)
         sg, scols_s = norm(srows, scols)
         if ocols_s != scols_s:

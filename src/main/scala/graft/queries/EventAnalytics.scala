@@ -189,7 +189,7 @@ object EventAnalytics {
     "e08_needs_attention",
     """WITH u AS (
       |  SELECT user_id, COUNT(*) AS n_events,
-      |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+      |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
       |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       |  FROM events GROUP BY user_id)
       |SELECT user_id, n_events, n_errors, total_value,
@@ -255,7 +255,7 @@ object EventAnalytics {
   val e10 = Q(
     "e10_json_extract",
     """SELECT event_type,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
       |  COUNT(DISTINCT json_extract_string(props, '$.k')) AS n_distinct_k
       |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>

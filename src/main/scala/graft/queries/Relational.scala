@@ -315,9 +315,9 @@ object Relational {
     "q13_conditional_agg",
     """SELECT o_orderstatus,
       |  COUNT(*) AS n_orders,
-      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS n_high_priority,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_high_priority,
       |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS high_priority_rate,
-      |  SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_big
+      |  CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
       |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
     val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     Tables.load(s, dir, "orders")
