@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Cross-engine deterministic column helpers.
+  *
+  * Every function here is reproducible bit-for-bit in DuckDB SQL (the
+  * driver's oracle), so operators built on them stay inside the
+  * hash-match correctness contract:
+  *
+  *  - `hash60` — 60-bit hash from the md5 hex prefix. Spark
+  *    `conv(substring(md5(s),1,15),16,10)` ≡ DuckDB
+  *    `('0x'||substr(md5(s),1,15))::BIGINT`. 60 bits fits BIGINT with
+  *    headroom (no overflow semantics to match).
+  *  - scaled-integer dot products — float math folded to BIGINT so the
+  *    sum is order-independent (exact integer addition) and identical
+  *    in both engines; `round()` is half-away-from-zero in both.
+  *
+  * The reference computes none of this natively — its near-dup /
+  * similarity north star is stated in BASELINE.json; shapes follow
+  * standard MinHash/SimHash constructions (Broder 1997, Charikar 2002).
+  */
+object Fns {
+
+  /** Deterministic 60-bit hash of a string column, identical in Spark
+    * and DuckDB. DuckDB equivalent: `('0x'||substr(md5(x),1,15))::BIGINT`.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Whitespace tokens (csv/safe_eval `split` semantics,
+    * reference `safe_eval.py:199-208`). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word 3-gram shingles of a token array; empty when fewer
+    * than 3 tokens. DuckDB equivalent:
+    * `list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)])`.
+    */
+  def shingles3(ws: Column): Column =
+    when(size(ws) >= 3,
+      array_distinct(transform(sequence(lit(1), size(ws) - 2), i =>
+        concat_ws(" ",
+          element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Σ round(a_i*b_i*1e12) as BIGINT — an exact, order-independent dot
+    * product of float arrays (scaled by 1e12). Division by 1e12 and any
+    * sqrt happen afterwards in IEEE double, bit-identical across
+    * engines. DuckDB:
+    * `list_sum(list_transform(list_zip(a,b), x -> round(x[1]::DOUBLE*x[2]::DOUBLE*1e12)::BIGINT))`.
+    */
+  def dotScaled(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        round(x.cast(DoubleType) * y.cast(DoubleType) * lit(1e12))
+          .cast(LongType)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Σ round(a_i²*1e12) as BIGINT — scaled squared L2 norm. */
+  def normSqScaled(a: Column): Column = dotScaled(a, a)
+
+  /** Exact cosine from scaled integer dot/norms: every operand is an
+    * exactly-representable double (< 2^53), so the double arithmetic
+    * is bit-identical in Spark and DuckDB. */
+  def cosineFromScaled(dot: Column, na: Column, nb: Column): Column =
+    dot.cast(DoubleType) /
+      (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType)))
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph-shaped query capabilities of the reference's dataflow engine,
+  * re-expressed on DataFrames (SURVEY §2.10): reachability
+  * (`edge.py:626-660`, `executor.py:259-269`), static fan-out/fan-in
+  * detection (`edge.py:506-540`), convergence-node search
+  * (`executor.py:1819-1852`) and graph validation (`edge.py:574-698`).
+  *
+  * Edges are a DataFrame with `src`/`dst` string columns; nodes a
+  * DataFrame with an `id` column. The BFS is a driver-side loop of
+  * DataFrame joins — iterations are bounded by graph *diameter* (not
+  * size), and each round localCheckpoints to truncate lineage, so the
+  * same code runs on a 5-node routing graph or a billion-edge lineage
+  * graph (where each round is one distributed hash join).
+  */
+object GraphOps {
+
+  /** Min-depth BFS from `entry` nodes. Returns (node, depth). */
+  def reachable(edges: DataFrame, entry: Seq[String],
+      maxIters: Int = 100): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var frontier = entry.toDF("node").withColumn("depth", lit(0))
+    var visited = frontier
+    var depth = 0
+    var done = false
+    while (!done && depth < maxIters) {
+      depth += 1
+      val next = frontier
+        .join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("depth", lit(depth))
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.union(next).localCheckpoint(true)
+        frontier = next
+      }
+    }
+    visited
+  }
+
+  /** Out/in degree per node over distinct edges; fan-out = >1 distinct
+    * successor (reference counts ON_SUCCESS edges, `edge.py:506-523`). */
+  def degrees(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val e = edges.select("src", "dst").distinct()
+    val out = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("out_degree"))
+    val in = e.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).as("in_degree"))
+    nodes.select(col("id"))
+      .join(out, Seq("id"), "left").join(in, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .withColumn("is_fanout", col("out_degree") > 1)
+      .withColumn("is_fanin", col("in_degree") > 1)
+  }
+
+  /** First common node reachable from every branch head — the
+    * convergence node of a parallel fan-out (`executor.py:1819-1852`):
+    * intersection of the branches' reachable sets, closest by summed
+    * depth, name as tie-break. */
+  def convergence(edges: DataFrame, branches: Seq[String]): DataFrame = {
+    require(branches.nonEmpty)
+    branches.map(b => reachable(edges, Seq(b)))
+      .reduce((a, b) => a.join(b, Seq("node"))
+        .select(col("node"), (a("depth") + b("depth")).as("depth")))
+      .orderBy(col("depth"), col("node"))
+      .limit(1)
+  }
+
+  /** Structural validation as an errors dataset (`edge.py:574-698`):
+    * dangling edge endpoints, duplicate node ids, unreachable nodes.
+    * Each rule is an anti-join/aggregation; the union is the report. */
+  def validate(nodes: DataFrame, edges: DataFrame,
+      entry: Seq[String]): DataFrame = {
+    val ids = nodes.select(col("id"))
+    val srcMissing = edges.join(ids, edges("src") === ids("id"), "left_anti")
+      .select(lit("edge_source_missing").as("error"), col("src").as("node"))
+      .distinct()
+    val dstMissing = edges.join(ids, edges("dst") === ids("id"), "left_anti")
+      .select(lit("edge_target_missing").as("error"), col("dst").as("node"))
+      .distinct()
+    val dup = nodes.groupBy("id").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .select(lit("duplicate_node_id").as("error"), col("id").as("node"))
+    val unreachable = ids
+      .join(reachable(edges, entry).select("node"),
+        ids("id") === col("node"), "left_anti")
+      .select(lit("unreachable_node").as("error"), col("id").as("node"))
+    srcMissing.union(dstMissing).union(dup).union(unreachable)
+  }
+}

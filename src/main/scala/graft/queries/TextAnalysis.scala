@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Fns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text analysis over `documents` — language-ID, quality scoring, and
+  * token counting for a training-data pipeline (BASELINE.json north
+  * star). Everything is per-row narrow computation (no shuffle until
+  * the final aggregate), so the operators scale linearly with input
+  * splits; ratios divide exact integers in IEEE double at the end,
+  * keeping both engines bit-identical.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").withColumn("ws", Fns.tokens(col("text")))
+
+  private val en = Seq("the", "a", "of", "and", "to", "in")
+  private val de = Seq("der", "die", "das", "und", "ist")
+  private val fr = Seq("le", "la", "les", "et", "est")
+  private val es = Seq("el", "los", "las", "y", "es")
+
+  private def hits(words: Seq[String]): Column =
+    size(filter(col("ws"), w => w.isInCollection(words)))
+
+  private def sqlList(words: Seq[String]): String =
+    words.mkString("['", "','", "']")
+
+  // ---------------------------------------------------------------
+  // t01 token stats — whitespace tokenization (safe_eval `split`,
+  // reference safe_eval.py:199-208) + type-token ratio.
+  val t01 = Q(
+    "t01_token_stats",
+    """SELECT doc_id,
+      |  len(string_split(text,' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text,' '))) AS n_distinct,
+      |  len(list_distinct(string_split(text,' '))) /
+      |    len(string_split(text,' ')) AS ttr,
+      |  len(replace(text,' ','')) / len(string_split(text,' ')) AS avg_token_len
+      |FROM documents""".stripMargin) { (s, dir) =>
+    docs(s, dir).select(
+      col("doc_id"),
+      size(col("ws")).as("n_tokens"),
+      size(array_distinct(col("ws"))).as("n_distinct"),
+      (size(array_distinct(col("ws"))) / size(col("ws"))).as("ttr"),
+      (length(regexp_replace(col("text"), " ", "")) / size(col("ws")))
+        .as("avg_token_len"))
+  }
+
+  // ---------------------------------------------------------------
+  // t02 quality scoring — length / stopword / repetition heuristics
+  // composed into one deterministic [0,1] score (the shape of the
+  // reference's needs-attention threshold rules, RUNTIME_LOGGING.md:97-106,
+  // applied to document quality).
+  val t02 = Q(
+    "t02_quality_score",
+    s"""SELECT doc_id,
+      |  len(string_split(text,' ')) AS n_tokens,
+      |  len(list_filter(string_split(text,' '),
+      |      x -> list_contains(${sqlList(en)}, x))) /
+      |    len(string_split(text,' ')) AS stop_ratio,
+      |  1.0 - len(list_distinct(string_split(text,' '))) /
+      |    len(string_split(text,' ')) AS rep_ratio,
+      |  least(n_chars / 400.0, 1.0) AS len_score,
+      |  0.35 * least(n_chars / 400.0, 1.0) +
+      |  0.35 * (1.0 - (1.0 - len(list_distinct(string_split(text,' '))) /
+      |                 len(string_split(text,' ')))) +
+      |  0.30 * (1.0 - len(list_filter(string_split(text,' '),
+      |                    x -> list_contains(${sqlList(en)}, x))) /
+      |                 len(string_split(text,' '))) AS quality
+      |FROM documents""".stripMargin) { (s, dir) =>
+    val nTok = size(col("ws"))
+    val stopRatio = hits(en) / nTok
+    val repRatio = lit(1.0) - size(array_distinct(col("ws"))) / nTok
+    val lenScore = least(col("n_chars") / lit(400.0), lit(1.0))
+    docs(s, dir).select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      stopRatio.as("stop_ratio"),
+      repRatio.as("rep_ratio"),
+      lenScore.as("len_score"),
+      (lit(0.35) * lenScore + lit(0.35) * (lit(1.0) - repRatio) +
+        lit(0.30) * (lit(1.0) - stopRatio)).as("quality"))
+  }
+
+  // ---------------------------------------------------------------
+  // t03 language-ID — stopword-hit heuristic with a deterministic
+  // argmax tie-break (en > de > fr > es), reported as a confusion
+  // matrix against the labeled `lang` column.
+  val t03 = Q(
+    "t03_lang_id_confusion",
+    s"""WITH scored AS (
+      |  SELECT lang,
+      |    len(list_filter(string_split(text,' '), x -> list_contains(${sqlList(en)}, x))) AS s_en,
+      |    len(list_filter(string_split(text,' '), x -> list_contains(${sqlList(de)}, x))) AS s_de,
+      |    len(list_filter(string_split(text,' '), x -> list_contains(${sqlList(fr)}, x))) AS s_fr,
+      |    len(list_filter(string_split(text,' '), x -> list_contains(${sqlList(es)}, x))) AS s_es
+      |  FROM documents),
+      |pred AS (
+      |  SELECT lang, CASE
+      |    WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+      |    WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+      |    WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+      |    WHEN s_es > 0 THEN 'es'
+      |    ELSE 'und' END AS predicted_lang
+      |  FROM scored)
+      |SELECT lang, predicted_lang, COUNT(*) AS n_docs
+      |FROM pred GROUP BY lang, predicted_lang""".stripMargin) { (s, dir) =>
+    val sEn = hits(en); val sDe = hits(de); val sFr = hits(fr)
+    val sEs = hits(es)
+    docs(s, dir)
+      .select(col("lang"),
+        when(sEn > 0 && sEn >= sDe && sEn >= sFr && sEn >= sEs, "en")
+          .when(sDe > 0 && sDe >= sFr && sDe >= sEs, "de")
+          .when(sFr > 0 && sFr >= sEs, "fr")
+          .when(sEs > 0, "es")
+          .otherwise("und").as("predicted_lang"))
+      .groupBy("lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  // ---------------------------------------------------------------
+  // t04 token counting per source — whitespace tokens plus a BPE-ish
+  // subword estimate (⌈len/4⌉ pieces per word), the budget arithmetic
+  // of the reference's token counters (event_loop_node.py:80).
+  val t04 = Q(
+    "t04_token_counts",
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_ws_tokens,
+      |  CAST(SUM(list_sum(list_transform(string_split(text,' '),
+      |      w -> ((len(w)+3)//4)::BIGINT))) AS BIGINT) AS total_bpe_pieces,
+      |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) / COUNT(*) AS avg_tokens_per_doc
+      |FROM documents GROUP BY source""".stripMargin) { (s, dir) =>
+    val pieces = aggregate(col("ws"), lit(0L),
+      (acc, w) => acc + floor((length(w) + lit(3)) / lit(4)).cast(LongType))
+    docs(s, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("ws"))).as("total_ws_tokens"),
+        sum(pieces).as("total_bpe_pieces"),
+        (sum(size(col("ws"))) / count(lit(1))).as("avg_tokens_per_doc"))
+  }
+
+  val all: Seq[Q] = Seq(t01, t02, t03, t04)
+}

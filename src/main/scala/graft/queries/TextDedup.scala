@@ -1,0 +1,246 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Fns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication over the `documents` table — the training-data-pipeline
+  * operators layered on the reference's query surface (BASELINE.json
+  * north star; no native equivalent in the reference — closest shapes
+  * are the set/difference ops of SURVEY §2.7).
+  *
+  * Scale design: every pair-producing operator generates candidates via
+  * an equi-join (inverted index, LSH band, or pigeonhole piece) — never
+  * a cross join — so the shuffle keys are content-derived and the plan
+  * survives 1000× growth. Exact hashing is cross-engine deterministic
+  * (see [[graft.functions.Fns]]).
+  */
+object TextDedup {
+
+  /** doc_id + distinct word-3-gram shingles, docs with ≥3 tokens. */
+  private def grams(s: SparkSession, dir: String): DataFrame = {
+    val ws = Fns.tokens(col("text"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(Fns.shingles3(ws)).as("gram"))
+  }
+
+  private val gramsCte =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |g AS (SELECT doc_id,
+      |        unnest(list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+      |                              FOR i IN range(1, len(ws)-1)])) AS gram
+      |      FROM t WHERE len(ws) >= 3)""".stripMargin
+
+  // ---------------------------------------------------------------
+  // d01 exact dedup — hash-groupBy canonicalization: every doc mapped
+  // to the smallest doc_id sharing its md5(text). One shuffle on the
+  // 128-bit content hash; at 100 TB the hash (16 B) shuffles, the
+  // text (KBs) does not need to.
+  val d01 = Q(
+    "d01_exact_dedup",
+    """SELECT doc_id, md5(text) AS fingerprint,
+      |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+      |  COUNT(*) OVER (PARTITION BY md5(text)) AS group_size,
+      |  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+      |FROM documents""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("fingerprint")
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("fingerprint"))
+      .withColumn("canonical_id", min("doc_id").over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // d02 n-gram Jaccard near-dup — inverted-index candidate join on
+  // shared shingles (no cross join: pairs sharing zero grams are never
+  // materialized), exact |∩|/|∪| from integer counts. Hub shingles
+  // would skew the self-join at scale → a prefix-filter or document
+  // frequency cap slots in on the `g` relation without changing shape.
+  val d02 = Q(
+    "d02_ngram_jaccard",
+    s"""$gramsCte,
+      |n AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+      |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |        CAST(COUNT(*) AS BIGINT) AS inter
+      |      FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, inter,
+      |  na.n + nb.n - inter AS union_size,
+      |  CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
+      |FROM p JOIN n na ON p.doc_a = na.doc_id
+      |       JOIN n nb ON p.doc_b = nb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5""".stripMargin) {
+    (s, dir) =>
+      // the gram relation fans out (2 join sides + doc sizes): pin it
+      // so tokenize+shingle+md5 runs once
+      val g = grams(s, dir).localCheckpoint(true)
+      val n = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = g.toDF("doc_a", "gram")
+        .join(g.toDF("doc_b", "gram"), "gram")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(n.toDF("doc_a", "na"), "doc_a")
+        .join(n.toDF("doc_b", "nb"), "doc_b")
+        .withColumn("union_size", col("na") + col("nb") - col("inter"))
+        .withColumn("jaccard",
+          col("inter").cast(DoubleType) / col("union_size"))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "inter", "union_size", "jaccard")
+  }
+
+  // ---------------------------------------------------------------
+  // d03 MinHash + LSH — 8 minhashes over shingles, 4 bands × 2 rows;
+  // candidates come from per-band equi-joins (the LSH scale path: band
+  // key is the shuffle key), est. Jaccard = fraction of agreeing
+  // minhashes. One md5 per shingle; the 8 permutations are universal
+  // hashes h_k(x) = (a_k·x + b_k) mod (2³¹−1) over the 31-bit base
+  // hash (Broder 1997 §4) — pure BIGINT arithmetic, no 8× row blowup
+  // and bit-identical in DuckDB.
+  val d03 = Q(
+    "d03_minhash_lsh",
+    s"""$gramsCte,
+      |h AS (SELECT doc_id,
+      |        ('0x'||substr(md5(gram),1,15))::BIGINT % 2147483647 AS x
+      |      FROM g),
+      |sig AS (SELECT doc_id,
+      |  MIN((1000000007*x + 12345) % 2147483647) AS m0,
+      |  MIN((998244353*x + 54321) % 2147483647) AS m1,
+      |  MIN((754974721*x + 88883) % 2147483647) AS m2,
+      |  MIN((469762049*x + 13577) % 2147483647) AS m3,
+      |  MIN((167772161*x + 97531) % 2147483647) AS m4,
+      |  MIN((1224736769*x + 24680) % 2147483647) AS m5,
+      |  MIN((1051721729*x + 86420) % 2147483647) AS m6,
+      |  MIN((1107296257*x + 11111) % 2147483647) AS m7
+      |  FROM h GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  (CASE WHEN a.m0=b.m0 THEN 1 ELSE 0 END + CASE WHEN a.m1=b.m1 THEN 1 ELSE 0 END +
+      |   CASE WHEN a.m2=b.m2 THEN 1 ELSE 0 END + CASE WHEN a.m3=b.m3 THEN 1 ELSE 0 END +
+      |   CASE WHEN a.m4=b.m4 THEN 1 ELSE 0 END + CASE WHEN a.m5=b.m5 THEN 1 ELSE 0 END +
+      |   CASE WHEN a.m6=b.m6 THEN 1 ELSE 0 END + CASE WHEN a.m7=b.m7 THEN 1 ELSE 0 END) AS n_matching_minhashes,
+      |  (CASE WHEN a.m0=b.m0 THEN 1 ELSE 0 END + CASE WHEN a.m1=b.m1 THEN 1 ELSE 0 END +
+      |   CASE WHEN a.m2=b.m2 THEN 1 ELSE 0 END + CASE WHEN a.m3=b.m3 THEN 1 ELSE 0 END +
+      |   CASE WHEN a.m4=b.m4 THEN 1 ELSE 0 END + CASE WHEN a.m5=b.m5 THEN 1 ELSE 0 END +
+      |   CASE WHEN a.m6=b.m6 THEN 1 ELSE 0 END + CASE WHEN a.m7=b.m7 THEN 1 ELSE 0 END) / 8.0 AS est_jaccard
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND
+      |  ((a.m0=b.m0 AND a.m1=b.m1) OR (a.m2=b.m2 AND a.m3=b.m3) OR
+      |   (a.m4=b.m4 AND a.m5=b.m5) OR (a.m6=b.m6 AND a.m7=b.m7))""".stripMargin) {
+    (s, dir) =>
+      val as = Seq(1000000007L, 998244353L, 754974721L, 469762049L,
+        167772161L, 1224736769L, 1051721729L, 1107296257L)
+      val bs = Seq(12345L, 54321L, 88883L, 13577L, 97531L, 24680L,
+        86420L, 11111L)
+      val h = grams(s, dir)
+        .select(col("doc_id"), (Fns.hash60(col("gram")) % 2147483647L).as("x"))
+      val mins = (0 to 7).map(k =>
+        min((lit(as(k)) * col("x") + lit(bs(k))) % 2147483647L).as(s"m$k"))
+      // one row per doc; feeds 4 band joins + 2 signature re-joins —
+      // pin it so the shingle+hash pass runs once
+      val sig = h.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+        .localCheckpoint(true)
+      val aCols = "doc_a" +: (0 to 7).map(k => s"a$k")
+      val bCols = "doc_b" +: (0 to 7).map(k => s"b$k")
+      val sa = sig.toDF(aCols: _*)
+      val sb = sig.toDF(bCols: _*)
+      // one equi-join per band; union + distinct = the candidate set
+      val cand = (0 to 3).map { band =>
+        sa.join(sb,
+            col(s"a${2 * band}") === col(s"b${2 * band}") &&
+            col(s"a${2 * band + 1}") === col(s"b${2 * band + 1}") &&
+            col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b")
+      }.reduce(_ union _).distinct()
+      val matches = (0 to 7)
+        .map(k => when(col(s"a$k") === col(s"b$k"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          matches.as("n_matching_minhashes"),
+          (matches / lit(8.0)).as("est_jaccard"))
+  }
+
+  // ---------------------------------------------------------------
+  // d04 SimHash — 32-bit Charikar fingerprint over shingle hashes;
+  // candidates by pigeonhole on 4×8-bit pieces (hamming ≤ 3 ⇒ at least
+  // one piece equal), verified with bit_count(xor) ≤ 3. The piece
+  // equi-join is the scale path; at 100 TB you widen to 64 bits and
+  // keep the same plan.
+  val d04 = Q(
+    "d04_simhash",
+    s"""$gramsCte,
+      |hb AS (SELECT doc_id, b,
+      |         CASE WHEN ((('0x'||substr(md5(gram),1,15))::BIGINT & 4294967295)
+      |                    >> b) & 1 = 1 THEN 1 ELSE -1 END AS contrib
+      |       FROM g CROSS JOIN (SELECT unnest(range(0,32)) AS b) bs),
+      |bits AS (SELECT doc_id, b,
+      |           CASE WHEN CAST(SUM(contrib) AS BIGINT) > 0
+      |                THEN (1::BIGINT << b) ELSE 0 END AS bitval
+      |         FROM hb GROUP BY doc_id, b),
+      |sim AS (SELECT doc_id, CAST(SUM(bitval) AS BIGINT) AS simhash
+      |        FROM bits GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin) {
+    (s, dir) =>
+      val contrib = grams(s, dir)
+        .select(col("doc_id"),
+          (Fns.hash60(col("gram")).bitwiseAND(lit(4294967295L))).as("h32"))
+        .withColumn("b", explode(sequence(lit(0), lit(31))))
+        .select(col("doc_id"), col("b"),
+          when(expr("(h32 div shiftleft(1L, b)) % 2") === 1, 1)
+            .otherwise(-1).as("contrib"))
+      val sim = contrib
+        .groupBy("doc_id", "b")
+        .agg(sum("contrib").as("s"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("s") > 0, expr("shiftleft(1L, b)")).otherwise(0L))
+          .as("simhash"))
+        .localCheckpoint(true) // feeds both sides of the piece join
+      // pigeonhole: hamming<=3 over 4 pieces => >=1 piece identical
+      val pieces = sim
+        .withColumn("p", explode(sequence(lit(0), lit(3))))
+        .select(col("doc_id"), col("simhash"), col("p"),
+          expr("(simhash div shiftleft(1L, p*8)) % 256").as("piece"))
+      val cand = pieces.toDF("doc_a", "sim_a", "p", "piece")
+        .join(pieces.toDF("doc_b", "sim_b", "p", "piece"), Seq("p", "piece"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+      cand
+        .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS INT)"))
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+  }
+
+  // ---------------------------------------------------------------
+  // d05 winnowing fingerprint — per-doc rolling fingerprint = min
+  // shingle hash (1-permutation MinHash); docs sharing a fingerprint
+  // are near-dup candidate groups. Single groupBy on a 8-byte key.
+  val d05 = Q(
+    "d05_fingerprint_groups",
+    s"""$gramsCte,
+      |fp AS (SELECT doc_id,
+      |         MIN(('0x'||substr(md5(gram),1,15))::BIGINT) AS fingerprint
+      |       FROM g GROUP BY doc_id)
+      |SELECT fingerprint, COUNT(*) AS n_docs,
+      |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+      |FROM fp GROUP BY fingerprint HAVING COUNT(*) >= 2""".stripMargin) {
+    (s, dir) =>
+      grams(s, dir)
+        .groupBy("doc_id")
+        .agg(min(Fns.hash60(col("gram"))).as("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_doc_id"),
+          max("doc_id").as("max_doc_id"))
+        .filter(col("n_docs") >= 2)
+  }
+
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05)
+}

@@ -1,0 +1,189 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Fns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over `embeddings` (64-dim float vectors) — the
+  * ANN surface of a training-data pipeline (BASELINE.json north star).
+  *
+  * Three tiers, mirroring how this runs at 100 TB:
+  *  - v01 brute-force top-k: broadcast the (small) query set against
+  *    the full corpus — exact baseline, scales with corpus×queries.
+  *  - v02 IVF coarse quantization: per-label centroids, assign queries
+  *    to nearest cells — the partition-pruning step of IVF search.
+  *  - v03 random-hyperplane LSH: 8-bit signatures, candidates only
+  *    within a bucket equi-join — the sublinear scale path.
+  *
+  * All float math folds through scaled BIGINTs (order-independent, see
+  * [[Fns.dotScaled]]) so cosines/distances are bit-identical between
+  * Spark and the DuckDB oracle.
+  */
+object VectorSearch {
+
+  /** Oracle fragment: embeddings + scaled squared norms. */
+  private val normCte =
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(list_sum(list_transform(embedding,
+      |      x -> round(x::DOUBLE*x::DOUBLE*1e12)::BIGINT)) AS BIGINT) AS n
+      |  FROM embeddings)""".stripMargin
+
+  private val dotSql =
+    """CAST(list_sum(list_transform(list_zip(q.q_emb, e.embedding),
+      |      x -> round(x[1]::DOUBLE*x[2]::DOUBLE*1e12)::BIGINT)) AS BIGINT)""".stripMargin
+
+  // ---------------------------------------------------------------
+  // v01 brute-force cosine top-k — every 50th vector queries the whole
+  // corpus; the corpus side streams (no shuffle), the query side
+  // broadcasts. Exact; the baseline the ANN tiers are judged against.
+  val v01 = Q(
+    "v01_knn_bruteforce",
+    s"""$normCte,
+      |q AS (SELECT vec_id AS q_id, embedding AS q_emb, n AS q_n
+      |      FROM e WHERE vec_id % 50 = 0),
+      |p AS (SELECT q.q_id, e.vec_id AS neighbor_id,
+      |        $dotSql::DOUBLE / (sqrt(q.q_n::DOUBLE) * sqrt(e.n::DOUBLE)) AS cosine
+      |      FROM q JOIN e ON e.vec_id <> q.q_id)
+      |SELECT q_id, neighbor_id, rnk, cosine
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+      |        ORDER BY cosine DESC, neighbor_id) AS rnk FROM p) t
+      |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+    val e = Tables.load(s, dir, "embeddings")
+      .withColumn("n", Fns.normSqScaled(col("embedding")))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("n").as("q_n"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        Fns.cosineFromScaled(
+          Fns.dotScaled(col("q_emb"), col("embedding")),
+          col("q_n"), col("n")).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "neighbor_id", "rnk", "cosine")
+  }
+
+  // ---------------------------------------------------------------
+  // v02 IVF coarse assignment — per-label centroids (the "inverted
+  // file" cell list), each query ranked against the 10 centroids.
+  // Centroid build is one groupBy over (label, dim); assignment only
+  // touches #queries × #cells rows — at scale this is the pruning
+  // step before a within-cell v01.
+  val v02 = Q(
+    "v02_ivf_centroid_assign",
+    """WITH ex AS (SELECT label, generate_subscripts(embedding,1) AS pos,
+      |              unnest(embedding) AS x FROM embeddings),
+      |cen AS (SELECT label, pos,
+      |          CAST(SUM(round(x::DOUBLE*1e9)::BIGINT) AS BIGINT) AS sx,
+      |          COUNT(*) AS c
+      |        FROM ex GROUP BY label, pos),
+      |cm AS (SELECT label, pos, sx::DOUBLE / (c * 1e9) AS m FROM cen),
+      |qx AS (SELECT vec_id AS q_id, generate_subscripts(embedding,1) AS pos,
+      |         unnest(embedding) AS x
+      |       FROM embeddings WHERE vec_id % 50 = 0),
+      |d AS (SELECT q_id, cm.label,
+      |        CAST(SUM(round((qx.x::DOUBLE - cm.m)*(qx.x::DOUBLE - cm.m)*1e12)::BIGINT) AS BIGINT) AS ds
+      |      FROM qx JOIN cm ON qx.pos = cm.pos GROUP BY q_id, cm.label)
+      |SELECT q_id, label, rnk, sqrt(ds::DOUBLE / 1e12) AS dist
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+      |        ORDER BY ds, label) AS rnk FROM d) t
+      |WHERE rnk <= 2""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val ex = emb.select(col("label"),
+      posexplode(col("embedding")).as(Seq("pos0", "x")))
+    val cm = ex.groupBy("label", "pos0")
+      .agg(sum(round(col("x").cast(DoubleType) * 1e9).cast(LongType)).as("sx"),
+        count(lit(1)).as("c"))
+      .select(col("label"), col("pos0"),
+        (col("sx").cast(DoubleType) / (col("c") * lit(1e9))).as("m"))
+    val qx = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"),
+        posexplode(col("embedding")).as(Seq("pos0", "x")))
+    val diff = col("x").cast(DoubleType) - col("m")
+    val d = qx.join(broadcast(cm), "pos0")
+      .select(col("q_id"), col("label"),
+        round(diff * diff * lit(1e12)).cast(LongType).as("term"))
+      .groupBy("q_id", "label")
+      .agg(sum("term").as("ds"))
+    val w = Window.partitionBy("q_id").orderBy(col("ds"), col("label"))
+    d.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .select(col("q_id"), col("label"), col("rnk"),
+        sqrt(col("ds").cast(DoubleType) / lit(1e12)).as("dist"))
+  }
+
+  // ---------------------------------------------------------------
+  // v03 random-hyperplane LSH — 8 deterministic pseudo-random planes
+  // (coefficients hashed from (plane, dim)), sign pattern = 8-bit
+  // bucket; neighbors searched only within the bucket equi-join, then
+  // exact cosine + top-3. Sublinear candidate generation: the bucket
+  // is the shuffle key, so the plan is a plain equi-join at any scale.
+  val v03 = Q(
+    "v03_lsh_ann",
+    s"""$normCte,
+      |ex AS (SELECT vec_id, generate_subscripts(embedding,1) AS pos,
+      |         unnest(embedding) AS x FROM embeddings),
+      |sg AS (SELECT vec_id, p,
+      |         CAST(SUM(((('0x'||substr(md5('pl'||p||'_'||pos),1,15))::BIGINT % 2001) - 1000)
+      |                  * round(x::DOUBLE*1e6)::BIGINT) AS BIGINT) AS s
+      |       FROM ex CROSS JOIN (SELECT unnest(range(0,8)) AS p) ps
+      |       GROUP BY vec_id, p),
+      |bk AS (SELECT vec_id,
+      |         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+      |       FROM sg GROUP BY vec_id),
+      |eb AS (SELECT e.vec_id, e.embedding, e.n, bk.bucket
+      |       FROM e JOIN bk ON e.vec_id = bk.vec_id),
+      |q AS (SELECT vec_id AS q_id, embedding AS q_emb, n AS q_n, bucket
+      |      FROM eb WHERE vec_id % 50 = 0),
+      |p AS (SELECT q.q_id, e.vec_id AS neighbor_id, q.bucket,
+      |        CAST(list_sum(list_transform(list_zip(q.q_emb, e.embedding),
+      |          x -> round(x[1]::DOUBLE*x[2]::DOUBLE*1e12)::BIGINT)) AS BIGINT)::DOUBLE
+      |          / (sqrt(q.q_n::DOUBLE) * sqrt(e.n::DOUBLE)) AS cosine
+      |      FROM q JOIN eb e ON q.bucket = e.bucket AND e.vec_id <> q.q_id)
+      |SELECT q_id, neighbor_id, bucket, rnk, cosine
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+      |        ORDER BY cosine DESC, neighbor_id) AS rnk FROM p) t
+      |WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+      .withColumn("n", Fns.normSqScaled(col("embedding")))
+    // 1-based dim index to match the oracle's generate_subscripts
+    val ex = emb.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .select(col("vec_id"), (col("pos0") + 1).as("pos"), col("x"))
+    val plane = (Fns.hash60(concat(lit("pl"), col("p").cast(StringType),
+      lit("_"), col("pos").cast(StringType))) % 2001) - 1000
+    val sg = ex.withColumn("p", explode(sequence(lit(0), lit(7))))
+      .select(col("vec_id"), col("p"),
+        (plane * round(col("x").cast(DoubleType) * 1e6).cast(LongType))
+          .as("term"))
+      .groupBy("vec_id", "p")
+      .agg(sum("term").as("s"))
+    val bk = sg.groupBy("vec_id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, p)")).otherwise(0L))
+        .as("bucket"))
+    val eb = emb.join(bk, "vec_id")
+    val q = eb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("n").as("q_n"), col("bucket").as("q_bucket"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    eb.join(broadcast(q),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("q_bucket").as("bucket"),
+        Fns.cosineFromScaled(
+          Fns.dotScaled(col("q_emb"), col("embedding")),
+          col("q_n"), col("n")).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("q_id", "neighbor_id", "bucket", "rnk", "cosine")
+  }
+
+  val all: Seq[Q] = Seq(v01, v02, v03)
+}
