@@ -1,0 +1,95 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing for a training-data pipeline: media as
+  * opaque `binary` columns + typed metadata, processed per-partition.
+  *
+  * The decode step itself is STUBBED (no image/audio libraries in this
+  * environment — `decodeStub` produces a deterministic fake feature
+  * vector from the bytes). Everything Spark-side is real and tested:
+  * the schema contract, the partition-wise batch processing shape
+  * (`mapPartitions` over rows, the Scala analog of `mapInPandas`
+  * batches: decoder state is amortized per partition, not per row),
+  * and the pruning-friendly layout (metadata columns separate from the
+  * blob so metadata-only queries never read bytes).
+  */
+object Multimodal {
+
+  /** Media row contract: blob + metadata. Parquet stores the binary
+    * column separately per row group, so `select(media_type, width)`
+    * never touches bytes — the 100 TB design point. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("content", BinaryType, nullable = true)))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("checksum", LongType, nullable = false),
+    StructField("features", ArrayType(FloatType), nullable = false)))
+
+  /** Deterministic stand-in for a real decoder: 8 "features" derived
+    * from byte statistics. Replace with an actual decode (JNI/FFI or a
+    * sidecar service) without touching the pipeline shape — ??? here
+    * marks exactly the seam. */
+  private def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    // real impl: ??? (image/audio decode; out of scope in this env)
+    if (bytes == null || bytes.isEmpty) return Array.fill(8)(0f)
+    val out = new Array[Float](8)
+    var i = 0
+    while (i < bytes.length) {
+      out(i % 8) += (bytes(i) & 0xff).toFloat / 255f
+      i += 1
+    }
+    out.map(_ / bytes.length)
+  }
+
+  private def checksum(bytes: Array[Byte]): Long = {
+    var h = 1125899906842597L // FNV-ish rolling hash over the blob
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + (bytes(i) & 0xff); i += 1 }
+    h
+  }
+
+  /** Feature extraction as a per-partition batch job: one decoder
+    * "session" per partition (the expensive init a real decoder needs),
+    * rows stream through it. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content").rdd.mapPartitions {
+      rows =>
+        // per-partition decoder init happens here (stub: nothing)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes =
+            if (r.isNullAt(1)) Array.empty[Byte]
+            else r.getAs[Array[Byte]](1)
+          Row(id, bytes.length.toLong, checksum(bytes),
+            decodeStub(bytes).toSeq)
+        }
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
+  /** Frame-sampling shape for time-media: pick every `stride`-th frame
+    * index up to `durationMs` — pure metadata arithmetic, no decode;
+    * the exploded (media_id, frame_idx) rows drive a later batched
+    * decode. */
+  def sampleFrameIndexes(media: DataFrame, fps: Int,
+      stride: Int): DataFrame =
+    media
+      .filter(col("duration_ms").isNotNull)
+      .withColumn("n_frames",
+        (col("duration_ms") * fps / 1000).cast(IntegerType))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)),
+          lit(stride))))
+      .select("media_id", "frame_idx")
+}

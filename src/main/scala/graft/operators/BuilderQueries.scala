@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Family B — run/decision analytics (`core/framework/builder/query.py`,
+  * 501 LoC) as one-pass DataFrame aggregations.
+  *
+  * The reference loads every run JSON into memory and loops in Python
+  * (N+1 file reads, `storage/backend.py:108-114`); here each analysis
+  * is a declarative plan over a `runs` and an exploded `decisions`
+  * DataFrame, so the same query runs over ten runs or ten billion.
+  *
+  * Expected columns —
+  * runs: run_id, goal_id, status, error, started_at;
+  * decisions: run_id, goal_id, idx, node_id, decision_type, intent,
+  * chosen_option_id, success, latency_ms, tokens, error.
+  */
+object BuilderQueries {
+
+  /** Per-goal success rate (`query.py:231-238`). */
+  def goalSuccessRate(runs: DataFrame): DataFrame =
+    runs.groupBy("goal_id").agg(
+      count(lit(1)).as("total_runs"),
+      avg(when(col("status") === "completed", 1.0).otherwise(0.0))
+        .as("success_rate"))
+
+  /** Top-5 failure messages by count (`query.py:241-253`). */
+  def topFailures(runs: DataFrame, n: Int = 5): DataFrame =
+    runs.filter(col("status") === "failed" && col("error").isNotNull)
+      .groupBy("error").agg(count(lit(1)).as("n_runs"))
+      .orderBy(col("n_runs").desc, col("error"))
+      .limit(n)
+
+  /** Per-node failure rates filtered > 0.10, sorted desc
+    * (`query.py:255-270`). */
+  def problematicNodes(decisions: DataFrame,
+      threshold: Double = 0.10): DataFrame =
+    decisions.groupBy("node_id").agg(
+      count(lit(1)).as("n_decisions"),
+      avg(when(!col("success"), 1.0).otherwise(0.0)).as("failure_rate"))
+      .filter(col("failure_rate") > threshold)
+      .orderBy(col("failure_rate").desc, col("node_id"))
+
+  /** Decision-type distribution + modal chosen option per 50-char
+    * intent prefix (`query.py:439-467`; prefix `:449`). */
+  def decisionPatterns(decisions: DataFrame): DataFrame = {
+    val w = Window.partitionBy("intent_prefix")
+      .orderBy(col("n").desc, col("chosen_option_id"))
+    decisions
+      .withColumn("intent_prefix", substring(col("intent"), 1, 50))
+      .groupBy("intent_prefix", "chosen_option_id")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("intent_prefix"), col("chosen_option_id")
+        .as("modal_choice"), col("n").as("n_times"))
+  }
+
+  /** Cross-run per-node performance (`query.py:366-396`). */
+  def nodePerformance(decisions: DataFrame): DataFrame =
+    decisions.groupBy("node_id").agg(
+      count(lit(1)).as("total"),
+      sum(when(col("success"), 1).otherwise(0)).as("successes"),
+      avg(when(col("success"), 1.0).otherwise(0.0)).as("success_rate"),
+      avg("latency_ms").as("avg_latency_ms"),
+      sum("tokens").as("total_tokens"))
+
+  /** Recent failed runs (`query.py:159-167`). */
+  def recentFailures(runs: DataFrame, limit: Int = 10): DataFrame =
+    runs.filter(col("status") === "failed")
+      .orderBy(col("started_at").desc, col("run_id"))
+      .limit(limit)
+
+  /** Failure chain: decisions of a run up to and including the first
+    * failure (`query.py:181-196`). */
+  def failureChain(decisions: DataFrame, runId: String): DataFrame = {
+    val d = decisions.filter(col("run_id") === runId)
+    val firstFail = d.agg(min(when(!col("success"), col("idx"))))
+      .head().get(0)
+    firstFail match {
+      case i: Int => d.filter(col("idx") <= i).orderBy("idx")
+      case l: Long => d.filter(col("idx") <= l).orderBy("idx")
+      case _ => d.orderBy("idx") // no failure: whole chain
+    }
+  }
+
+  /** Run comparison (`query.py:284-306,469-501`): positional zip-join
+    * of two runs' decisions; first index where chosen options diverge
+    * plus node-set differences. Returns a 1-row DataFrame. */
+  def compareRuns(decisions: DataFrame, runA: String,
+      runB: String): DataFrame = {
+    val a = decisions.filter(col("run_id") === runA)
+      .select(col("idx"), col("node_id").as("node_a"),
+        col("chosen_option_id").as("choice_a"))
+    val b = decisions.filter(col("run_id") === runB)
+      .select(col("idx"), col("node_id").as("node_b"),
+        col("chosen_option_id").as("choice_b"))
+    a.join(b, Seq("idx"), "full_outer")
+      .agg(
+        min(when(col("choice_a").isNull || col("choice_b").isNull ||
+          col("choice_a") =!= col("choice_b"), col("idx")))
+          .as("first_divergence_idx"),
+        count(when(col("node_a").isNotNull && col("node_b").isNotNull,
+          1)).as("compared_steps"),
+        array_sort(array_distinct(collect_list(
+          when(col("node_b").isNull, col("node_a")))))
+          .as("nodes_only_in_a"),
+        array_sort(array_distinct(collect_list(
+          when(col("node_a").isNull, col("node_b")))))
+          .as("nodes_only_in_b"))
+  }
+}

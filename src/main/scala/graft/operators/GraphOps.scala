@@ -70,6 +70,7 @@ object GraphOps {
     branches.map(b => reachable(edges, Seq(b)))
       .reduce((a, b) => a.join(b, Seq("node"))
         .select(col("node"), (a("depth") + b("depth")).as("depth")))
+      .filter(!col("node").isin(branches: _*)) // heads are not successors
       .orderBy(col("depth"), col("node"))
       .limit(1)
   }

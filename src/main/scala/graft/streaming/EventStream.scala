@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Family C — the event bus re-expressed on Structured Streaming
+  * (SURVEY §2.9; reference `core/framework/runtime/event_bus.py`).
+  *
+  *  - typed events with stream/node/execution coordinates
+  *    (`event_bus.py:139-168`);
+  *  - subscriptions = per-consumer filters over one input stream
+  *    (`:170-180,327-350`) — N downstream filtered queries;
+  *  - history queries/stats happen on the materialized sink table
+  *    (batch queries e01–e12 cover those);
+  *  - session state via `flatMapGroupsWithState` replaces the asyncio
+  *    shared-state locks (`shared_state.py`): Spark's
+  *    single-writer-per-key state model IS the SYNCHRONIZED level;
+  *  - the reference has no late-data story (wall-clock at emit);
+  *    streaming mode adds watermarks, batch replay is unaffected.
+  */
+object EventStream {
+
+  case class AgentEvent(
+      eventType: String,
+      streamId: String,
+      nodeId: Option[String],
+      executionId: Option[String],
+      ts: java.sql.Timestamp,
+      data: Map[String, String])
+
+  /** A subscription filter (`event_bus.py:170-180`): event-type set
+    * plus optional equality coordinates. Missing = match-all. */
+  case class Subscription(
+      eventTypes: Set[String] = Set.empty,
+      streamId: Option[String] = None,
+      nodeId: Option[String] = None,
+      executionId: Option[String] = None)
+
+  /** Apply a subscription as a streaming-safe filter. */
+  def subscribe(events: Dataset[AgentEvent],
+      sub: Subscription): Dataset[AgentEvent] =
+    events.filter { e =>
+      (sub.eventTypes.isEmpty || sub.eventTypes.contains(e.eventType)) &&
+      sub.streamId.forall(_ == e.streamId) &&
+      sub.nodeId.forall(n => e.nodeId.contains(n)) &&
+      sub.executionId.forall(x => e.executionId.contains(x))
+    }
+
+  /** JSONL event-log source (the reference's HIVE_DEBUG_EVENTS JSONL,
+    * `event_bus.py:28-56`) as a file stream. */
+  def fromJsonl(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("eventType STRING, streamId STRING, nodeId STRING, " +
+        "executionId STRING, ts TIMESTAMP, data MAP<STRING,STRING>")
+      .json(dir)
+
+  /** Tumbling event-time rollup with watermark — the 2-minute health
+    * cadence (`monitoring/judge.py:4`) as a windowed aggregation. */
+  def windowedTypeCounts(events: DataFrame, window_ : String = "2 minutes",
+      watermark: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("eventType"))
+      .agg(count(lit(1)).as("n_events"))
+
+  // --- stateful sessionization -----------------------------------
+
+  case class SessionUpdate(
+      streamId: String,
+      nEvents: Long,
+      nErrors: Long,
+      lastEventType: String,
+      stallStreak: Int,
+      stalled: Boolean,
+      closed: Boolean)
+
+  // public: the state encoder's generated deserializer must be able to
+  // construct it
+  case class SessState(nEvents: Long, nErrors: Long,
+      lastType: String, streak: Int)
+
+  /** Per-stream session state: counts, consecutive-identical-event
+    * streak (stall detection threshold 3,
+    * `event_loop_node.py:2047-2055,79`), gap-timeout close. One state
+    * row per stream key — Spark's state store is the per-key lock.
+    * `gapMs <= 0` disables the gap-timeout close (no processing-time
+    * timeouts scheduled — deterministic for batch-style tests). */
+  def sessionize(events: Dataset[AgentEvent], gapMs: Long)(
+      implicit spark: SparkSession): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    val timeoutKind =
+      if (gapMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.streamId)
+      .flatMapGroupsWithState[SessState, SessionUpdate](
+        OutputMode.Append(), timeoutKind) {
+        case (key, it, state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.getOption.getOrElse(SessState(0, 0, "", 0))
+            state.remove()
+            Iterator(SessionUpdate(key, s.nEvents, s.nErrors, s.lastType,
+              s.streak, s.streak >= 3, closed = true))
+          } else {
+            var s = state.getOption.getOrElse(SessState(0, 0, "", 0))
+            // deterministic in-batch order: arrival order within group
+            it.foreach { e =>
+              val streak =
+                if (e.eventType == s.lastType) s.streak + 1 else 1
+              s = SessState(s.nEvents + 1,
+                s.nErrors + (if (e.eventType == "error") 1 else 0),
+                e.eventType, streak)
+            }
+            state.update(s)
+            if (gapMs > 0) state.setTimeoutDuration(gapMs)
+            Iterator(SessionUpdate(key, s.nEvents, s.nErrors, s.lastType,
+              s.streak, s.streak >= 3, closed = false))
+          }
+      }
+  }
+
+  /** Needs-attention escalation stream: L2-style threshold flags over
+    * the live stream (RUNTIME_LOGGING.md:97-106 thresholds on the
+    * streaming path; tickets = rows to an `escalations` sink). */
+  def attentionStream(updates: Dataset[SessionUpdate])(
+      implicit spark: SparkSession): DataFrame = {
+    updates.toDF()
+      .filter(col("stalled") || col("nErrors") > 3 || col("nEvents") > 20)
+      .withColumn("attention_reasons", array_compact(array(
+        when(col("stalled"), "stall"),
+        when(col("nErrors") > 3, "errors"),
+        when(col("nEvents") > 20, "volume"))))
+  }
+}

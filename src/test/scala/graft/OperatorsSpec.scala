@@ -1,0 +1,192 @@
+package graft
+
+import graft.operators._
+import graft.plans.SqlGate
+import org.apache.spark.sql.functions._
+
+class GraphOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  //   a -> b -> c -> d,  b -> d,  e isolated, cycle d -> b
+  private lazy val edges = Seq(
+    ("a", "b"), ("b", "c"), ("c", "d"), ("b", "d"), ("d", "b"))
+    .toDF("src", "dst")
+  private lazy val nodes = Seq("a", "b", "c", "d", "e").toDF("id")
+
+  test("reachable: min BFS depth, cycles terminate") {
+    val r = GraphOps.reachable(edges, Seq("a"))
+      .collect().map(x => x.getString(0) -> x.getInt(1)).toMap
+    assert(r === Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 2))
+  }
+
+  test("degrees: fan-out/fan-in flags (edge.py:506-540)") {
+    val d = GraphOps.degrees(nodes, edges).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2),
+        x.getBoolean(3), x.getBoolean(4)))).toMap
+    assert(d("b") === ((2L, 2L, true, true)))
+    assert(d("e") === ((0L, 0L, false, false)))
+  }
+
+  test("convergence of parallel branches (executor.py:1819-1852)") {
+    val c = GraphOps.convergence(edges, Seq("b", "c")).collect()
+    assert(c.head.getString(0) === "d") // d reachable from both, closest
+  }
+
+  test("validate: dangling endpoints + unreachable nodes") {
+    val badEdges = edges.union(Seq(("a", "zz")).toDF("src", "dst"))
+    val errs = GraphOps.validate(nodes, badEdges, Seq("a"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(errs.contains(("edge_target_missing", "zz")))
+    assert(errs.contains(("unreachable_node", "e")))
+    assert(!errs.exists(_._2 == "b"))
+  }
+}
+
+class LogRollupsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // run r1: node n1 clean; node n2 trips retry + token thresholds
+  private lazy val steps = (
+    (1 to 3).map(i => ("r1", "n1", i, "accept", 100L, 10L, 10L, "ok")) ++
+    (1 to 25).map(i => ("r1", "n2", i,
+      if (i % 2 == 0) "retry" else "continue", 1000L, 3000L, 3000L, "ok")))
+    .toDF("run_id", "node_id", "step", "verdict", "latency_ms",
+      "tokens_in", "tokens_out", "exit_status")
+
+  test("L3→L2: attention thresholds (RUNTIME_LOGGING.md:97-106)") {
+    val l2 = LogRollups.l3ToL2(steps)
+    val n2 = l2.filter($"node_id" === "n2").head()
+    assert(n2.getAs[Boolean]("needs_attention"))
+    val reasons = n2.getSeq[String](n2.fieldIndex("attention_reasons"))
+    assert(reasons.contains("retries")) // 12 > 3
+    assert(reasons.contains("tokens")) // 150k > 100k
+    assert(reasons.contains("steps")) // 25 > 20
+    assert(!l2.filter($"node_id" === "n1").head()
+      .getAs[Boolean]("needs_attention"))
+  }
+
+  test("L2→L1: quality degraded on retries, attention propagates") {
+    val l1 = LogRollups.l2ToL1(LogRollups.l3ToL2(steps)).head()
+    assert(l1.getAs[Boolean]("needs_attention"))
+    assert(l1.getAs[String]("execution_quality") === "degraded")
+    assert(l1.getAs[Long]("total_steps") === 28L)
+  }
+
+  test("steps since last accept (worker_monitoring_tools.py:158-163)") {
+    val d = LogRollups.stepsSinceLastAccept(
+      Seq(("r", "n", 1, "accept"), ("r", "n", 2, "continue"),
+        ("r", "n", 3, "retry"))
+        .toDF("run_id", "node_id", "step", "verdict"))
+      .orderBy("step").collect().map(_.getAs[Int]("steps_since_accept"))
+    assert(d === Array(0, 1, 2))
+  }
+}
+
+class BuilderQueriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val runs = Seq(
+    ("r1", "g1", "completed", null, "2026-01-01T00:00:00"),
+    ("r2", "g1", "failed", "boom", "2026-01-02T00:00:00"),
+    ("r3", "g1", "failed", "boom", "2026-01-03T00:00:00"),
+    ("r4", "g2", "completed", null, "2026-01-04T00:00:00"))
+    .toDF("run_id", "goal_id", "status", "error", "started_at")
+
+  private lazy val decisions = Seq(
+    ("r1", "g1", 0, "plan", "tool", "choose tool for search", "optA", true, 10L, 100L),
+    ("r1", "g1", 1, "exec", "route", "route result onward", "optB", true, 10L, 100L),
+    ("r2", "g1", 0, "plan", "tool", "choose tool for search", "optA", true, 10L, 100L),
+    ("r2", "g1", 1, "exec", "route", "route result onward", "optC", false, 10L, 100L),
+    ("r3", "g1", 0, "plan", "tool", "choose tool for search", "optB", false, 10L, 100L))
+    .toDF("run_id", "goal_id", "idx", "node_id", "decision_type",
+      "intent", "chosen_option_id", "success", "latency_ms", "tokens")
+
+  test("goal success rate + top failures (query.py:222-253)") {
+    val sr = BuilderQueries.goalSuccessRate(runs)
+      .filter($"goal_id" === "g1").head()
+    assert(sr.getAs[Long]("total_runs") === 3L)
+    assert(math.abs(sr.getAs[Double]("success_rate") - 1.0 / 3) < 1e-12)
+    val tf = BuilderQueries.topFailures(runs).head()
+    assert(tf.getString(0) === "boom" && tf.getLong(1) === 2L)
+  }
+
+  test("problematic nodes: rate > 0.10 sorted desc (query.py:255-270)") {
+    val pn = BuilderQueries.problematicNodes(decisions).collect()
+    assert(pn.map(_.getString(0)).toSeq === Seq("exec", "plan"))
+    assert(pn.head.getAs[Double]("failure_rate") === 0.5)
+  }
+
+  test("modal choice per intent prefix (query.py:439-467)") {
+    val m = BuilderQueries.decisionPatterns(decisions)
+      .filter($"intent_prefix" === "choose tool for search").head()
+    assert(m.getAs[String]("modal_choice") === "optA") // 2 vs 1
+  }
+
+  test("compareRuns: first divergence + node-set diff (query.py:469-501)") {
+    val c = BuilderQueries.compareRuns(decisions, "r1", "r3").head()
+    assert(c.getAs[Int]("first_divergence_idx") === 0) // optA vs optB
+    assert(c.getAs[Seq[String]]("nodes_only_in_a") === Seq("exec"))
+  }
+
+  test("failureChain truncates at first failure (query.py:181-196)") {
+    val chain = BuilderQueries.failureChain(decisions, "r2")
+    assert(chain.count() === 2) // idx 0 ok + idx 1 first failure
+    assert(BuilderQueries.failureChain(decisions, "r1").count() === 2)
+  }
+}
+
+class GoalProgressSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val criteria = Seq(
+    ("g1", "c1", "search the web quickly", 0.6),
+    ("g1", "c2", "summarize findings clearly", 0.4))
+    .toDF("goal_id", "criterion_id", "description", "weight")
+
+  private lazy val decisions = Seq(
+    ("g1", "search the web for items", true),
+    ("g1", "search the web again", false),
+    ("g1", "summarize the findings now", true))
+    .toDF("goal_id", "intent", "success")
+
+  test("criterion relatedness = ≥2 keyword overlap; weighted overall") {
+    val g = GoalProgress.goalProgress(criteria, decisions).head()
+    // c1 related: 2 decisions (1 success) -> 0.5; c2: 1/1 -> 1.0
+    // overall = (0.6*0.5 + 0.4*1.0) / 1.0 = 0.7
+    assert(math.abs(g.getAs[Double]("overall_progress") - 0.7) < 1e-12)
+    assert(g.getAs[String]("recommendation") === "continue")
+  }
+
+  test("is_success: met weight ≥ 0.9 total (goal.py:160-168)") {
+    val ok = GoalProgress.isSuccess(criteria, decisions).head()
+    assert(!ok.getAs[Boolean]("is_success")) // only c2 fully met (0.4)
+  }
+}
+
+class SqlGateSpec extends SparkTestBase {
+
+  test("SELECT passes, writes/DDL are blocked on the parsed plan") {
+    assert(SqlGate.isSelectOnly(spark, "SELECT 1"))
+    assert(SqlGate.isSelectOnly(spark,
+      "WITH t AS (SELECT 1 AS x) SELECT * FROM t"))
+    for (bad <- Seq(
+        "DROP TABLE data",
+        "CREATE TABLE t(x INT)",
+        "INSERT INTO data VALUES (1)",
+        "/* sneaky */ DELETE FROM data"))
+      assert(!SqlGate.isSelectOnly(spark, bad), bad)
+    intercept[SqlGate.BlockedSqlException](
+      SqlGate.query(spark, "DROP TABLE data"))
+  }
+
+  test("csvSql: header-derived view `data` (csv_tool.py:273-310)") {
+    val dir = java.nio.file.Files.createTempDirectory("csvsql").toFile
+    val f = new java.io.File(dir, "t.csv")
+    java.nio.file.Files.writeString(f.toPath,
+      "name,price\nwidget,9.5\ngadget,12.0\nwidget,1.0\n")
+    val out = SqlGate.csvSql(spark, f.getAbsolutePath,
+      "SELECT name, SUM(price) AS total FROM data GROUP BY name ORDER BY name")
+    val rows = out.collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.toSeq === Seq(("gadget", 12.0), ("widget", 10.5)))
+  }
+}

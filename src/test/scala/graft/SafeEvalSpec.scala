@@ -1,0 +1,82 @@
+package graft
+
+import graft.functions.SafeEval
+import graft.functions.SafeEval.SafeEvalException
+import org.apache.spark.sql.types._
+
+/** The translator must agree with the Python interpreter's semantics
+  * on safe_eval's documented surface (safe_eval.py:6-53 whitelists). */
+class SafeEvalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val df = Seq(
+    (1, 5.0, "Hello World", Seq("a", "b"), Map("k" -> "v", "n" -> "3")),
+    (2, -2.5, "  pad  ", Seq("x"), Map("k" -> "w")))
+    .toDF("i", "d", "s", "arr", "m")
+  private val schema = df.schema
+
+  private def evalRow0(expr: String): Any =
+    df.select(SafeEval.compile(expr, schema)).head().get(0)
+
+  test("arithmetic incl. python floor-div, mod, power") {
+    assert(evalRow0("i + 2 * 3") === 7L)
+    assert(evalRow0("7 // 2") === 3L)
+    assert(evalRow0("-7 % 3") === 2L) // python semantics: pmod
+    assert(evalRow0("2 ** 3") === 8.0)
+    assert(evalRow0("d / 2") === 2.5)
+  }
+
+  test("chained comparisons become conjunctions") {
+    assert(evalRow0("0 < i < 2") === true)
+    assert(evalRow0("0 < i < 1") === false)
+    assert(evalRow0("1 <= i <= 1 == 1") === true)
+  }
+
+  test("boolean ops, not, ternary") {
+    assert(evalRow0("i == 1 and d > 0") === true)
+    assert(evalRow0("i == 2 or d > 0") === true)
+    assert(evalRow0("not (i == 2)") === true)
+    assert(evalRow0("'yes' if i == 1 else 'no'") === "yes")
+  }
+
+  test("in / not in over arrays, maps and strings") {
+    assert(evalRow0("'a' in arr") === true)
+    assert(evalRow0("'z' not in arr") === true)
+    assert(evalRow0("'k' in m") === true)
+    assert(evalRow0("'World' in s") === true)
+  }
+
+  test("safe functions") {
+    assert(evalRow0("len(s)") === 11)
+    assert(evalRow0("len(arr)") === 2)
+    assert(evalRow0("min(i, 0)") === 0L)
+    assert(evalRow0("max(3, i)") === 3L)
+    assert(evalRow0("abs(0 - i)") === 1L)
+    assert(evalRow0("int('42')") === 42L)
+    assert(evalRow0("float(i)") === 1.0)
+    assert(evalRow0("str(i)") === "1")
+    assert(evalRow0("round(d + 0.4)") === 5.0)
+  }
+
+  test("whitelisted methods") {
+    assert(evalRow0("s.lower()") === "hello world")
+    assert(evalRow0("s.upper()") === "HELLO WORLD")
+    assert(evalRow0("m.get('k')") === "v")
+    assert(evalRow0("m.get('zz', 'dflt')") === "dflt")
+    assert(evalRow0("s.split(' ')[0]") === "Hello")
+    assert(evalRow0("arr[0]") === "a")
+    assert(evalRow0("arr[-1]") === "b")
+  }
+
+  test("non-whitelisted callables are rejected at compile time") {
+    intercept[SafeEvalException](SafeEval.compile("open('/etc/passwd')"))
+    intercept[SafeEvalException](SafeEval.compile("s.__class__", schema))
+    intercept[SafeEvalException](SafeEval.compile("arr.append(1)", schema))
+  }
+
+  test("condition(): errors/nulls collapse to false (edge.py:200-204)") {
+    val got = df.select(SafeEval.condition("m.get('zz') == 'v'", schema))
+      .collect().map(_.getBoolean(0))
+    assert(got === Array(false, false))
+  }
+}

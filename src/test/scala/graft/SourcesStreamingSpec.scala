@@ -1,0 +1,153 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.sources.CsvSource
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{AgentEvent, Subscription}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class CsvSourceSpec extends SparkTestBase {
+
+  private def tmpCsv(content: String): String = {
+    val dir = Files.createTempDirectory("csvsrc").toFile
+    val f = new java.io.File(dir, "t.csv")
+    Files.writeString(f.toPath, content)
+    f.getAbsolutePath
+  }
+
+  test("read: header columns, offset/limit page + total (csv_tool.py:14-88)") {
+    val p = tmpCsv("id,v\n1,a\n2,b\n3,c\n4,d\n")
+    val page = CsvSource.read(spark, p, offset = 1, limit = Some(2),
+      orderBy = Some("id"))
+    assert(page.totalCount === 4)
+    assert(page.rows.select("id").collect().map(_.getString(0)).toSeq
+      === Seq("2", "3"))
+  }
+
+  test("write projects to declared columns only (csv_tool.py:133)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("csvout").toString + "/out"
+    CsvSource.write(Seq((1, "x", "drop")).toDF("id", "v", "extra"),
+      out, Seq("id", "v"))
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.columns.toSeq === Seq("id", "v"))
+    intercept[IllegalArgumentException](
+      CsvSource.write(Seq(1).toDF("id"), out, Seq("id", "missing")))
+  }
+
+  test("info: schema + count (csv_tool.py:214-271)") {
+    val p = tmpCsv("id,v\n1,a\n2,b\n")
+    val info = CsvSource.info(spark, p)
+    assert(info.rowCount === 2)
+    assert(info.columns.map(_._1) === Seq("id", "v"))
+  }
+
+  test("readJsonl drops corrupt lines (runtime_log_store.py:265-289)") {
+    val dir = Files.createTempDirectory("jsonl").toFile
+    Files.writeString(new java.io.File(dir, "a.jsonl").toPath,
+      """{"a":1}
+        |not json at all {{{
+        |{"a":2}
+        |""".stripMargin)
+    val df = CsvSource.readJsonl(spark, dir.getAbsolutePath)
+    assert(df.count() === 2)
+  }
+
+  test("unionLayouts null-fills missing columns (runtime_logs_tool.py:49-77)") {
+    import spark.implicits._
+    val oldL = Seq(("r1", "ok")).toDF("run_id", "status")
+    val newL = Seq(("r2", "ok", 5L)).toDF("run_id", "status", "tokens")
+    val u = CsvSource.unionLayouts(Seq(oldL, newL))
+    assert(u.count() === 2)
+    assert(u.filter($"run_id" === "r1").head().isNullAt(2))
+  }
+}
+
+class MultimodalSpec extends SparkTestBase {
+
+  test("extractFeatures: deterministic per-partition decode plumbing") {
+    val rows = java.util.Arrays.asList(
+      Row(1L, "image", 2, 2, null, Array[Byte](1, 2, 3, 4)),
+      Row(2L, "image", 1, 1, null, Array.empty[Byte]))
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val f = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(f(0).getAs[Long]("n_bytes") === 4L)
+    assert(f(0).getAs[Seq[Float]]("features").length === 8)
+    // rerun → identical (the stub is a pure function of the bytes)
+    val f2 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(f(0).getAs[Long]("checksum") === f2(0).getAs[Long]("checksum"))
+    assert(f(1).getAs[Long]("n_bytes") === 0L)
+  }
+
+  test("sampleFrameIndexes: metadata-only frame sampling") {
+    val rows = java.util.Arrays.asList(
+      Row(7L, "video", null, null, 1000L, null))
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val idx = Multimodal.sampleFrameIndexes(media, fps = 10, stride = 4)
+      .collect().map(_.getAs[Int]("frame_idx"))
+    assert(idx.toSeq === Seq(0, 4, 8)) // 10 frames, every 4th
+  }
+}
+
+class EventStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ev(t: String, stream: String, ts: Long) =
+    AgentEvent(t, stream, None, None, new Timestamp(ts), Map.empty)
+
+  test("subscription filters (event_bus.py:170-180)") {
+    val ds = Seq(
+      ev("node_started", "s1", 0), ev("node_failed", "s1", 1),
+      ev("node_started", "s2", 2)).toDS()
+    val got = EventStream.subscribe(ds,
+      Subscription(eventTypes = Set("node_started"),
+        streamId = Some("s1"))).collect()
+    assert(got.length === 1 && got.head.streamId === "s1")
+  }
+
+  test("sessionize: stateful counts + stall streak via " +
+      "flatMapGroupsWithState (event_loop_node.py:2047-2055)") {
+    val input = MemoryStream[AgentEvent](spark)
+    // gapMs = 0: no processing-time timeouts, so processAllAvailable
+    // terminates once the added data is committed (a positive gap keeps
+    // scheduling timeout batches and can block the call indefinitely)
+    val updates = EventStream.sessionize(input.toDS(), gapMs = 0)
+    val q = updates.writeStream.format("memory")
+      .queryName("sess").outputMode("append").start()
+    try {
+      input.addData(
+        ev("a", "s1", 0), ev("a", "s1", 1), ev("a", "s1", 2),
+        ev("error", "s2", 0))
+      q.processAllAvailable()
+      val rows = spark.table("sess").as[EventStream.SessionUpdate]
+        .collect().map(u => u.streamId -> u).toMap
+      assert(rows("s1").nEvents === 3)
+      assert(rows("s1").stallStreak === 3)
+      assert(rows("s1").stalled) // 3 identical in a row
+      assert(rows("s2").nErrors === 1)
+      assert(!rows("s2").stalled)
+    } finally q.stop()
+  }
+
+  test("windowed type counts with watermark (SURVEY §2.9)") {
+    val input = MemoryStream[AgentEvent](spark)
+    val counts = EventStream.windowedTypeCounts(
+      input.toDS().toDF()
+        .withColumnRenamed("eventType", "eventType"), "2 minutes")
+    val q = counts.writeStream.format("memory")
+      .queryName("wc").outputMode("complete").start()
+    try {
+      input.addData(ev("x", "s", 0), ev("x", "s", 30000),
+        ev("y", "s", 200000))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select("eventType", "n_events").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows("x") === 2 && rows("y") === 1)
+    } finally q.stop()
+  }
+}
