@@ -10,6 +10,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: first touch of the parquet reader, shuffle
+    // machinery, window exec, and the Janino codegen pipeline costs
+    // seconds of JVM/JIT time that would otherwise be billed to
+    // whichever query happens to run first.
+    try {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+      val o = Tables.load(spark, sfDir, "orders")
+      val c = Tables.load(spark, sfDir, "customer")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderstatus")
+        .agg(sum("o_totalprice").as("s"),
+          countDistinct("o_custkey").as("d"))
+        .withColumn("r", row_number().over(Window.orderBy("s")))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: computes every output column (count() would let

@@ -45,6 +45,15 @@ object Fns {
           element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))))
       .otherwise(array().cast(ArrayType(StringType)))
 
+  /** [[shingles3]] without the dedup pass — for consumers whose
+    * aggregate is duplicate-insensitive (MIN-based minhashing). */
+  def shingles3Raw(ws: Column): Column =
+    when(size(ws) >= 3,
+      transform(sequence(lit(1), size(ws) - 2), i =>
+        concat_ws(" ",
+          element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
   /** Σ round(a_i*b_i*1e12) as BIGINT — an exact, order-independent dot
     * product of float arrays (scaled by 1e12). Division by 1e12 and any
     * sqrt happen afterwards in IEEE double, bit-identical across
@@ -67,4 +76,22 @@ object Fns {
   def cosineFromScaled(dot: Column, na: Column, nb: Column): Column =
     dot.cast(DoubleType) /
       (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType)))
+
+  /** Pre-scaled integer vector: sx_i = round(x_i·1e6) as BIGINT. One
+    * rounding per element per vector — pair loops over the result stay
+    * in pure integer arithmetic (Spark's round() goes through
+    * BigDecimal; doing it once per vector instead of once per pair is
+    * the difference between 640k and 128M BigDecimal ops in a
+    * 200×10k-pair scan). DuckDB:
+    * `list_transform(embedding, x -> round(x::DOUBLE*1e6)::BIGINT)`. */
+  def scaleVec(a: Column): Column =
+    transform(a, x => round(x.cast(DoubleType) * lit(1e6)).cast(LongType))
+
+  /** Integer dot product of two pre-scaled vectors. */
+  def dotInt(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+
+  /** Integer squared norm of a pre-scaled vector. */
+  def normSqInt(sx: Column): Column =
+    aggregate(sx, lit(0L), (acc, v) => acc + v * v)
 }

@@ -44,6 +44,31 @@ object GraphOps {
     visited
   }
 
+  /** [[reachable]] for a graph already reduced to driver scale (e.g.
+    * the aggregated transition graph of an event stream: heavy
+    * distributed groupBy first, then an O(nodes) algorithm on the
+    * result). Collects the edge list and runs the BFS in-process —
+    * zero Spark jobs per iteration vs one join+checkpoint each for the
+    * distributed variant. */
+  def reachableLocal(edges: DataFrame, entry: Seq[String],
+      maxIters: Int = 100): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val adj = edges.select("src", "dst").as[(String, String)].collect()
+      .groupBy(_._1).map { case (s, a) => s -> a.map(_._2).toSeq }
+    val depth = scala.collection.mutable.Map[String, Int]()
+    entry.foreach(e => depth(e) = 0)
+    var frontier = entry.toSet
+    var d = 0
+    while (frontier.nonEmpty && d < maxIters) {
+      d += 1
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Seq.empty))
+        .filterNot(depth.contains)
+      frontier.foreach(n => depth(n) = d)
+    }
+    depth.toSeq.toDF("node", "depth")
+  }
+
   /** Out/in degree per node over distinct edges; fan-out = >1 distinct
     * successor (reference counts ON_SUCCESS edges, `edge.py:506-523`). */
   def degrees(nodes: DataFrame, edges: DataFrame): DataFrame = {

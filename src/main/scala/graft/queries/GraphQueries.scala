@@ -26,11 +26,7 @@ object GraphQueries {
       .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
       .agg(count(lit(1)).as("c"))
     val avg = tr.agg((sum("c") / count(lit(1))).as("avg"))
-    // materialize once: the BFS loop re-reads this tiny aggregated edge
-    // set every iteration — without the checkpoint each round would
-    // recompute the full window+groupBy over the event stream
     tr.crossJoin(avg).filter(col("c") > col("avg")).select("src", "dst")
-      .localCheckpoint(true)
   }
 
   private val edgesCte =
@@ -66,7 +62,9 @@ object GraphQueries {
         .select(col("event_type").as("id")).distinct()
         .localCheckpoint(true) // reused for entry pick + final left join
       val entry = nodes.agg(min("id")).head().getString(0)
-      val r = GraphOps.reachable(e, Seq(entry))
+      // the transition graph is post-aggregation (≤ |event types|
+      // nodes): BFS on the collected edge list, not per-depth joins
+      val r = GraphOps.reachableLocal(e, Seq(entry))
       nodes.join(r, nodes("id") === r("node"), "left")
         .select(col("id").as("node"),
           col("depth").isNotNull.as("reachable"), col("depth"))

@@ -20,18 +20,40 @@ import org.apache.spark.sql.types._
   */
 object TextDedup {
 
-  /** doc_id + distinct word-3-gram shingles, docs with ≥3 tokens. */
-  private def grams(s: SparkSession, dir: String): DataFrame = {
-    val ws = Fns.tokens(col("text"))
+  /** doc_id + tokens, with the token array materialized in its own
+    * projection: the shingle lambda below is a higher-order function
+    * (CodegenFallback, no subexpression elimination), so an inlined
+    * `split(text)` would re-tokenize the document for every element_at
+    * — measured 14× slower at sf0.1. */
+  private def tokenized(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
-      .select(col("doc_id"), explode(Fns.shingles3(ws)).as("gram"))
-  }
+      .select(col("doc_id"), Fns.tokens(col("text")).as("ws"))
+
+  /** doc_id + distinct word-3-gram shingles, docs with ≥3 tokens. */
+  private def grams(s: SparkSession, dir: String): DataFrame =
+    tokenized(s, dir)
+      .select(col("doc_id"), explode(Fns.shingles3(col("ws"))).as("gram"))
+
+  /** Non-distinct variant for MIN-aggregating consumers (d03, d05):
+    * MIN is duplicate-insensitive, so skipping the per-row
+    * `array_distinct` removes a hash-set pass per document. */
+  private def gramsRaw(s: SparkSession, dir: String): DataFrame =
+    tokenized(s, dir)
+      .select(col("doc_id"), explode(Fns.shingles3Raw(col("ws"))).as("gram"))
 
   private val gramsCte =
     """WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
       |g AS (SELECT doc_id,
       |        unnest(list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2]
       |                              FOR i IN range(1, len(ws)-1)])) AS gram
+      |      FROM t WHERE len(ws) >= 3)""".stripMargin
+
+  /** Oracle twin of [[gramsRaw]] — no `list_distinct`. */
+  private val gramsRawCte =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |g AS (SELECT doc_id,
+      |        unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+      |                FOR i IN range(1, len(ws)-1)]) AS gram
       |      FROM t WHERE len(ws) >= 3)""".stripMargin
 
   // ---------------------------------------------------------------
@@ -57,16 +79,22 @@ object TextDedup {
   // ---------------------------------------------------------------
   // d02 n-gram Jaccard near-dup — inverted-index candidate join on
   // shared shingles (no cross join: pairs sharing zero grams are never
-  // materialized), exact |∩|/|∪| from integer counts. Hub shingles
-  // would skew the self-join at scale → a prefix-filter or document
-  // frequency cap slots in on the `g` relation without changing shape.
+  // materialized), exact |∩|/|∪| from integer counts. The join key is
+  // the 60-bit gram hash, not the gram text: the self-join shuffles
+  // 8-byte longs instead of ~25-byte strings (both engines hash with
+  // the same md5 prefix, so any collision collapses identically on
+  // both sides). Hub shingles would skew the self-join at scale → a
+  // prefix-filter or document-frequency cap slots in on the `h`
+  // relation without changing shape.
   val d02 = Q(
     "d02_ngram_jaccard",
     s"""$gramsCte,
-      |n AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+      |h AS (SELECT doc_id, ('0x'||substr(md5(gram),1,15))::BIGINT AS gid
+      |      FROM g),
+      |n AS (SELECT doc_id, COUNT(*) AS n FROM h GROUP BY doc_id),
       |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
       |        CAST(COUNT(*) AS BIGINT) AS inter
-      |      FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+      |      FROM h x JOIN h y ON x.gid = y.gid AND x.doc_id < y.doc_id
       |      GROUP BY 1, 2)
       |SELECT doc_a, doc_b, inter,
       |  na.n + nb.n - inter AS union_size,
@@ -75,12 +103,14 @@ object TextDedup {
       |       JOIN n nb ON p.doc_b = nb.doc_id
       |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5""".stripMargin) {
     (s, dir) =>
-      // the gram relation fans out (2 join sides + doc sizes): pin it
-      // so tokenize+shingle+md5 runs once
-      val g = grams(s, dir).localCheckpoint(true)
-      val n = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = g.toDF("doc_a", "gram")
-        .join(g.toDF("doc_b", "gram"), "gram")
+      // the hashed gram relation fans out (2 join sides + doc sizes):
+      // pin it so tokenize+shingle+md5 runs once
+      val h = grams(s, dir)
+        .select(col("doc_id"), Fns.hash60(col("gram")).as("gid"))
+        .localCheckpoint(true)
+      val n = h.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = h.toDF("doc_a", "gid")
+        .join(h.toDF("doc_b", "gid"), "gid")
         .filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("inter"))
@@ -104,7 +134,7 @@ object TextDedup {
   // and bit-identical in DuckDB.
   val d03 = Q(
     "d03_minhash_lsh",
-    s"""$gramsCte,
+    s"""$gramsRawCte,
       |h AS (SELECT doc_id,
       |        ('0x'||substr(md5(gram),1,15))::BIGINT % 2147483647 AS x
       |      FROM g),
@@ -135,7 +165,7 @@ object TextDedup {
         167772161L, 1224736769L, 1051721729L, 1107296257L)
       val bs = Seq(12345L, 54321L, 88883L, 13577L, 97531L, 24680L,
         86420L, 11111L)
-      val h = grams(s, dir)
+      val h = gramsRaw(s, dir)
         .select(col("doc_id"), (Fns.hash60(col("gram")) % 2147483647L).as("x"))
       val mins = (0 to 7).map(k =>
         min((lit(as(k)) * col("x") + lit(bs(k))) % 2147483647L).as(s"m$k"))
@@ -167,40 +197,41 @@ object TextDedup {
   // ---------------------------------------------------------------
   // d04 SimHash — 32-bit Charikar fingerprint over shingle hashes;
   // candidates by pigeonhole on 4×8-bit pieces (hamming ≤ 3 ⇒ at least
-  // one piece equal), verified with bit_count(xor) ≤ 3. The piece
-  // equi-join is the scale path; at 100 TB you widen to 64 bits and
-  // keep the same plan.
+  // one piece equal), verified with bit_count(xor) ≤ 3. The 32 bit
+  // counters are 32 conditional-sum agg columns over the gram rows —
+  // one codegen'd groupBy, no 32× row blowup. The piece equi-join is
+  // the scale path; at 100 TB you widen to 64 bits and keep the plan.
   val d04 = Q(
     "d04_simhash",
     s"""$gramsCte,
-      |hb AS (SELECT doc_id, b,
-      |         CASE WHEN ((('0x'||substr(md5(gram),1,15))::BIGINT & 4294967295)
-      |                    >> b) & 1 = 1 THEN 1 ELSE -1 END AS contrib
-      |       FROM g CROSS JOIN (SELECT unnest(range(0,32)) AS b) bs),
-      |bits AS (SELECT doc_id, b,
-      |           CASE WHEN CAST(SUM(contrib) AS BIGINT) > 0
-      |                THEN (1::BIGINT << b) ELSE 0 END AS bitval
-      |         FROM hb GROUP BY doc_id, b),
-      |sim AS (SELECT doc_id, CAST(SUM(bitval) AS BIGINT) AS simhash
-      |        FROM bits GROUP BY doc_id)
+      |hh AS (SELECT doc_id,
+      |         (('0x'||substr(md5(gram),1,15))::BIGINT & 4294967295) AS h32
+      |       FROM g),
+      |bs AS (SELECT doc_id,
+      |${(0 to 31).map(b => s"         SUM(CASE WHEN (h32 >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n")}
+      |       FROM hh GROUP BY doc_id),
+      |sim AS (SELECT doc_id, CAST(
+      |${(0 to 31).map(b => s"         (CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" +\n")}
+      |         AS BIGINT) AS simhash
+      |        FROM bs)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin) {
     (s, dir) =>
-      val contrib = grams(s, dir)
+      val hh = grams(s, dir)
         .select(col("doc_id"),
           (Fns.hash60(col("gram")).bitwiseAND(lit(4294967295L))).as("h32"))
-        .withColumn("b", explode(sequence(lit(0), lit(31))))
-        .select(col("doc_id"), col("b"),
-          when(expr("(h32 div shiftleft(1L, b)) % 2") === 1, 1)
-            .otherwise(-1).as("contrib"))
-      val sim = contrib
-        .groupBy("doc_id", "b")
-        .agg(sum("contrib").as("s"))
+      val bitSums = (0 to 31).map(b =>
+        sum(when(expr(s"shiftright(h32, $b) & 1") === 1, 1).otherwise(-1))
+          .as(s"s$b"))
+      val assemble = (0 to 31)
+        .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+        .reduce(_ + _)
+      val sim = hh
         .groupBy("doc_id")
-        .agg(sum(when(col("s") > 0, expr("shiftleft(1L, b)")).otherwise(0L))
-          .as("simhash"))
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), assemble.as("simhash"))
         .localCheckpoint(true) // feeds both sides of the piece join
       // pigeonhole: hamming<=3 over 4 pieces => >=1 piece identical
       val pieces = sim
@@ -224,7 +255,7 @@ object TextDedup {
   // are near-dup candidate groups. Single groupBy on a 8-byte key.
   val d05 = Q(
     "d05_fingerprint_groups",
-    s"""$gramsCte,
+    s"""$gramsRawCte,
       |fp AS (SELECT doc_id,
       |         MIN(('0x'||substr(md5(gram),1,15))::BIGINT) AS fingerprint
       |       FROM g GROUP BY doc_id)
@@ -232,7 +263,7 @@ object TextDedup {
       |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
       |FROM fp GROUP BY fingerprint HAVING COUNT(*) >= 2""".stripMargin) {
     (s, dir) =>
-      grams(s, dir)
+      gramsRaw(s, dir)
         .groupBy("doc_id")
         .agg(min(Fns.hash60(col("gram"))).as("fingerprint"))
         .groupBy("fingerprint")

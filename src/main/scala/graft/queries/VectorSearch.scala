@@ -24,17 +24,26 @@ import org.apache.spark.sql.types._
   */
 object VectorSearch {
 
-  /** Oracle fragment: embeddings + scaled squared norms. */
+  /** Embedding width of the `embeddings` table (TESTDATA.md). */
+  private val Dims = 64
+
+  /** Oracle fragment: embeddings pre-scaled to integer vectors
+    * (sx_i = round(x_i·1e6), one rounding per element per VECTOR), plus
+    * the integer squared norm. The pair-loop dot product is then pure
+    * BIGINT multiply-add — no per-pair rounding — and exactly equals
+    * Σ sx_a[i]·sx_b[i] in both engines. */
   private val normCte =
     """WITH e AS (
-      |  SELECT vec_id, embedding,
-      |    CAST(list_sum(list_transform(embedding,
-      |      x -> round(x::DOUBLE*x::DOUBLE*1e12)::BIGINT)) AS BIGINT) AS n
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> round(x::DOUBLE*1e6)::BIGINT) AS sx,
+      |    CAST(list_sum(list_transform(
+      |      list_transform(embedding, x -> round(x::DOUBLE*1e6)::BIGINT),
+      |      x -> x*x)) AS BIGINT) AS n
       |  FROM embeddings)""".stripMargin
 
   private val dotSql =
-    """CAST(list_sum(list_transform(list_zip(q.q_emb, e.embedding),
-      |      x -> round(x[1]::DOUBLE*x[2]::DOUBLE*1e12)::BIGINT)) AS BIGINT)""".stripMargin
+    """CAST(list_sum(list_transform(list_zip(q.q_sx, e.sx),
+      |      x -> x[1]*x[2])) AS BIGINT)""".stripMargin
 
   // ---------------------------------------------------------------
   // v01 brute-force cosine top-k — every 50th vector queries the whole
@@ -43,7 +52,7 @@ object VectorSearch {
   val v01 = Q(
     "v01_knn_bruteforce",
     s"""$normCte,
-      |q AS (SELECT vec_id AS q_id, embedding AS q_emb, n AS q_n
+      |q AS (SELECT vec_id AS q_id, sx AS q_sx, n AS q_n
       |      FROM e WHERE vec_id % 50 = 0),
       |p AS (SELECT q.q_id, e.vec_id AS neighbor_id,
       |        $dotSql::DOUBLE / (sqrt(q.q_n::DOUBLE) * sqrt(e.n::DOUBLE)) AS cosine
@@ -53,16 +62,17 @@ object VectorSearch {
       |        ORDER BY cosine DESC, neighbor_id) AS rnk FROM p) t
       |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
     val e = Tables.load(s, dir, "embeddings")
-      .withColumn("n", Fns.normSqScaled(col("embedding")))
+      .select(col("vec_id"), Fns.scaleVec(col("embedding")).as("sx"))
+      .withColumn("n", Fns.normSqInt(col("sx")))
     val q = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      .select(col("vec_id").as("q_id"), col("sx").as("q_sx"),
         col("n").as("q_n"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         Fns.cosineFromScaled(
-          Fns.dotScaled(col("q_emb"), col("embedding")),
+          Fns.dotInt(col("q_sx"), col("sx")),
           col("q_n"), col("n")).as("cosine"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
@@ -137,39 +147,43 @@ object VectorSearch {
       |bk AS (SELECT vec_id,
       |         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
       |       FROM sg GROUP BY vec_id),
-      |eb AS (SELECT e.vec_id, e.embedding, e.n, bk.bucket
+      |eb AS (SELECT e.vec_id, e.sx, e.n, bk.bucket
       |       FROM e JOIN bk ON e.vec_id = bk.vec_id),
-      |q AS (SELECT vec_id AS q_id, embedding AS q_emb, n AS q_n, bucket
+      |q AS (SELECT vec_id AS q_id, sx AS q_sx, n AS q_n, bucket
       |      FROM eb WHERE vec_id % 50 = 0),
       |p AS (SELECT q.q_id, e.vec_id AS neighbor_id, q.bucket,
-      |        CAST(list_sum(list_transform(list_zip(q.q_emb, e.embedding),
-      |          x -> round(x[1]::DOUBLE*x[2]::DOUBLE*1e12)::BIGINT)) AS BIGINT)::DOUBLE
+      |        CAST(list_sum(list_transform(list_zip(q.q_sx, e.sx),
+      |          x -> x[1]*x[2])) AS BIGINT)::DOUBLE
       |          / (sqrt(q.q_n::DOUBLE) * sqrt(e.n::DOUBLE)) AS cosine
       |      FROM q JOIN eb e ON q.bucket = e.bucket AND e.vec_id <> q.q_id)
       |SELECT q_id, neighbor_id, bucket, rnk, cosine
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
       |        ORDER BY cosine DESC, neighbor_id) AS rnk FROM p) t
       |WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+    // Plane coefficients are md5-derived from the (plane, dim) pair —
+    // deterministic, so they are computed ONCE here in Scala and baked
+    // into the plan as literals (the oracle recomputes the same md5 in
+    // SQL). The signature is then 8 inline dot products over the
+    // scaled-element array: no row explosion, no per-row md5, all
+    // inside whole-stage codegen.
+    def planeCoef(p: Int, pos: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"pl${p}_$pos".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001 - 1000
+    }
     val emb = Tables.load(s, dir, "embeddings")
-      .withColumn("n", Fns.normSqScaled(col("embedding")))
-    // 1-based dim index to match the oracle's generate_subscripts
-    val ex = emb.select(col("vec_id"),
-      posexplode(col("embedding")).as(Seq("pos0", "x")))
-      .select(col("vec_id"), (col("pos0") + 1).as("pos"), col("x"))
-    val plane = (Fns.hash60(concat(lit("pl"), col("p").cast(StringType),
-      lit("_"), col("pos").cast(StringType))) % 2001) - 1000
-    val sg = ex.withColumn("p", explode(sequence(lit(0), lit(7))))
-      .select(col("vec_id"), col("p"),
-        (plane * round(col("x").cast(DoubleType) * 1e6).cast(LongType))
-          .as("term"))
-      .groupBy("vec_id", "p")
-      .agg(sum("term").as("s"))
-    val bk = sg.groupBy("vec_id")
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, p)")).otherwise(0L))
-        .as("bucket"))
-    val eb = emb.join(bk, "vec_id")
+      .select(col("vec_id"), Fns.scaleVec(col("embedding")).as("sx"))
+      .withColumn("n", Fns.normSqInt(col("sx")))
+    val bucket = (0 to 7).map { p =>
+      val sig = (1 to Dims).map(pos =>
+        lit(planeCoef(p, pos)) * element_at(col("sx"), pos))
+        .reduce(_ + _)
+      when(sig > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+    val eb = emb.withColumn("bucket", bucket)
     val q = eb.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      .select(col("vec_id").as("q_id"), col("sx").as("q_sx"),
         col("n").as("q_n"), col("bucket").as("q_bucket"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -178,7 +192,7 @@ object VectorSearch {
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         col("q_bucket").as("bucket"),
         Fns.cosineFromScaled(
-          Fns.dotScaled(col("q_emb"), col("embedding")),
+          Fns.dotInt(col("q_sx"), col("sx")),
           col("q_n"), col("n")).as("cosine"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
