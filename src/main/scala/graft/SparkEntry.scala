@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{EventAnalytics, GraphQueries, Relational, TextAnalysis, TextDedup, VectorSearch}
+import graft.queries.{EventAnalytics, GraphQueries, Relational, RunAnalytics, TextAnalysis, TextDedup, VectorSearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,8 +13,9 @@ import graft.queries.{EventAnalytics, GraphQueries, Relational, TextAnalysis, Te
 object SparkEntry {
 
   val registry: Seq[Q] =
-    Relational.all ++ EventAnalytics.all ++ TextDedup.all ++
-      TextAnalysis.all ++ VectorSearch.all ++ GraphQueries.all
+    Relational.all ++ EventAnalytics.all ++ RunAnalytics.all ++
+      TextDedup.all ++ TextAnalysis.all ++ VectorSearch.all ++
+      GraphQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -94,4 +94,12 @@ object Fns {
   /** Integer squared norm of a pre-scaled vector. */
   def normSqInt(sx: Column): Column =
     aggregate(sx, lit(0L), (acc, v) => acc + v * v)
+
+  /** Code-indicator heuristic of the reference's output validator
+    * (`node.py:383-428` `_contains_code_indicators`): true when the
+    * text carries code-like markers. Pure contains() — stays inside
+    * whole-stage codegen. */
+  def containsCodeIndicators(text: Column): Column =
+    Seq("def ", "import ", "return ", "{", "();")
+      .map(m => text.contains(m)).reduce(_ || _)
 }

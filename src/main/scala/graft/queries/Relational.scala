@@ -497,6 +497,31 @@ object Relational {
         count(lit(1)).as("n_shipments"))
   }
 
+  // ---------------------------------------------------------------
+  // q21 CUBE — full grouping-set lattice over (status, priority) with
+  // GROUPING() indicators disambiguating the subtotal rows (rollup is
+  // q18; the cube is the general grouping-sets surface the SQL grammar
+  // implies, SURVEY §2.4).
+  val q21 = Q(
+    "q21_cube",
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin) {
+    (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping(col("o_orderstatus")).cast(IntegerType).as("g_status"),
+          grouping(col("o_orderpriority")).cast(IntegerType)
+            .as("g_priority"),
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(D12_2)).cast(DoubleType).as("total"))
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21)
 }

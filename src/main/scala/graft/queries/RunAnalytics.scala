@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Family B — run/decision analytics (`core/framework/builder/query.py`)
+  * as oracle-verified queries over the `events` stream, with each event
+  * mapped to a decision record: node_id = event_type, success = the
+  * value/type predicate, tokens = props.k, latency = value. The same
+  * aggregations run over real Run/Decision datasets via
+  * [[graft.operators.BuilderQueries]]; these entries pin the semantics
+  * against the DuckDB oracle on driver-provided data.
+  */
+object RunAnalytics {
+
+  private val D12_2 = DecimalType(12, 2)
+
+  // ---------------------------------------------------------------
+  // a01 as-of join — for every purchase, the most recent earlier error
+  // of the same user. The reference approximates nearest-event-in-time
+  // with mtime heuristics (worker_monitoring_tools.py:165-174); this is
+  // the real operator. Spark lacks ASOF JOIN: implemented as one
+  // ordered window over the filtered union — running last(error id)
+  // carried onto purchase rows — which shuffles each user's events
+  // once, versus the sort-merge ASOF of the oracle. event_id is the
+  // (unique, monotone) time axis, so ties cannot occur.
+  val a01 = Q(
+    "a01_asof_join",
+    """WITH p AS (SELECT user_id, event_id FROM events
+      |           WHERE event_type = 'purchase'),
+      |     e AS (SELECT user_id, event_id AS err_id FROM events
+      |           WHERE event_type = 'error')
+      |SELECT p.user_id, p.event_id, e.err_id,
+      |  p.event_id - e.err_id AS gap
+      |FROM p ASOF JOIN e
+      |  ON p.user_id = e.user_id AND e.err_id <= p.event_id""".stripMargin) {
+    (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "error"))
+        .withColumn("last_err",
+          last(when(col("event_type") === "error", col("event_id")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" &&
+          col("last_err").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          col("last_err").as("err_id"),
+          (col("event_id") - col("last_err")).as("gap"))
+  }
+
+  // ---------------------------------------------------------------
+  // b01 node performance — cross-run per-node totals, success rate,
+  // mean latency, token sum (`builder/query.py:366-396`).
+  val b01 = Q(
+    "b01_node_performance",
+    """SELECT event_type AS node_id, COUNT(*) AS total,
+      |  CAST(SUM(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS successes,
+      |  CAST(SUM(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS success_rate,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_latency,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_tokens
+      |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+    val ok = when(col("value") >= 50, 1).otherwise(0)
+    Tables.load(s, dir, "events")
+      .groupBy(col("event_type").as("node_id"))
+      .agg(
+        count(lit(1)).as("total"),
+        sum(ok).as("successes"),
+        (sum(ok).cast(DoubleType) / count(lit(1))).as("success_rate"),
+        (sum(col("value").cast(D12_2)).cast(DoubleType) / count(lit(1)))
+          .as("avg_latency"),
+        sum(get_json_object(col("props"), "$.k").cast(LongType))
+          .as("total_tokens"))
+  }
+
+  // ---------------------------------------------------------------
+  // b02 modal choice — the most frequent decision per group with a
+  // deterministic tie-break (`builder/query.py:453-462`; top-1 window,
+  // SURVEY §2.5).
+  val b02 = Q(
+    "b02_modal_choice",
+    """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+      |           FROM events GROUP BY user_id, event_type)
+      |SELECT user_id, event_type AS modal_choice, n AS n_times
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |        ORDER BY n DESC, event_type) AS rn FROM c) t
+      |WHERE rn = 1""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("n").desc, col("event_type"))
+    Tables.load(s, dir, "events")
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("modal_choice"),
+        col("n").as("n_times"))
+  }
+
+  // ---------------------------------------------------------------
+  // b03 run metrics — the incremental per-run counters of
+  // `schemas/run.py:45-65,111-131`: decision/success counts, token
+  // sums, ordered distinct node list, span. The distinct node list is
+  // emitted as a sorted comma-joined string (deterministic, and
+  // hash-stable across engines, unlike native list columns).
+  val b03 = Q(
+    "b03_run_metrics",
+    """SELECT user_id, COUNT(*) AS n_decisions,
+      |  CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_success,
+      |  CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS success_rate,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_tokens,
+      |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS nodes,
+      |  MIN(event_id) AS first_event, MAX(event_id) AS last_event
+      |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+    val ok = when(col("event_type") =!= "error", 1).otherwise(0)
+    Tables.load(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_decisions"),
+        sum(ok).as("n_success"),
+        (sum(ok).cast(DoubleType) / count(lit(1))).as("success_rate"),
+        sum(get_json_object(col("props"), "$.k").cast(LongType))
+          .as("total_tokens"),
+        array_join(array_sort(collect_set(col("event_type"))), ",")
+          .as("nodes"),
+        min("event_id").as("first_event"),
+        max("event_id").as("last_event"))
+  }
+
+  val all: Seq[Q] = Seq(a01, b01, b02, b03)
+}

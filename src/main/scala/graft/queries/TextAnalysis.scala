@@ -145,5 +145,58 @@ object TextAnalysis {
         (sum(size(col("ws"))) / count(lit(1))).as("avg_tokens_per_doc"))
   }
 
-  val all: Seq[Q] = Seq(t01, t02, t03, t04)
+  // ---------------------------------------------------------------
+  // t05 rolling-hash document fingerprint — order-sensitive polynomial
+  // fold over token hashes (Karp–Rabin shape): h ← (h·31 + hash(w))
+  // mod 1000003, seeded with the first token's hash. Token reorderings
+  // change the fingerprint (unlike the bag-of-shingles MIN of d05).
+  // Both engines fold left over the same md5-derived token hashes.
+  val t05 = Q(
+    "t05_rolling_fingerprint",
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_transform(string_split(text, ' '),
+      |      w -> ('0x'||substr(md5(w),1,15))::BIGINT % 1000003),
+      |    (acc, h) -> (acc * 31 + h) % 1000003) AS fingerprint,
+      |  len(string_split(text, ' ')) AS n_tokens
+      |FROM documents""".stripMargin) { (s, dir) =>
+    val hs = transform(col("ws"), w => Fns.hash60(w) % 1000003L)
+    docs(s, dir)
+      .withColumn("hs", hs)
+      .select(
+        col("doc_id"),
+        aggregate(
+          slice(col("hs"), lit(2), greatest(size(col("hs")) - 1, lit(0))),
+          element_at(col("hs"), 1),
+          (acc, h) => (acc * 31 + h) % 1000003L).as("fingerprint"),
+        size(col("ws")).as("n_tokens"))
+  }
+
+  // ---------------------------------------------------------------
+  // t06 code-indicator heuristic — the reference's hallucinated-output
+  // filter samples substrings and flags code-like content
+  // (`node.py:369-428` `_contains_code_indicators`); here the marker
+  // scan runs as codegen'd contains() over every document, rolled up
+  // per source.
+  val t06 = Q(
+    "t06_code_indicators",
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN contains(text, 'def ') OR contains(text, 'import ')
+      |    OR contains(text, 'return ') OR contains(text, '{')
+      |    OR contains(text, '();') THEN 1 ELSE 0 END) AS BIGINT) AS n_code_like,
+      |  CAST(SUM(CASE WHEN contains(text, 'def ') OR contains(text, 'import ')
+      |    OR contains(text, 'return ') OR contains(text, '{')
+      |    OR contains(text, '();') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS code_ratio
+      |FROM documents GROUP BY source""".stripMargin) { (s, dir) =>
+    val codeLike = Fns.containsCodeIndicators(col("text"))
+    Tables.load(s, dir, "documents")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(codeLike, 1).otherwise(0)).as("n_code_like"),
+        (sum(when(codeLike, 1).otherwise(0)).cast(DoubleType) /
+          count(lit(1))).as("code_ratio"))
+  }
+
+  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06)
 }

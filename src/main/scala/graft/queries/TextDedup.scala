@@ -273,5 +273,42 @@ object TextDedup {
         .filter(col("n_docs") >= 2)
   }
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05)
+  // ---------------------------------------------------------------
+  // d06 embedding-cosine near-dup — exact integer cosine within label
+  // blocks (the coarse IVF cell of v02 as the blocking key: candidate
+  // pairs only form inside a cell, so the join is an equi-join on the
+  // cell id — the same shape LSH bucketing gives, with the cell
+  // assignment already stored). Vectors pre-scaled to BIGINT once
+  // ([[graft.functions.Fns.scaleVec]]); pair loop is pure integer
+  // multiply-add.
+  val d06 = Q(
+    "d06_embedding_neardup",
+    """WITH e AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> round(x::DOUBLE*1e6)::BIGINT) AS sx
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, sx,
+      |  CAST(list_sum(list_transform(sx, x -> x*x)) AS BIGINT) AS nn FROM e)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+      |  CAST(list_sum(list_transform(list_zip(a.sx, b.sx),
+      |    x -> x[1]*x[2])) AS BIGINT)::DOUBLE
+      |    / (sqrt(a.nn::DOUBLE) * sqrt(b.nn::DOUBLE)) AS cosine
+      |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE cosine >= 0.3""".stripMargin) { (s, dir) =>
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        Fns.scaleVec(col("embedding")).as("sx"))
+      .withColumn("nn", Fns.normSqInt(col("sx")))
+    val a = e.select(col("vec_id").as("vec_a"), col("label"),
+      col("sx").as("sx_a"), col("nn").as("nn_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"),
+      col("sx").as("sx_b"), col("nn").as("nn_b"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("label"),
+        Fns.cosineFromScaled(Fns.dotInt(col("sx_a"), col("sx_b")),
+          col("nn_a"), col("nn_b")).as("cosine"))
+      .filter(col("cosine") >= 0.3)
+  }
+
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06)
 }
