@@ -95,6 +95,26 @@ object Fns {
   def normSqInt(sx: Column): Column =
     aggregate(sx, lit(0L), (acc, v) => acc + v * v)
 
+  /** Percentage-text parse: `"95%"`/`"95"` → 0.95, anything
+    * unparseable → the reference's 0.8 default
+    * (`outcome_aggregator.py:362-372`). The numeric part is validated
+    * by regex before the cast — ANSI mode (Spark 4 default) turns a
+    * malformed cast into a runtime error, not a null. */
+  def parsePercent(c: Column): Column = {
+    val num = regexp_extract(trim(c), "^([0-9]+(?:\\.[0-9]+)?)\\s*%?$", 1)
+    coalesce(
+      when(num === "", lit(null)).otherwise(num.cast(DoubleType)) / 100.0,
+      lit(0.8))
+  }
+
+  /** Millisecond duration between two ISO-8601 string timestamps
+    * (`session_state.py:146-154`, `run.py:102-109`); null inputs → 0
+    * (the reference's still-running convention). */
+  def durationMs(startedAt: Column, completedAt: Column): Column =
+    when(completedAt.isNull || startedAt.isNull, lit(0L))
+      .otherwise(unix_millis(to_timestamp(completedAt)) -
+        unix_millis(to_timestamp(startedAt)))
+
   /** Code-indicator heuristic of the reference's output validator
     * (`node.py:383-428` `_contains_code_indicators`): true when the
     * text carries code-like markers. Pure contains() — stays inside

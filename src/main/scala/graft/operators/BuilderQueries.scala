@@ -86,6 +86,24 @@ object BuilderQueries {
     }
   }
 
+  /** Summary-with-fallback lookup (`storage/backend.py:116-127`): every
+    * run keeps its stored summary when present, otherwise the summary
+    * computed from the run row itself — a right join + coalesce per
+    * column. */
+  def summaryWithFallback(summaries: DataFrame, runs: DataFrame)
+      : DataFrame = {
+    val computed = runs.select(
+      col("run_id"),
+      col("status").as("run_status"),
+      col("error").as("run_error"))
+    summaries.join(computed, Seq("run_id"), "right")
+      .select(
+        col("run_id"),
+        coalesce(col("status"), col("run_status")).as("status"),
+        coalesce(col("error"), col("run_error")).as("error"),
+        col("status").isNotNull.as("from_stored_summary"))
+  }
+
   /** Run comparison (`query.py:284-306,469-501`): positional zip-join
     * of two runs' decisions; first index where chosen options diverge
     * plus node-set differences. Returns a 1-row DataFrame. */

@@ -67,4 +67,55 @@ object Routing {
     }
     state.select(col("state_id") +: cols: _*)
   }
+
+  /** Memory ACL enforcement (`node.py:288-308,436-452`): project the
+    * state down to the allowed keys; requesting a key outside the
+    * grant throws, mirroring the reference's PermissionError. */
+  def enforceAcl(state: DataFrame, allowed: Set[String],
+      requested: Seq[String]): DataFrame = {
+    val denied = requested.filterNot(allowed)
+    require(denied.isEmpty,
+      s"memory ACL violation: ${denied.mkString(", ")} not readable")
+    state.select(requested.map(col): _*)
+  }
+
+  /** Parallel-branch memory merge (`executor.py:73-99,1853-2082`):
+    * branch outputs keyed (state_id, key, value, branch_idx) fold to
+    * one value per key under the reference's deterministic conflict
+    * strategies — `last_wins` (highest branch index), `first_wins`
+    * (lowest), `error` (any conflict throws). */
+  def mergeBranches(outputs: DataFrame, strategy: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    strategy match {
+      case "last_wins" | "first_wins" =>
+        val ord = if (strategy == "last_wins") col("branch_idx").desc
+          else col("branch_idx").asc
+        val w = Window.partitionBy("state_id", "key").orderBy(ord)
+        outputs.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("state_id", "key", "value")
+      case "error" =>
+        val conflicts = outputs.groupBy("state_id", "key")
+          .agg(countDistinct(col("branch_idx")).as("n"))
+          .filter(col("n") > 1)
+        if (!conflicts.isEmpty)
+          throw new IllegalStateException(
+            "memory conflict between parallel branches")
+        outputs.select("state_id", "key", "value")
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown merge strategy: $other")
+    }
+  }
+
+  /** The implicit-judge accept predicate (`event_loop_node.py:
+    * 1839-1931`, deterministic part — SURVEY §2.10): a node result is
+    * accepted when the turn made no tool calls AND no required output
+    * key is missing; the all-nullable-but-none-set case retries. Rows:
+    * tool_calls array, missing_keys array, nullable_only boolean. */
+  def implicitJudge(toolCalls: Column, missingKeys: Column,
+      nullableOnlyNoneSet: Column): Column =
+    when(size(toolCalls) === 0 && size(missingKeys) === 0 &&
+      !nullableOnlyNoneSet, "accept")
+      .otherwise("retry")
 }

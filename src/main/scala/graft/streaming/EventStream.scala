@@ -120,6 +120,43 @@ object EventStream {
       }
   }
 
+  /** Bounded history ring (`event_bus.py:215,226-227,299`): the
+    * newest `maxHistory` events per stream of the materialized history
+    * table — retention expressed as a query, so the sink table can be
+    * vacuumed with the same predicate. */
+  def boundedHistory(history: DataFrame, maxHistory: Int = 1000)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("streamId")
+      .orderBy(col("ts").desc, col("eventType"))
+    history.withColumn("recency", row_number().over(w))
+      .filter(col("recency") <= maxHistory)
+      .drop("recency")
+  }
+
+  /** `wait_for(event, filters, timeout)` (`event_bus.py:1062-1115`) on
+    * the history table: poll for the first matching event until the
+    * deadline — the app-level polling loop SURVEY §7.4.7 chose over a
+    * streaming primitive. Returns the earliest match, or None on
+    * timeout. */
+  def waitFor(history: () => DataFrame, sub: Subscription,
+      timeoutMs: Long, pollMs: Long = 200)(
+      implicit spark: SparkSession): Option[AgentEvent] = {
+    import spark.implicits._
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var result: Option[AgentEvent] = None
+    var done = false
+    while (!done) {
+      val matches = subscribe(history().as[AgentEvent], sub)
+        .orderBy(col("ts"), col("eventType"))
+        .limit(1).collect()
+      if (matches.nonEmpty) { result = Some(matches.head); done = true }
+      else if (System.nanoTime() >= deadline) done = true
+      else Thread.sleep(pollMs)
+    }
+    result
+  }
+
   /** Needs-attention escalation stream: L2-style threshold flags over
     * the live stream (RUNTIME_LOGGING.md:97-106 thresholds on the
     * streaming path; tickets = rows to an `escalations` sink). */

@@ -1,0 +1,270 @@
+package graft
+
+import graft.functions.{Fns, JsonRepair}
+import graft.operators.{BuilderQueries, Checkpoints, Routing}
+import graft.sources.{Catalog, SessionSource}
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{AgentEvent, Subscription}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class JsonRepairSpec extends SparkTestBase {
+
+  test("findJsonObject: balanced nested braces (node.py:89-138)") {
+    assert(JsonRepair.findJsonObject("""pre {"a": {"b": 1}} post""")
+      === Some("""{"a": {"b": 1}}"""))
+    assert(JsonRepair.findJsonObject("no braces") === None)
+    assert(JsonRepair.findJsonObject("} backwards {") === None)
+    // braces inside strings don't count toward depth
+    assert(JsonRepair.findJsonObject("""{"a": "}"} tail""")
+      === Some("""{"a": "}"}"""))
+  }
+
+  test("fast path returns widest span when it parses") {
+    // two objects; widest span "{...} {...}" doesn't parse, so the
+    // brace matcher returns the FIRST balanced object
+    assert(JsonRepair.findJsonObject("""{"a":1} {"b":2}""")
+      === Some("""{"a":1}"""))
+  }
+
+  test("fixUnescapedNewlines repairs only inside strings (node.py:33-86)") {
+    val broken = "{\"a\": \"line1\nline2\"}"
+    val fixed = JsonRepair.fixUnescapedNewlines(broken)
+    assert(fixed === "{\"a\": \"line1\\nline2\"}")
+    // newlines outside strings (formatting) untouched
+    val formatted = "{\n  \"a\": 1\n}"
+    assert(JsonRepair.fixUnescapedNewlines(formatted) === formatted)
+  }
+
+  test("extractAndRepair: repair tier kicks in when direct parse fails") {
+    val text = "noise {\"k\": \"v1\nv2\"} more"
+    val got = JsonRepair.extractAndRepair(text)
+    assert(got === Some("{\"k\": \"v1\\nv2\"}"))
+  }
+
+  test("500 KB object extracted under 0.5 s (test_node_json_performance.py:33-44)") {
+    val big = "{\"data\": \"" + ("x" * 500000) + "\"}"
+    val text = "prefix " + big + " suffix"
+    val t0 = System.nanoTime()
+    val got = JsonRepair.findJsonObject(text)
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(got === Some(big))
+    assert(elapsed < 0.5, s"took $elapsed s")
+  }
+
+  test("extractJson UDF over a DataFrame") {
+    import spark.implicits._
+    val df = Seq("""answer: {"x": 1}""", "nothing here").toDF("raw")
+      .select(JsonRepair.extractJson(col("raw")).as("obj"))
+    assert(df.collect().map(r => Option(r.getString(0))).toSeq
+      === Seq(Some("""{"x": 1}"""), None))
+  }
+}
+
+class SessionSourceSpec extends SparkTestBase {
+
+  private def writeSession(root: java.io.File, id: String,
+      status: String, completedAt: Option[String],
+      startedAt: String = "2026-03-01T10:00:00+00:00"): Unit = {
+    val dir = new java.io.File(root, id)
+    dir.mkdirs()
+    val completed = completedAt.map(c => s""""$c"""").getOrElse("null")
+    Files.writeString(new java.io.File(dir, "state.json").toPath,
+      s"""{"schema_version":"1.1","session_id":"$id","goal_id":"g1",
+         |"status":"$status",
+         |"timestamps":{"started_at":"$startedAt",
+         |"updated_at":"2026-03-01T10:05:00+00:00",
+         |"completed_at":$completed},
+         |"progress":{"steps_executed":3,"path":["a","b"]},
+         |"result":{"success":true}}""".stripMargin.replace("\n", ""))
+  }
+
+  test("load: schema, duration_ms, is_resumable (session_state.py:146-165)") {
+    val root = Files.createTempDirectory("sessions").toFile
+    writeSession(root, "session_20260301_100000_aaaa1111", "completed",
+      Some("2026-03-01T10:05:00+00:00"))
+    writeSession(root, "session_20260301_110000_bbbb2222", "paused", None)
+    // corrupt file must not fail the scan
+    val bad = new java.io.File(root, "session_bad"); bad.mkdirs()
+    Files.writeString(new java.io.File(bad, "state.json").toPath,
+      "{ not json")
+
+    val df = SessionSource.load(spark, root.getAbsolutePath)
+    assert(df.count() === 2)
+    val byId = df.collect().map(r =>
+      r.getAs[String]("session_id") -> r).toMap
+    val done = byId("session_20260301_100000_aaaa1111")
+    assert(done.getAs[Long]("duration_ms") === 300000L)
+    assert(!done.getAs[Boolean]("is_resumable"))
+    val paused = byId("session_20260301_110000_bbbb2222")
+    assert(paused.getAs[Long]("duration_ms") === 0L)
+    assert(paused.getAs[Boolean]("is_resumable"))
+  }
+
+  test("scan: status filter + resumable pseudo-status + limit " +
+      "(session_store.py:121-173)") {
+    val root = Files.createTempDirectory("sessions2").toFile
+    writeSession(root, "session_20260301_100000_aaaa1111", "completed",
+      Some("2026-03-01T10:05:00+00:00"), "2026-03-01T10:00:00+00:00")
+    writeSession(root, "session_20260301_110000_bbbb2222", "paused", None,
+      "2026-03-01T11:00:00+00:00")
+    writeSession(root, "session_20260301_120000_cccc3333", "failed", None,
+      "2026-03-01T12:00:00+00:00")
+    val sessions = SessionSource.load(spark, root.getAbsolutePath)
+    assert(SessionSource.scan(sessions, Some("paused")).count() === 1)
+    assert(SessionSource.scan(sessions, Some("resumable")).count() === 2)
+    assert(SessionSource.scan(sessions, None, limit = 2).count() === 2)
+    // newest first
+    val first = SessionSource.scan(sessions, None).head()
+    assert(first.getAs[String]("session_id")
+      === "session_20260301_120000_cccc3333")
+  }
+
+  test("inferStartedAt parses the id timestamp (runtime_log_store.py:290+)") {
+    import spark.implicits._
+    val got = Seq("session_20260301_103045_dead1234").toDF("id")
+      .select(SessionSource.inferStartedAt(col("id")).as("ts"))
+      .head().getTimestamp(0)
+    assert(got.toString.startsWith("2026-03-01 10:30:45"))
+  }
+}
+
+class CatalogSpec extends SparkTestBase {
+
+  test("listTables / describeTable / explain (postgres_tool.py:85-107)") {
+    import spark.implicits._
+    Seq((1, "a")).toDF("id", "v").createOrReplaceTempView("cat_t1")
+    val tables = Catalog.listTables(spark)
+      .filter(col("table_name") === "cat_t1").collect()
+    assert(tables.length === 1 && tables.head.getAs[Boolean]("is_temporary"))
+    val cols = Catalog.describeTable(spark, "cat_t1").collect()
+    assert(cols.map(_.getAs[String]("column_name")).toSeq
+      === Seq("id", "v"))
+    val plan = Catalog.explainSql(spark, "SELECT id FROM cat_t1 WHERE id > 0")
+    assert(plan.count() > 0)
+    assert(Catalog.describeAll(spark)
+      .filter(col("table_name") === "cat_t1")
+      .head().getAs[Int]("n_columns") === 2)
+  }
+}
+
+class MoreOperatorsSpec extends SparkTestBase {
+
+  test("percentage parse with 0.8 fallback (outcome_aggregator.py:362-372)") {
+    import spark.implicits._
+    val got = Seq("95%", "42", "garbage", null)
+      .toDF("t")
+      .select(Fns.parsePercent(col("t")).as("p"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got === Seq(0.95, 0.42, 0.8, 0.8))
+  }
+
+  test("durationMs over ISO pairs (run.py:102-109)") {
+    import spark.implicits._
+    val got = Seq(
+      ("2026-03-01T10:00:00+00:00", "2026-03-01T10:00:05+00:00"),
+      ("2026-03-01T10:00:00+00:00", null))
+      .toDF("a", "b")
+      .select(Fns.durationMs(col("a"), col("b")).as("d"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(5000L, 0L))
+  }
+
+  test("checkpoint latest-clean + resume points (checkpoint.py:171-177)") {
+    import spark.implicits._
+    val cp = Seq(
+      ("s1", "c1", "node_start", "a", Timestamp.valueOf("2026-03-01 10:00:00"), true),
+      ("s1", "c2", "node_complete", "b", Timestamp.valueOf("2026-03-01 10:05:00"), true),
+      ("s1", "c3", "pause", "c", Timestamp.valueOf("2026-03-01 10:06:00"), false),
+      ("s2", "c4", "node_start", "x", Timestamp.valueOf("2026-03-01 09:00:00"), false))
+      .toDF("session_id", "checkpoint_id", "checkpoint_type",
+        "current_node", "created_at", "is_clean")
+    val latest = Checkpoints.latestClean(cp).collect()
+    assert(latest.length === 1)
+    assert(latest.head.getAs[String]("checkpoint_id") === "c2")
+    val rp = Checkpoints.resumePoints(cp).head()
+    assert(rp.getAs[String]("resume_from") === "b")
+    assert(Checkpoints.withinAge(cp,
+      Timestamp.valueOf("2026-03-01 10:01:00")).count() === 2)
+  }
+
+  test("branch merge strategies (executor.py:73-99)") {
+    import spark.implicits._
+    val out = Seq(
+      ("s1", "k1", "from_b0", 0), ("s1", "k1", "from_b1", 1),
+      ("s1", "k2", "only", 0))
+      .toDF("state_id", "key", "value", "branch_idx")
+    val lastWins = Routing.mergeBranches(out, "last_wins")
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(lastWins === Map("k1" -> "from_b1", "k2" -> "only"))
+    val firstWins = Routing.mergeBranches(out, "first_wins")
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(firstWins("k1") === "from_b0")
+    intercept[IllegalStateException](
+      Routing.mergeBranches(out, "error").collect())
+    assert(Routing.mergeBranches(
+      out.filter(col("key") === "k2"), "error").count() === 1)
+  }
+
+  test("memory ACL enforcement (node.py:288-308)") {
+    import spark.implicits._
+    val state = Seq(("s1", "v1", "v2")).toDF("state_id", "a", "b")
+    assert(Routing.enforceAcl(state, Set("state_id", "a"),
+      Seq("state_id", "a")).columns.toSeq === Seq("state_id", "a"))
+    intercept[IllegalArgumentException](
+      Routing.enforceAcl(state, Set("state_id"), Seq("state_id", "b")))
+  }
+
+  test("implicit judge predicate (event_loop_node.py:1839-1931)") {
+    import spark.implicits._
+    val rows = Seq(
+      (Seq.empty[String], Seq.empty[String], false), // accept
+      (Seq("tool1"), Seq.empty[String], false), // retry: tool call
+      (Seq.empty[String], Seq("out1"), false), // retry: missing key
+      (Seq.empty[String], Seq.empty[String], true)) // retry: none set
+      .toDF("tool_calls", "missing_keys", "nullable_only")
+    val got = rows.select(Routing.implicitJudge(col("tool_calls"),
+      col("missing_keys"), col("nullable_only")).as("v"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("accept", "retry", "retry", "retry"))
+  }
+
+  test("summary fallback lookup (storage/backend.py:116-127)") {
+    import spark.implicits._
+    val summaries = Seq(("r1", "completed", null.asInstanceOf[String]))
+      .toDF("run_id", "status", "error")
+    val runs = Seq(("r1", "completed", null.asInstanceOf[String]),
+      ("r2", "failed", "boom")).toDF("run_id", "status", "error")
+    val got = BuilderQueries.summaryWithFallback(summaries, runs)
+      .collect().map(r => r.getAs[String]("run_id") ->
+        (r.getAs[String]("status"), r.getAs[Boolean]("from_stored_summary")))
+      .toMap
+    assert(got("r1") === (("completed", true)))
+    assert(got("r2") === (("failed", false)))
+  }
+
+  test("bounded history ring (event_bus.py:215-299)") {
+    import spark.implicits._
+    val hist = (1 to 10).map(i =>
+      AgentEvent(s"t$i", "s1", None, None, new Timestamp(i * 1000L),
+        Map.empty)).toDS().toDF()
+    assert(EventStream.boundedHistory(hist, 3).count() === 3)
+    // keeps the newest
+    assert(EventStream.boundedHistory(hist, 3)
+      .agg(min("ts")).head().getTimestamp(0) === new Timestamp(8000L))
+  }
+
+  test("waitFor polls history until match or timeout (event_bus.py:1062-1115)") {
+    import spark.implicits._
+    val hist = Seq(
+      AgentEvent("node_started", "s1", None, None, new Timestamp(1000L),
+        Map.empty)).toDS().toDF()
+    val hit = EventStream.waitFor(() => hist,
+      Subscription(eventTypes = Set("node_started")), timeoutMs = 2000)
+    assert(hit.exists(_.eventType === "node_started"))
+    val miss = EventStream.waitFor(() => hist,
+      Subscription(eventTypes = Set("never")), timeoutMs = 300)
+    assert(miss.isEmpty)
+  }
+}
