@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Small-files compaction (SURVEY §4.3, §7.4.5).
+  *
+  * The reference's storage layout is one JSON document per session and
+  * append-only JSONL logs per run — at 100 TB that is the classic
+  * small-files problem: every analytics query pays open()+parse per
+  * tiny file. This job rewrites those layouts into date-partitioned
+  * Parquet once, after which every query in the library runs off
+  * columnar scans with partition pruning; the JSON path stays only for
+  * the freshness tail (the reference itself migrated layouts the same
+  * way, `runtime_log_store.py:50-74`).
+  *
+  * Partitioning contract:
+  *  - `sessions` → `started_date=YYYY-MM-DD/` (list-scans filter on
+  *    recency and status; date prunes, status is a row filter);
+  *  - `events` → `event_date=YYYY-MM-DD/` from the event timestamp.
+  *
+  * File sizing: one `repartition(N, partitionCol)` before the write so
+  * each partition lands in ~`targetFiles` files instead of
+  * one-per-task — the knob that keeps 128 MB-ish objects at scale.
+  */
+object Compaction {
+
+  /** Compact `sessions/<asterisk>/state.json` into date-partitioned
+    * Parquet. Returns the compacted row count. */
+  def compactSessions(spark: SparkSession, sessionsRoot: String,
+      outDir: String, targetFiles: Int = 1): Long = {
+    val df = SessionSource.load(spark, sessionsRoot)
+      .withColumn("started_date",
+        to_date(to_timestamp(col("timestamps.started_at"))))
+    df.repartition(targetFiles, col("started_date"))
+      .write
+      .partitionBy("started_date")
+      .mode("overwrite")
+      .parquet(outDir)
+    spark.read.parquet(outDir).count()
+  }
+
+  /** Compact an events JSONL log directory (the `HIVE_DEBUG_EVENTS`
+    * layout, `event_bus.py:28-56`) into date-partitioned Parquet. */
+  def compactEvents(spark: SparkSession, jsonlDir: String,
+      outDir: String, targetFiles: Int = 1): Long = {
+    val df = CsvSource.readJsonl(spark, jsonlDir)
+      .withColumn("event_date", to_date(col("ts")))
+    df.repartition(targetFiles, col("event_date"))
+      .write
+      .partitionBy("event_date")
+      .mode("overwrite")
+      .parquet(outDir)
+    spark.read.parquet(outDir).count()
+  }
+
+  /** Freshness-tail union: compacted Parquet ∪ the raw JSON written
+    * since the last compaction run — the query-time view that makes
+    * compaction invisible to readers. */
+  def sessionsView(spark: SparkSession, compactedDir: String,
+      freshRoot: Option[String]): DataFrame = {
+    val compacted = spark.read.parquet(compactedDir)
+    freshRoot match {
+      case Some(root) =>
+        val fresh = SessionSource.load(spark, root)
+          .withColumn("started_date",
+            to_date(to_timestamp(col("timestamps.started_at"))))
+        compacted.unionByName(fresh, allowMissingColumns = true)
+          .dropDuplicates("session_id")
+      case None => compacted
+    }
+  }
+}

@@ -149,6 +149,54 @@ class CatalogSpec extends SparkTestBase {
   }
 }
 
+class CompactionSpec extends SparkTestBase {
+  import graft.sources.Compaction
+
+  test("sessions JSON -> date-partitioned parquet + freshness union " +
+      "(SURVEY §7.4.5)") {
+    val root = Files.createTempDirectory("csess").toFile
+    def put(id: String, startedAt: String): Unit = {
+      val d = new java.io.File(root, id); d.mkdirs()
+      Files.writeString(new java.io.File(d, "state.json").toPath,
+        s"""{"schema_version":"1.1","session_id":"$id","goal_id":"g",
+           |"status":"completed",
+           |"timestamps":{"started_at":"$startedAt",
+           |"updated_at":"$startedAt","completed_at":"$startedAt"},
+           |"progress":{"steps_executed":1},"result":{"success":true}}"""
+          .stripMargin.replace("\n", ""))
+    }
+    put("session_20260301_100000_aaaa0001", "2026-03-01T10:00:00+00:00")
+    put("session_20260302_100000_aaaa0002", "2026-03-02T10:00:00+00:00")
+    val out = Files.createTempDirectory("cout").toString + "/sessions"
+    assert(Compaction.compactSessions(spark, root.getAbsolutePath, out) === 2)
+    // partition layout exists and prunes
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === Seq("started_date=2026-03-01",
+      "started_date=2026-03-02"))
+    // freshness tail merges and dedups by session_id
+    put("session_20260303_100000_aaaa0003", "2026-03-03T10:00:00+00:00")
+    val view = Compaction.sessionsView(spark, out,
+      Some(root.getAbsolutePath))
+    assert(view.count() === 3)
+  }
+
+  test("events JSONL -> date-partitioned parquet") {
+    val dir = Files.createTempDirectory("cev").toFile
+    Files.writeString(new java.io.File(dir, "ev.jsonl").toPath,
+      """{"eventType":"a","streamId":"s","ts":"2026-03-01T10:00:00Z"}
+        |{"eventType":"b","streamId":"s","ts":"2026-03-02T11:00:00Z"}
+        |corrupt line
+        |""".stripMargin)
+    val out = Files.createTempDirectory("cevo").toString + "/events"
+    assert(Compaction.compactEvents(spark, dir.getAbsolutePath, out) === 2)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === Seq("event_date=2026-03-01",
+      "event_date=2026-03-02"))
+  }
+}
+
 class MoreOperatorsSpec extends SparkTestBase {
 
   test("percentage parse with 0.8 fallback (outcome_aggregator.py:362-372)") {
