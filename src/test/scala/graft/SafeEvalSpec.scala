@@ -79,4 +79,68 @@ class SafeEvalSpec extends SparkTestBase {
       .collect().map(_.getBoolean(0))
     assert(got === Array(false, false))
   }
+
+  // Property test (SURVEY §5): on randomly generated expressions from
+  // the integer/boolean fragment of the grammar, the Catalyst
+  // translation must agree with a direct Python-semantics interpreter.
+  // Seeded generator → reproducible; one Spark job for all samples.
+  test("property: translator ≡ Python-semantics interpreter on random exprs") {
+    val rnd = new scala.util.Random(42)
+    val iVal = 3L
+    val jVal = -4L
+
+    // (expression text, reference value as Any)
+    def genInt(depth: Int): (String, Long) =
+      rnd.nextInt(if (depth > 3) 4 else 7) match {
+        case 0 => val n = rnd.nextInt(11); (n.toString, n.toLong)
+        case 1 => ("i2", iVal)
+        case 2 => ("j2", jVal)
+        case 3 => val n = rnd.nextInt(10) + 1; (n.toString, n.toLong)
+        case 4 =>
+          val (a, av) = genInt(depth + 1); val (b, bv) = genInt(depth + 1)
+          (s"($a + $b)", av + bv)
+        case 5 =>
+          val (a, av) = genInt(depth + 1); val (b, bv) = genInt(depth + 1)
+          (s"($a - $b)", av - bv)
+        case 6 =>
+          val (a, av) = genInt(depth + 1); val (b, bv) = genInt(depth + 1)
+          (s"($a * $b)", av * bv)
+      }
+
+    def genBool(depth: Int): (String, Boolean) =
+      rnd.nextInt(if (depth > 3) 3 else 6) match {
+        case 0 =>
+          val (a, av) = genInt(depth + 1); val (b, bv) = genInt(depth + 1)
+          (s"$a < $b", av < bv)
+        case 1 =>
+          val (a, av) = genInt(depth + 1); val (b, bv) = genInt(depth + 1)
+          (s"$a == $b", av == bv)
+        case 2 =>
+          val (a, av) = genInt(depth + 1); val (b, bv) = genInt(depth + 1)
+          (s"$a >= $b", av >= bv)
+        case 3 =>
+          val (a, av) = genBool(depth + 1); val (b, bv) = genBool(depth + 1)
+          (s"($a and $b)", av && bv)
+        case 4 =>
+          val (a, av) = genBool(depth + 1); val (b, bv) = genBool(depth + 1)
+          (s"($a or $b)", av || bv)
+        case 5 =>
+          val (a, av) = genBool(depth + 1); (s"(not $a)", !av)
+      }
+
+    val samples = (1 to 120).map { k =>
+      if (k % 2 == 0) { val (e, v) = genInt(0); (e, v: Any) }
+      else { val (e, v) = genBool(0); (e, v: Any) }
+    }
+    val base = Seq((iVal, jVal)).toDF("i2", "j2")
+    val s2 = base.schema
+    val cols = samples.zipWithIndex.map { case ((e, _), idx) =>
+      SafeEval.compile(e, s2).cast(StringType).as(s"c$idx")
+    }
+    val row = base.select(cols: _*).head()
+    samples.zipWithIndex.foreach { case ((e, expected), idx) =>
+      val got = row.getString(idx)
+      assert(got === expected.toString, s"expr[$idx]: $e")
+    }
+  }
 }
