@@ -1,0 +1,42 @@
+package graft.plans
+
+import graft.functions.LongArrayDot
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point (SURVEY §4.2) registering the
+  * engine's native expressions on the SQL surface, so
+  * `SELECT graft_dot(a, b)` works from plain SQL:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)   // new sessions
+  * GraftExtensions.register(spark)          // an existing session
+  * }}}
+  *
+  * Config alternative: `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.dotFunction)
+}
+
+object GraftExtensions {
+
+  private[plans] val dotFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[LongArrayDot].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot takes exactly 2 arguments")
+        LongArrayDot(args.head, args(1))
+      })
+
+  /** Register the functions into an already-running session. */
+  def register(spark: SparkSession): Unit = {
+    val (id, info, builder) = dotFunction
+    spark.sessionState.functionRegistry
+      .registerFunction(id, info, builder)
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.functions.Fns
+import graft.functions.{Fns, VectorExprs}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -297,7 +297,7 @@ object TextDedup {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         Fns.scaleVec(col("embedding")).as("sx"))
-      .withColumn("nn", Fns.normSqInt(col("sx")))
+      .withColumn("nn", VectorExprs.normSqIntNative(col("sx")))
     val a = e.select(col("vec_id").as("vec_a"), col("label"),
       col("sx").as("sx_a"), col("nn").as("nn_a"))
     val b = e.select(col("vec_id").as("vec_b"), col("label"),
@@ -305,7 +305,7 @@ object TextDedup {
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), col("label"),
-        Fns.cosineFromScaled(Fns.dotInt(col("sx_a"), col("sx_b")),
+        Fns.cosineFromScaled(VectorExprs.dotIntNative(col("sx_a"), col("sx_b")),
           col("nn_a"), col("nn_b")).as("cosine"))
       .filter(col("cosine") >= 0.3)
   }

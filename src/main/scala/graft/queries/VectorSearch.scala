@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.functions.Fns
+import graft.functions.{Fns, VectorExprs}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -63,7 +63,7 @@ object VectorSearch {
       |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), Fns.scaleVec(col("embedding")).as("sx"))
-      .withColumn("n", Fns.normSqInt(col("sx")))
+      .withColumn("n", VectorExprs.normSqIntNative(col("sx")))
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("sx").as("q_sx"),
         col("n").as("q_n"))
@@ -72,7 +72,7 @@ object VectorSearch {
     e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         Fns.cosineFromScaled(
-          Fns.dotInt(col("q_sx"), col("sx")),
+          VectorExprs.dotIntNative(col("q_sx"), col("sx")),
           col("q_n"), col("n")).as("cosine"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
@@ -162,10 +162,11 @@ object VectorSearch {
       |WHERE rnk <= 3""".stripMargin) { (s, dir) =>
     // Plane coefficients are md5-derived from the (plane, dim) pair —
     // deterministic, so they are computed ONCE here in Scala and baked
-    // into the plan as literals (the oracle recomputes the same md5 in
-    // SQL). The signature is then 8 inline dot products over the
-    // scaled-element array: no row explosion, no per-row md5, all
-    // inside whole-stage codegen.
+    // into the plan as 8 literal coefficient VECTORS (the oracle
+    // recomputes the same md5 in SQL). Each plane signature is then one
+    // native integer dot product sx·coefs_p — no row explosion, no
+    // per-row md5, and a compact expression tree (a 512-term inline sum
+    // costs seconds of Janino/JIT warm-up per generated stage).
     def planeCoef(p: Int, pos: Int): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = md.digest(s"pl${p}_$pos".getBytes("UTF-8"))
@@ -174,12 +175,11 @@ object VectorSearch {
     }
     val emb = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), Fns.scaleVec(col("embedding")).as("sx"))
-      .withColumn("n", Fns.normSqInt(col("sx")))
+      .withColumn("n", VectorExprs.normSqIntNative(col("sx")))
     val bucket = (0 to 7).map { p =>
-      val sig = (1 to Dims).map(pos =>
-        lit(planeCoef(p, pos)) * element_at(col("sx"), pos))
-        .reduce(_ + _)
-      when(sig > 0, lit(1L << p)).otherwise(0L)
+      val coefs = typedlit((1 to Dims).map(pos => planeCoef(p, pos)))
+      when(VectorExprs.dotIntNative(col("sx"), coefs) > 0, lit(1L << p))
+        .otherwise(0L)
     }.reduce(_ + _)
     val eb = emb.withColumn("bucket", bucket)
     val q = eb.filter(col("vec_id") % 50 === 0)
@@ -192,7 +192,7 @@ object VectorSearch {
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         col("q_bucket").as("bucket"),
         Fns.cosineFromScaled(
-          Fns.dotInt(col("q_sx"), col("sx")),
+          VectorExprs.dotIntNative(col("q_sx"), col("sx")),
           col("q_n"), col("n")).as("cosine"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)

@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.{Fns, LongArrayDot, VectorExprs}
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class VectorExprsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("native dot ≡ HOF dot on random long arrays (codegen path)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 50).map { i =>
+      (i, Seq.fill(64)(rnd.nextInt(2000001).toLong - 1000000),
+        Seq.fill(64)(rnd.nextInt(2000001).toLong - 1000000))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+      VectorExprs.dotIntNative(col("a"), col("b")).as("native"),
+      Fns.dotInt(col("a"), col("b")).as("hof"))
+      .collect()
+    got.foreach(r => assert(r.getLong(1) === r.getLong(2),
+      s"row ${r.getInt(0)}"))
+  }
+
+  test("interpreted eval path matches (nullSafeEval)") {
+    val a = Literal.create(Seq(1L, 2L, 3L), ArrayType(LongType))
+    val b = Literal.create(Seq(4L, 5L, 6L), ArrayType(LongType))
+    assert(LongArrayDot(a, b).eval(InternalRow.empty) === 32L)
+    // null input → null
+    val n = Literal.create(null, ArrayType(LongType))
+    assert(LongArrayDot(a, n).eval(InternalRow.empty) === null)
+  }
+
+  test("type check rejects non-bigint arrays") {
+    val bad = Literal.create(Seq(1.0), ArrayType(DoubleType))
+    val ok = Literal.create(Seq(1L), ArrayType(LongType))
+    assert(!LongArrayDot(bad, ok).checkInputDataTypes().isSuccess)
+    assert(LongArrayDot(ok, ok).checkInputDataTypes().isSuccess)
+  }
+
+  test("graft_dot registers on the SQL surface (SparkSessionExtensions)") {
+    GraftExtensions.register(spark)
+    Seq((Seq(1L, 2L), Seq(3L, 4L))).toDF("a", "b")
+      .createOrReplaceTempView("ve_t")
+    val got = spark.sql("SELECT graft_dot(a, b) AS d FROM ve_t")
+      .head().getLong(0)
+    assert(got === 11L)
+  }
+
+  test("normSqIntNative = dot with itself") {
+    val df = Seq(Seq(3L, 4L)).toDF("a")
+    assert(df.select(VectorExprs.normSqIntNative(col("a")))
+      .head().getLong(0) === 25L)
+  }
+}
