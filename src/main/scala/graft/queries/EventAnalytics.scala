@@ -301,6 +301,47 @@ object EventAnalytics {
       .limit(50)
   }
 
+  // e13 — range join: events following each error within 5 minutes,
+  // per user. The reference has no range operator (SURVEY §2.3 "as-of
+  // / range joins: absent"); the scale-correct Spark shape is a BANDED
+  // equi-join — bucket both sides by the 5-minute band, join on
+  // (user, band ∪ band+1), then apply the residual time predicate —
+  // so the shuffle key stays an equi-key at any volume (the oracle's
+  // inequality join would degenerate to per-user cross products).
+  // Bounds: strict > at shared ns precision, upper bound at ms.
+  val e13 = Q(
+    "e13_range_join",
+    """WITH err AS (SELECT user_id, event_id, ts FROM events
+      |             WHERE event_type = 'error')
+      |SELECT err.user_id, err.event_id,
+      |  COUNT(v.event_id) AS n_next_5min
+      |FROM err LEFT JOIN events v
+      |  ON v.user_id = err.user_id AND v.ts > err.ts
+      |  AND epoch_ms(v.ts) <= epoch_ms(err.ts) + 300000
+      |GROUP BY err.user_id, err.event_id""".stripMargin) { (s, dir) =>
+    val bandMs = 300000L
+    val ev = Tables.load(s, dir, "events")
+      .withColumn("ms", expr("ts div 1000000"))
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("ts").as("e_ts"),
+        col("ms").as("e_ms"))
+    val errBanded = err.withColumn("band",
+      explode(array(expr(s"e_ms div $bandMs"),
+        expr(s"e_ms div $bandMs") + 1)))
+    val vBanded = ev.select(col("user_id"), col("event_id").as("v_id"),
+      col("ts").as("v_ts"), col("ms").as("v_ms"))
+      .withColumn("band", expr(s"v_ms div $bandMs"))
+    val cand = errBanded.join(vBanded, Seq("user_id", "band"))
+      .filter(col("v_ts") > col("e_ts") &&
+        col("v_ms") <= col("e_ms") + bandMs)
+      .groupBy("user_id", "event_id")
+      .agg(count(col("v_id")).as("n"))
+    err.select("user_id", "event_id")
+      .join(cand, Seq("user_id", "event_id"), "left")
+      .select(col("user_id"), col("event_id"),
+        coalesce(col("n"), lit(0L)).as("n_next_5min"))
+  }
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
-    e11, e12)
+    e11, e12, e13)
 }

@@ -189,4 +189,48 @@ class SqlGateSpec extends SparkTestBase {
     val rows = out.collect().map(r => (r.getString(0), r.getDouble(1)))
     assert(rows.toSeq === Seq(("gadget", 12.0), ("widget", 10.5)))
   }
+
+  test("csv_sql docstring contract queries (FIXTURES §1.1, csv_tool.py:292-309)") {
+    val dir = java.nio.file.Files.createTempDirectory("csvfix").toFile
+    val f = new java.io.File(dir, "products.csv")
+    java.nio.file.Files.writeString(f.toPath,
+      """name,category,price,status
+        |Phone X,electronics,599.99,pending
+        |Laptop Pro,electronics,1299.0,shipped
+        |Desk Lamp,home,39.5,pending
+        |phone case,accessories,19.99,shipped
+        |""".stripMargin)
+    val p = f.getAbsolutePath
+    assert(SqlGate.csvSql(spark, p,
+      "SELECT * FROM data WHERE status = 'pending'").count() === 2)
+    val agg = SqlGate.csvSql(spark, p,
+      """SELECT category, COUNT(*) AS count, AVG(price) AS avg_price
+        |FROM data GROUP BY category ORDER BY category""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(agg.toSeq === Seq(("accessories", 1L), ("electronics", 2L),
+      ("home", 1L)))
+    val top = SqlGate.csvSql(spark, p,
+      "SELECT name, price FROM data ORDER BY price DESC LIMIT 5")
+      .collect().map(_.getString(0))
+    assert(top.head === "Laptop Pro")
+    assert(SqlGate.csvSql(spark, p,
+      "SELECT * FROM data WHERE LOWER(name) LIKE '%phone%'")
+      .count() === 2)
+  }
+
+  test("sheet join contract (FIXTURES §1.2, excel_tool.py:505-509)") {
+    import spark.implicits._
+    val sheets = Map(
+      "Sales" -> Seq((1L, 100.0, "EU"), (2L, 50.0, "US"))
+        .toDF("product_id", "amount", "region"),
+      "Product List" -> Seq((1L, "Phone", "electronics"),
+        (2L, "Lamp", "home")).toDF("id", "name", "category"))
+    val out = SqlGate.sheetSql(spark, sheets,
+      """SELECT s.*, p.name FROM Sales s
+        |JOIN Product_List p ON s.product_id = p.id
+        |ORDER BY s.product_id""".stripMargin)
+    assert(out.columns.toSeq ===
+      Seq("product_id", "amount", "region", "name"))
+    assert(out.collect().map(_.getString(3)).toSeq === Seq("Phone", "Lamp"))
+  }
 }
