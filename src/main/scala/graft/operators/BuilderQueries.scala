@@ -86,6 +86,45 @@ object BuilderQueries {
     }
   }
 
+  /** The composed `find_patterns` report (`query.py:222-282`): per
+    * goal, one row with the success rate, the top-5 failure messages
+    * (count-desc, message tie-break), and the problematic nodes
+    * (failure rate > threshold, rate-desc). Arrays are built with
+    * deterministic ordering so the report is hash-stable. */
+  def findPatterns(runs: DataFrame, decisions: DataFrame,
+      threshold: Double = 0.10): DataFrame = {
+    val rates = goalSuccessRate(runs)
+    val failures = runs
+      .filter(col("status") === "failed" && col("error").isNotNull)
+      .groupBy("goal_id", "error").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(Window.partitionBy("goal_id")
+        .orderBy(col("n").desc, col("error"))))
+      .filter(col("rn") <= 5)
+      .groupBy("goal_id")
+      .agg(collect_list(struct(col("rn"), col("error")))
+        .as("failure_structs"))
+      .select(col("goal_id"),
+        transform(array_sort(col("failure_structs")),
+          s => s.getField("error")).as("top_failures"))
+    val problem = decisions.groupBy("goal_id", "node_id").agg(
+      avg(when(!col("success"), 1.0).otherwise(0.0)).as("failure_rate"))
+      .filter(col("failure_rate") > threshold)
+      .groupBy("goal_id")
+      .agg(collect_list(struct((-col("failure_rate")).as("neg_rate"),
+        col("node_id"))).as("problem_structs"))
+      .select(col("goal_id"),
+        transform(array_sort(col("problem_structs")),
+          s => s.getField("node_id")).as("problematic_nodes"))
+    rates
+      .join(failures, Seq("goal_id"), "left")
+      .join(problem, Seq("goal_id"), "left")
+      .select(col("goal_id"), col("total_runs"), col("success_rate"),
+        coalesce(col("top_failures"),
+          array().cast("array<string>")).as("top_failures"),
+        coalesce(col("problematic_nodes"),
+          array().cast("array<string>")).as("problematic_nodes"))
+  }
+
   /** Summary-with-fallback lookup (`storage/backend.py:116-127`): every
     * run keeps its stored summary when present, otherwise the summary
     * computed from the run row itself — a right join + coalesce per

@@ -120,6 +120,16 @@ object EventStream {
       }
   }
 
+  /** Injection queue (`event_loop_node.py:1146-1160,2637-2657`):
+    * external input merged into a running session between turns. In
+    * streaming terms the control channel is just a second source
+    * unioned into the keyed stream — the per-key state function sees
+    * injected rows in arrival order with no extra machinery
+    * (SURVEY §2.9). */
+  def withInjections(events: Dataset[AgentEvent],
+      control: Dataset[AgentEvent]): Dataset[AgentEvent] =
+    events.unionByName(control)
+
   /** Bounded history ring (`event_bus.py:215,226-227,299`): the
     * newest `maxHistory` events per stream of the materialized history
     * table — retention expressed as a query, so the sink table can be

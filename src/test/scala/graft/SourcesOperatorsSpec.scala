@@ -303,6 +303,34 @@ class MoreOperatorsSpec extends SparkTestBase {
       .agg(min("ts")).head().getTimestamp(0) === new Timestamp(8000L))
   }
 
+  test("findPatterns composed report (query.py:222-282)") {
+    import spark.implicits._
+    val runs = Seq(
+      ("r1", "g1", "completed", null.asInstanceOf[String]),
+      ("r2", "g1", "failed", "timeout"),
+      ("r3", "g1", "failed", "timeout"),
+      ("r4", "g1", "failed", "oom"))
+      .toDF("run_id", "goal_id", "status", "error")
+    val decisions = Seq(
+      ("r1", "g1", "node_a", true), ("r2", "g1", "node_a", false),
+      ("r3", "g1", "node_b", true), ("r4", "g1", "node_b", true))
+      .toDF("run_id", "goal_id", "node_id", "success")
+    val got = BuilderQueries.findPatterns(runs, decisions).head()
+    assert(got.getAs[Long]("total_runs") === 4L)
+    assert(got.getAs[Double]("success_rate") === 0.25)
+    assert(got.getAs[Seq[String]]("top_failures") === Seq("timeout", "oom"))
+    assert(got.getAs[Seq[String]]("problematic_nodes") === Seq("node_a"))
+  }
+
+  test("CLI dispatch: csv-sql + sessions + unknown command") {
+    val dir = Files.createTempDirectory("cli").toFile
+    val f = new java.io.File(dir, "t.csv")
+    Files.writeString(f.toPath, "x,y\n1,a\n2,b\n")
+    Cli.run(spark, List("csv-sql", f.getAbsolutePath,
+      "SELECT COUNT(*) AS n FROM data"))
+    intercept[IllegalArgumentException](Cli.run(spark, List("nope")))
+  }
+
   test("waitFor polls history until match or timeout (event_bus.py:1062-1115)") {
     import spark.implicits._
     val hist = Seq(

@@ -133,6 +133,24 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("injection queue: control stream unions into session state " +
+      "(event_loop_node.py:1146-1160)") {
+    val input = MemoryStream[AgentEvent](spark)
+    val control = MemoryStream[AgentEvent](spark)
+    val updates = EventStream.sessionize(
+      EventStream.withInjections(input.toDS(), control.toDS()), gapMs = 0)
+    val q = updates.writeStream.format("memory")
+      .queryName("inj").outputMode("append").start()
+    try {
+      input.addData(ev("work", "s1", 0))
+      control.addData(ev("injected_input", "s1", 1))
+      q.processAllAvailable()
+      val last = spark.table("inj").as[EventStream.SessionUpdate]
+        .collect().maxBy(_.nEvents)
+      assert(last.nEvents === 2) // both channels reached the state fn
+    } finally q.stop()
+  }
+
   test("windowed type counts with watermark (SURVEY §2.9)") {
     val input = MemoryStream[AgentEvent](spark)
     val counts = EventStream.windowedTypeCounts(
