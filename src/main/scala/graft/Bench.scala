@@ -28,6 +28,7 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      System.gc() // isolate queries from each other's garbage
       val t0 = System.nanoTime()
       // noop sink: computes every output column (count() would let
       // Catalyst prune per-row work), writes nothing

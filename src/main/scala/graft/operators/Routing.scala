@@ -108,6 +108,23 @@ object Routing {
     }
   }
 
+  /** Output validation (`graph/validator.py`; `event_loop_node.py:
+    * 2035-2046`): keys a node declared but did not set — required
+    * minus present, as an array column over the output map. */
+  def missingOutputKeys(output: Column, required: Column): Column =
+    array_except(required, map_keys(output))
+
+  /** Dynamic fan-out detection (`executor.py:1771-1818`): per state,
+    * the count of currently-traversable edges; >1 means the execution
+    * fans out. `candidates` rows are (state_id, edge…) as in
+    * [[firstMatch]]. */
+  def dynamicFanout(candidates: DataFrame,
+      traversableCol: Column): DataFrame =
+    candidates.filter(traversableCol)
+      .groupBy("state_id")
+      .agg(count(lit(1)).as("n_traversable"))
+      .withColumn("is_fanout", col("n_traversable") > 1)
+
   /** The implicit-judge accept predicate (`event_loop_node.py:
     * 1839-1931`, deterministic part — SURVEY §2.10): a node result is
     * accepted when the turn made no tool calls AND no required output

@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Named blob store for large intermediates (SURVEY §2.1; reference
+  * `file_system_toolkits/data_tools/data_tools.py:24-355`:
+  * save/load/append/list with pagination on load — the spillover
+  * target for oversized tool results, `event_loop_node.py:95-96`).
+  *
+  * Blobs are line-oriented text under `root/<name>/`; load pagination
+  * is the same deterministic offset/limit window the reference
+  * documents (line order = file order, made explicit here with a
+  * line-number sort key so it is stable across partitioned reads).
+  */
+object DataStore {
+
+  def save(spark: SparkSession, root: String, name: String,
+      lines: Seq[String]): Unit = {
+    import spark.implicits._
+    lines.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      .toDF("line_no", "value")
+      .coalesce(1)
+      .write.mode("overwrite").json(s"$root/$name")
+  }
+
+  def append(spark: SparkSession, root: String, name: String,
+      lines: Seq[String]): Unit = {
+    import spark.implicits._
+    val base = try {
+      spark.read.json(s"$root/$name")
+        .agg(max("line_no")).head().getLong(0) + 1
+    } catch { case _: Exception => 0L }
+    lines.zipWithIndex.map { case (l, i) => (base + i, l) }
+      .toDF("line_no", "value")
+      .coalesce(1)
+      .write.mode("append").json(s"$root/$name")
+  }
+
+  /** Paginated load (`data_tools.py:68+`): offset/limit over the
+    * stable line order, plus the total for the caller's paging UI. */
+  def load(spark: SparkSession, root: String, name: String,
+      offset: Long = 0, limit: Option[Int] = None): (DataFrame, Long) = {
+    val df = spark.read.json(s"$root/$name")
+    val total = df.count()
+    val page = df.filter(col("line_no") >= offset).orderBy("line_no")
+    (limit.fold(page)(page.limit), total)
+  }
+
+  /** `list_data_files`: names + line counts. */
+  def list(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val dirs = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName).toSeq
+    val counts = dirs.map(n =>
+      (n, spark.read.json(s"$root/$n").count()))
+    counts.toDF("name", "n_lines")
+  }
+}

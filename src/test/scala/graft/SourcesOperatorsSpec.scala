@@ -303,6 +303,42 @@ class MoreOperatorsSpec extends SparkTestBase {
       .agg(min("ts")).head().getTimestamp(0) === new Timestamp(8000L))
   }
 
+  test("DataStore: save/append/paginated load/list (data_tools.py:24-355)") {
+    import graft.sources.DataStore
+    val root = Files.createTempDirectory("dstore").toString
+    DataStore.save(spark, root, "notes", Seq("l0", "l1", "l2"))
+    DataStore.append(spark, root, "notes", Seq("l3"))
+    val (page, total) = DataStore.load(spark, root, "notes",
+      offset = 1, limit = Some(2))
+    assert(total === 4)
+    assert(page.collect().map(_.getAs[String]("value")).toSeq
+      === Seq("l1", "l2"))
+    val listing = DataStore.list(spark, root).collect()
+    assert(listing.map(r => r.getString(0) -> r.getLong(1)).toMap
+      === Map("notes" -> 4L))
+  }
+
+  test("missing output keys + dynamic fan-out (validator.py; executor.py:1771-1818)") {
+    import spark.implicits._
+    val state = Seq(
+      ("s1", Map("a" -> "1"), Seq("a", "b")),
+      ("s2", Map("a" -> "1", "b" -> "2"), Seq("a", "b")))
+      .toDF("state_id", "output", "required")
+    val missing = state.select(col("state_id"),
+      Routing.missingOutputKeys(col("output"), col("required")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(missing("s1") === Seq("b") && missing("s2").isEmpty)
+
+    val cand = Seq(
+      ("s1", "a", 1, true), ("s1", "b", 2, true), ("s2", "a", 1, false),
+      ("s2", "b", 1, true))
+      .toDF("state_id", "target", "priority", "source_success")
+    val fo = Routing.dynamicFanout(cand, col("source_success"))
+      .collect().map(r => r.getString(0) -> r.getAs[Boolean]("is_fanout"))
+      .toMap
+    assert(fo === Map("s1" -> true, "s2" -> false))
+  }
+
   test("findPatterns composed report (query.py:222-282)") {
     import spark.implicits._
     val runs = Seq(
