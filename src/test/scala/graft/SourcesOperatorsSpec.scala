@@ -149,6 +149,105 @@ class CatalogSpec extends SparkTestBase {
   }
 }
 
+class ConversationSourceSpec extends SparkTestBase {
+  import graft.sources.ConversationSource
+
+  test("parts ordered by seq, spillover pointers, cursor restore " +
+      "(conversation.py:92-127)") {
+    val root = Files.createTempDirectory("conv").toFile
+    val c1 = new java.io.File(root, "conv1"); c1.mkdirs()
+    def part(seq: Int, role: String, content: String): Unit =
+      Files.writeString(new java.io.File(c1, f"part-$seq%05d.json").toPath,
+        s"""{"seq":$seq,"role":"$role","content":"$content"}""")
+    part(1, "user", "hi")
+    part(2, "assistant", "working")
+    part(3, "tool",
+      "Result truncated (was 48200 chars), saved to 'tool_fetch_abc.txt'")
+    Files.writeString(new java.io.File(c1, "cursor.json").toPath,
+      """{"next_seq":4,"iteration":2,"outputs":{"draft":"v1"}}""")
+
+    val msgs = ConversationSource.messages(spark, root.getAbsolutePath)
+    assert(msgs.count() === 3)
+    assert(msgs.select("seq").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L, 3L))
+    val spill = ConversationSource.spilloverPointers(msgs).head()
+    assert(spill.getAs[String]("spillover_file") === "tool_fetch_abc.txt")
+    val cur = ConversationSource.cursors(spark, root.getAbsolutePath).head()
+    assert(cur.getAs[Long]("next_seq") === 4L)
+    assert(cur.getAs[Map[String, String]]("outputs") === Map("draft" -> "v1"))
+  }
+}
+
+class RuntimeLogSourceSpec extends SparkTestBase {
+  import graft.sources.RuntimeLogSource
+  import graft.operators.LogRollups
+
+  private def mkWorkDir(): java.io.File = {
+    val work = Files.createTempDirectory("rtlogs").toFile
+    // new layout, with summary + step logs (incl. one corrupt line)
+    val s1 = new java.io.File(work,
+      "sessions/session_20260301_100000_aaaa0001/logs")
+    s1.mkdirs()
+    Files.writeString(new java.io.File(s1, "summary.json").toPath,
+      """{"run_id":"session_20260301_100000_aaaa0001","status":"failure",
+        |"started_at":"2026-03-01T10:00:00","needs_attention":true,
+        |"attention_reasons":["retries"],"execution_quality":"failed",
+        |"node_path":["fetch","draft"],"total_input_tokens":6000,
+        |"total_output_tokens":2211,"duration_ms":45210}"""
+        .stripMargin.replace("\n", ""))
+    Files.writeString(new java.io.File(s1, "tool_logs.jsonl").toPath,
+      """{"node_id":"draft","step_index":1,"verdict":"CONTINUE","input_tokens":100,"output_tokens":20,"latency_ms":900,"error":""}
+        |{"node_id":"draft","step_index":2,"verdict":"RETRY","input_tokens":200,"output_tokens":30,"latency_ms":1100,"error":""}
+        |this line is corrupt {{{
+        |{"node_id":"draft","step_index":3,"verdict":"ACCEPT","input_tokens":150,"output_tokens":25,"latency_ms":800,"error":""}
+        |""".stripMargin)
+    // new layout, NO summary yet -> synthesized in_progress
+    new java.io.File(work,
+      "sessions/session_20260301_110000_bbbb0002/logs").mkdirs()
+    // old layout
+    val old = new java.io.File(work, "runtime_logs/runs/run_legacy_01")
+    old.mkdirs()
+    Files.writeString(new java.io.File(old, "summary.json").toPath,
+      """{"run_id":"run_legacy_01","status":"success",
+        |"started_at":"2026-02-01T09:00:00","needs_attention":false,
+        |"execution_quality":"clean"}""".stripMargin.replace("\n", ""))
+    work
+  }
+
+  test("summaries: both layouts + synthesized in_progress " +
+      "(runtime_logs_tool.py:49-124)") {
+    val work = mkWorkDir()
+    val s = RuntimeLogSource.summaries(spark, work.getAbsolutePath)
+    assert(s.count() === 3)
+    val byId = s.collect().map(r =>
+      r.getAs[String]("run_id") -> r.getAs[String]("status")).toMap
+    assert(byId("session_20260301_110000_bbbb0002") === "in_progress")
+    assert(byId("run_legacy_01") === "success")
+    // needs_attention is a flag filter, not a status value
+    assert(RuntimeLogSource.scan(s, Some("needs_attention")).count() === 1)
+    assert(RuntimeLogSource.scan(s, Some("success")).count() === 1)
+    // newest first
+    assert(RuntimeLogSource.scan(s).head().getAs[String]("run_id")
+      === "session_20260301_100000_aaaa0001")
+  }
+
+  test("stepLogs normalize to the rollup contract; corrupt lines drop " +
+      "(runtime_log_store.py:265-289)") {
+    val work = mkWorkDir()
+    val steps = RuntimeLogSource.stepLogs(spark, work.getAbsolutePath)
+    assert(steps.count() === 3) // corrupt line dropped
+    assert(steps.select("verdict").collect().map(_.getString(0)).sorted
+      === Array("accept", "continue", "retry"))
+    // composes with the window operators
+    val ssla = LogRollups.stepsSinceLastAccept(steps)
+      .filter(col("step") === 3).head()
+    assert(ssla.getAs[Long]("steps_since_accept") === 0L)
+    val l2 = LogRollups.l3ToL2(steps).head()
+    assert(l2.getAs[Long]("step_count") === 3L)
+    assert(l2.getAs[String]("exit_status") === "completed")
+  }
+}
+
 class CompactionSpec extends SparkTestBase {
   import graft.sources.Compaction
 
