@@ -522,6 +522,49 @@ object Relational {
           sum(col("o_totalprice").cast(D12_2)).cast(DoubleType).as("total"))
   }
 
+  /** Family-A end-to-end: the SAME SQL text runs through the gated
+    * Spark SQL surface (SqlGate over registered views) and in DuckDB —
+    * the strongest form of dialect parity the oracle can check. */
+  private def sqlQ(name: String, sql: String): Q =
+    Q(name, sql) { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      graft.plans.SqlGate.query(s, sql)
+    }
+
+  // ---------------------------------------------------------------
+  // q22 correlated EXISTS — customers with at least one urgent order
+  // (subquery decorrelation is Catalyst's job, SURVEY §4.1)
+  val q22 = sqlQ(
+    "q22_exists_subquery",
+    """SELECT c.c_mktsegment, COUNT(*) AS n_customers
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c.c_mktsegment""".stripMargin)
+
+  // ---------------------------------------------------------------
+  // q23 scalar subquery — orders above the global mean price
+  // (DECIMAL-exact mean so the threshold is bit-identical)
+  val q23 = sqlQ(
+    "q23_scalar_subquery",
+    """SELECT o_orderstatus, COUNT(*) AS n_orders
+      |FROM orders
+      |WHERE o_totalprice >
+      |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+      |     / COUNT(*) FROM orders)
+      |GROUP BY o_orderstatus""".stripMargin)
+
+  // ---------------------------------------------------------------
+  // q24 IN subquery — lineitems of parts in the largest-size decile
+  val q24 = sqlQ(
+    "q24_in_subquery",
+    """SELECT l_linestatus, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem
+      |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 46)
+      |GROUP BY l_linestatus""".stripMargin)
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24)
 }
