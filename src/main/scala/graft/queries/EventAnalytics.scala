@@ -342,6 +342,20 @@ object EventAnalytics {
         coalesce(col("n"), lit(0L)).as("n_next_5min"))
   }
 
+  // e14 — approximate distinct (HLL): the distinct-at-scale path
+  // (SURVEY §2.4 aggregator stats note: approx_count_distinct
+  // acceptable at 100 TB, flagged approximate). No oracle — sketch
+  // implementations differ across engines, so the driver records the
+  // rows-only check; the ±5% accuracy bound is asserted in
+  // OperatorsSpec against the exact count.
+  val e14 = Q.noOracle("e14_approx_distinct") { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        approx_count_distinct(col("props"), 0.02).as("approx_payloads"))
+  }
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
-    e11, e12, e13)
+    e11, e12, e13, e14)
 }

@@ -402,6 +402,41 @@ class MoreOperatorsSpec extends SparkTestBase {
       .agg(min("ts")).head().getTimestamp(0) === new Timestamp(8000L))
   }
 
+  test("salted join ≡ plain join; two-phase agg ≡ direct agg (skew path)") {
+    import spark.implicits._
+    import graft.operators.Skew
+    // skewed: one hot key
+    val large = (1 to 500).map(i =>
+      (if (i % 10 == 0) "cold" + i else "hot", i.toLong))
+      .toDF("k", "v")
+    val small = Seq(("hot", "H")).toDF("k", "label") // 1:1 keys
+    val plain = large.join(small, Seq("k"), "left")
+      .agg(count(col("label"))).head().getLong(0)
+    val salted = Skew.saltedJoin(large, small, "k", 8)
+      .agg(count(col("label"))).head().getLong(0)
+    assert(salted === plain)
+
+    val direct = large.groupBy("k").agg(sum("v").as("value"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val twoPhase = Skew.twoPhaseAgg(large, "k", 8, col("v"), sum, sum)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(twoPhase === direct)
+  }
+
+  test("e14 approx distinct within 5% of exact (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val approx = graft.queries.EventAnalytics.e14.run(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(2L, (n * 0.05).toLong),
+        s"$k: approx=${approx(k)} exact=$n")
+    }
+  }
+
   test("DataStore: save/append/paginated load/list (data_tools.py:24-355)") {
     import graft.sources.DataStore
     val root = Files.createTempDirectory("dstore").toString
