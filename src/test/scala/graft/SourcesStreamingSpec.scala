@@ -133,6 +133,26 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("fromJsonl file stream: debug-log replay end-to-end " +
+      "(event_bus.py:28-56)") {
+    val dir = Files.createTempDirectory("evjsonl").toFile
+    Files.writeString(new java.io.File(dir, "events.jsonl").toPath,
+      """{"eventType":"node_started","streamId":"s1","ts":"2026-03-01T10:00:00Z","data":{"node":"fetch"}}
+        |{"eventType":"node_failed","streamId":"s1","ts":"2026-03-01T10:00:05Z","data":{"node":"fetch"}}
+        |""".stripMargin)
+    val stream = EventStream.fromJsonl(spark, dir.getAbsolutePath)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory")
+      .queryName("jsonl_replay").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("jsonl_replay")
+      assert(rows.count() === 2)
+      assert(rows.filter(col("eventType") === "node_failed").count() === 1)
+      assert(rows.head().getAs[Map[String, String]]("data").nonEmpty)
+    } finally q.stop()
+  }
+
   test("injection queue: control stream unions into session state " +
       "(event_loop_node.py:1146-1160)") {
     val input = MemoryStream[AgentEvent](spark)
