@@ -402,6 +402,41 @@ class MoreOperatorsSpec extends SparkTestBase {
       .agg(min("ts")).head().getTimestamp(0) === new Timestamp(8000L))
   }
 
+  test("GraphRunner: N sessions traverse conditional routes as rows " +
+      "(executor.py:286-1300 re-expressed)") {
+    import spark.implicits._
+    import graft.model.Model.EdgeSpec
+    import graft.operators.GraphRunner
+    val edges = Seq(
+      EdgeSpec("start", "classify", condition = "always"),
+      EdgeSpec("classify", "draft", condition = "conditional",
+        conditionExpr = Some("memory.get('score') == 'high'"),
+        priority = 2),
+      EdgeSpec("classify", "reject", condition = "on_success",
+        priority = 1),
+      EdgeSpec("draft", "review", condition = "always"))
+    val init = Seq(
+      ("s1", "start", true, Map("score" -> "high")),
+      ("s2", "start", true, Map("score" -> "low")),
+      ("s3", "start", false, Map.empty[String, String]))
+      .toDF("state_id", "node", "success", "memory")
+    val out = GraphRunner.run(spark, edges, Set("review", "reject"),
+      init, nodeOutputs = Map("classify" -> Map("classified" -> "yes")))
+    val byId = out.collect().map(r => r.getAs[String]("state_id") ->
+      (r.getAs[String]("status"), r.getAs[Seq[String]]("path"))).toMap
+    // high score routes through draft (priority 2 beats on_success)
+    assert(byId("s1") === (("completed",
+      Seq("start", "classify", "draft", "review"))))
+    // low score falls to the on_success edge
+    assert(byId("s2") === (("completed", Seq("start", "classify", "reject"))))
+    // failed source: no traversable edge from classify -> stuck
+    assert(byId("s3")._1 === "stuck")
+    // outputs merged into memory before edge eval (executor.py:860-865)
+    val mem = out.filter(col("state_id") === "s1")
+      .head().getAs[Map[String, String]]("memory")
+    assert(mem("classified") === "yes")
+  }
+
   test("salted join ≡ plain join; two-phase agg ≡ direct agg (skew path)") {
     import spark.implicits._
     import graft.operators.Skew
