@@ -524,10 +524,13 @@ object Relational {
 
   /** Family-A end-to-end: the SAME SQL text runs through the gated
     * Spark SQL surface (SqlGate over registered views) and in DuckDB —
-    * the strongest form of dialect parity the oracle can check. */
-  private def sqlQ(name: String, sql: String): Q =
+    * the strongest form of dialect parity the oracle can check. Only
+    * the referenced tables register (a view registration reads the
+    * parquet footer; 10 of them is measurable per-query overhead). */
+  private def sqlQ(name: String, tables: Seq[String], sql: String): Q =
     Q(name, sql) { (s, dir) =>
-      graft.Tables.registerAll(s, dir)
+      tables.foreach(t =>
+        graft.Tables.load(s, dir, t).createOrReplaceTempView(t))
       graft.plans.SqlGate.query(s, sql)
     }
 
@@ -535,7 +538,7 @@ object Relational {
   // q22 correlated EXISTS — customers with at least one urgent order
   // (subquery decorrelation is Catalyst's job, SURVEY §4.1)
   val q22 = sqlQ(
-    "q22_exists_subquery",
+    "q22_exists_subquery", Seq("customer", "orders"),
     """SELECT c.c_mktsegment, COUNT(*) AS n_customers
       |FROM customer c
       |WHERE EXISTS (SELECT 1 FROM orders o
@@ -547,7 +550,7 @@ object Relational {
   // q23 scalar subquery — orders above the global mean price
   // (DECIMAL-exact mean so the threshold is bit-identical)
   val q23 = sqlQ(
-    "q23_scalar_subquery",
+    "q23_scalar_subquery", Seq("orders"),
     """SELECT o_orderstatus, COUNT(*) AS n_orders
       |FROM orders
       |WHERE o_totalprice >
@@ -558,7 +561,7 @@ object Relational {
   // ---------------------------------------------------------------
   // q24 IN subquery — lineitems of parts in the largest-size decile
   val q24 = sqlQ(
-    "q24_in_subquery",
+    "q24_in_subquery", Seq("lineitem", "part"),
     """SELECT l_linestatus, COUNT(*) AS n_items,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
       |FROM lineitem
