@@ -402,6 +402,26 @@ class MoreOperatorsSpec extends SparkTestBase {
       .agg(min("ts")).head().getTimestamp(0) === new Timestamp(8000L))
   }
 
+  test("entry() flagship returns rows at sf0.001 (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("operators tolerate empty inputs") {
+    import spark.implicits._
+    import graft.operators.{BuilderQueries, GraphOps, LogRollups}
+    val emptySteps = Seq.empty[(String, String, Int, String, Long, Long,
+      Long, String)].toDF("run_id", "node_id", "step", "verdict",
+      "latency_ms", "tokens_in", "tokens_out", "exit_status")
+    assert(LogRollups.l3ToL2(emptySteps).count() === 0)
+    assert(LogRollups.l2ToL1(LogRollups.l3ToL2(emptySteps)).count() === 0)
+    val emptyRuns = Seq.empty[(String, String, String, String)]
+      .toDF("run_id", "goal_id", "status", "error")
+    assert(BuilderQueries.topFailures(emptyRuns).count() === 0)
+    val emptyEdges = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(GraphOps.reachableLocal(emptyEdges, Seq("a")).count() === 1)
+    assert(GraphOps.reachable(emptyEdges, Seq("a")).count() === 1)
+  }
+
   test("GraphRunner: N sessions traverse conditional routes as rows " +
       "(executor.py:286-1300 re-expressed)") {
     import spark.implicits._
