@@ -128,5 +128,30 @@ object RunAnalytics {
         max("event_id").as("last_event"))
   }
 
-  val all: Seq[Q] = Seq(a01, b01, b02, b03)
+  // ---------------------------------------------------------------
+  // b04 decision-type distribution pivot (`builder/query.py:439-467`
+  // "decision-type distribution"; SURVEY §2.4 "distribution = pivot").
+  // The pivot values are DECLARED, not discovered — no extra distinct
+  // pass over the data, and the output schema is fixed at any scale.
+  val b04 = Q(
+    "b04_type_pivot",
+    """SELECT user_id,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables.load(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    // pivot leaves null where a (user, type) combination is absent;
+    // the oracle's SUM(CASE) yields 0 — align
+    pivoted.select(col("user_id") +:
+      types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
+  val all: Seq[Q] = Seq(a01, b01, b02, b03, b04)
 }
