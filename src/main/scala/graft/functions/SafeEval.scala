@@ -276,10 +276,15 @@ object SafeEval {
         case "+" => TV(x.c + y.c, x.dt.orElse(y.dt))
         case "-" => TV(x.c - y.c, x.dt.orElse(y.dt))
         case "*" => TV(x.c * y.c, x.dt.orElse(y.dt))
-        case "/" => TV(x.c / y.c, Some(DoubleType))
-        case "//" => TV(floor(x.c / y.c).cast(LongType), Some(LongType))
-        // python % with positive divisor == pmod
-        case "%" => TV(pmod(x.c, y.c), x.dt)
+        // try_divide: Python raises ZeroDivisionError and the edge
+        // contract maps failed evals to False (edge.py:200-204); under
+        // Spark's ANSI default a plain `/` would instead abort the job
+        case "/" => TV(try_divide(x.c, y.c), Some(DoubleType))
+        case "//" =>
+          TV(floor(try_divide(x.c, y.c)).cast(LongType), Some(LongType))
+        // python % with positive divisor == pmod; zero divisor → null
+        case "%" => TV(when(y.c === 0, lit(null))
+          .otherwise(pmod(x.c, y.c)), x.dt)
         case "**" => TV(pow(x.c, y.c), Some(DoubleType))
         case o => throw new SafeEvalException(s"binary $o")
       }
@@ -296,19 +301,30 @@ object SafeEval {
     // visitor handles ast.Compare with multiple ops the same way)
     case Cmp(first, rest) =>
       var prev = eval(first, schema)
+      var prevAst = first
       val parts = rest.map { case (op, bAst) =>
         val b = eval(bAst, schema)
-        val p = op match {
-          case "==" => prev.c === b.c
-          case "!=" => prev.c =!= b.c
-          case "<" => prev.c < b.c
-          case "<=" => prev.c <= b.c
-          case ">" => prev.c > b.c
-          case ">=" => prev.c >= b.c
-          case "in" => inOp(prev, b)
-          case "not in" => !inOp(prev, b)
+        // Python `x == None` / `x != None` are null CHECKS; a SQL
+        // =/<> against a null literal is null for every row (and the
+        // condition() wrapper would collapse it to constant-false)
+        val noneSide =
+          if (bAst == NoneLit) Some(prev.c)
+          else if (prevAst == NoneLit) Some(b.c)
+          else None
+        val p = (op, noneSide) match {
+          case ("==", Some(c)) => c.isNull
+          case ("!=", Some(c)) => c.isNotNull
+          case ("==", None) => prev.c === b.c
+          case ("!=", None) => prev.c =!= b.c
+          case ("<", _) => prev.c < b.c
+          case ("<=", _) => prev.c <= b.c
+          case (">", _) => prev.c > b.c
+          case (">=", _) => prev.c >= b.c
+          case ("in", _) => inOp(prev, b)
+          case ("not in", _) => !inOp(prev, b)
         }
         prev = b
+        prevAst = bAst
         p
       }
       TV(parts.reduce(_ && _), Some(BooleanType))
@@ -335,15 +351,19 @@ object SafeEval {
       val kv = eval(k, schema)
       t.dt match {
         case Some(ArrayType(et, _)) =>
-          // python 0-based, element_at 1-based; negative = from end
-          TV(element_at(t.c, (kv.c + when(kv.c >= 0, 1).otherwise(0))
-            .cast(IntegerType)), Some(et))
-        case Some(MapType(_, vt, _)) => TV(element_at(t.c, kv.c), Some(vt))
+          // python 0-based, element_at 1-based; negative = from end.
+          // try_element_at: an out-of-range subscript raises in Python
+          // (condition → False), while ANSI element_at aborts the job
+          TV(try_element_at(t.c,
+            (kv.c + when(kv.c >= 0, 1).otherwise(0))
+              .cast(IntegerType)), Some(et))
+        case Some(MapType(_, vt, _)) =>
+          TV(try_element_at(t.c, kv.c), Some(vt))
         case Some(StructType(_)) => eval(Attr(o, k match {
           case Str(s) => s
           case _ => throw new SafeEvalException("struct index must be str")
         }), schema)
-        case _ => TV(element_at(t.c, kv.c), None)
+        case _ => TV(try_element_at(t.c, kv.c), None)
       }
 
     case Call(f, args) =>
@@ -357,13 +377,42 @@ object SafeEval {
             TV(size(vs.head.c), Some(IntegerType))
           case _ => TV(size(vs.head.c), Some(IntegerType))
         }
-        case "int" => TV(vs.head.c.cast(LongType), Some(LongType))
-        case "float" => TV(vs.head.c.cast(DoubleType), Some(DoubleType))
+        // string inputs are regex-validated before the cast: Python
+        // raises on int('abc') and the edge contract maps that to
+        // False, while an ANSI cast would abort the job. Known-numeric
+        // inputs cast directly (int() truncates toward zero, same as
+        // the Python builtin for doubles).
+        case "int" => vs.head.dt match {
+          case Some(t) if t.isInstanceOf[NumericType] ||
+              t == BooleanType =>
+            TV(vs.head.c.cast(LongType), Some(LongType))
+          case _ => TV(when(
+            vs.head.c.cast(StringType).rlike("^\\s*-?[0-9]+\\s*$"),
+            trim(vs.head.c.cast(StringType)).cast(LongType)),
+            Some(LongType))
+        }
+        case "float" => vs.head.dt match {
+          case Some(t) if t.isInstanceOf[NumericType] ||
+              t == BooleanType =>
+            TV(vs.head.c.cast(DoubleType), Some(DoubleType))
+          case _ => TV(when(
+            vs.head.c.cast(StringType)
+              .rlike("^\\s*-?[0-9]*\\.?[0-9]+([eE][+-]?[0-9]+)?\\s*$"),
+            trim(vs.head.c.cast(StringType)).cast(DoubleType)),
+            Some(DoubleType))
+        }
         case "str" => TV(vs.head.c.cast(StringType), Some(StringType))
         case "bool" => TV(vs.head.c.cast(BooleanType), Some(BooleanType))
         case "abs" => TV(abs(vs.head.c), vs.head.dt)
         case "round" =>
-          if (vs.size > 1) TV(round(vs.head.c, 0), Some(DoubleType))
+          if (vs.size > 1) args(1) match {
+            // the ndigits arg must reach Spark's round as a literal
+            // scale — round(c, 0) would silently change the predicate
+            case Num(n, true) =>
+              TV(round(vs.head.c, n.toInt), Some(DoubleType))
+            case _ => throw new SafeEvalException(
+              "round() ndigits must be an integer literal")
+          }
           else TV(round(vs.head.c), Some(DoubleType))
         case "min" | "max" =>
           if (vs.size == 1) {
@@ -403,8 +452,16 @@ object SafeEval {
         case "upper" => TV(upper(t.c), Some(StringType))
         case "strip" => TV(trim(t.c), Some(StringType))
         case "split" =>
-          val sep = if (vs.nonEmpty) vs.head.c else lit(" ")
-          TV(split(t.c, sep), Some(ArrayType(StringType)))
+          // Python str.split is LITERAL; Spark's split takes a regex —
+          // quote the separator so '.', '|', '+' split on themselves
+          val sepText = args.headOption match {
+            case Some(Str(s)) => s
+            case None => " "
+            case _ => throw new SafeEvalException(
+              "split() separator must be a string literal")
+          }
+          TV(split(t.c, java.util.regex.Pattern.quote(sepText)),
+            Some(ArrayType(StringType)))
         case other =>
           throw new SafeEvalException(s"method '$other' not whitelisted")
       }

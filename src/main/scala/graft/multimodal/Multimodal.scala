@@ -88,8 +88,10 @@ object Multimodal {
       .filter(col("duration_ms").isNotNull)
       .withColumn("n_frames",
         (col("duration_ms") * fps / 1000).cast(IntegerType))
+      // media too short for a single complete frame produces no rows
+      // (an unguarded sequence(0, greatest(-1, 0)) would emit frame 0)
+      .filter(col("n_frames") >= 1)
       .withColumn("frame_idx",
-        explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)),
-          lit(stride))))
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
       .select("media_id", "frame_idx")
 }

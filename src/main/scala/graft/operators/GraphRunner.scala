@@ -85,10 +85,18 @@ object GraphRunner {
       val active = states.filter(col("status") === "active")
       val finished = states.filter(col("status") =!= "active")
       // 1. execute: merge node outputs into memory (before edge eval)
+      // later writes win: drop overwritten keys from the old memory
+      // BEFORE concatenating — a plain map_concat throws
+      // DUPLICATED_MAP_KEY under Spark's default mapKeyDedupPolicy
+      // whenever a node rewrites an existing key (the exact case the
+      // reference's write-before-edge-eval semantics produce)
       val executed = active.join(outDf, Seq("node"), "left")
         .withColumn("memory",
           when(col("node_output").isNotNull,
-            map_concat(col("memory"), col("node_output")))
+            map_concat(
+              map_filter(col("memory"),
+                (k, _) => !map_contains_key(col("node_output"), k)),
+              col("node_output")))
             .otherwise(col("memory")))
         .drop("node_output")
       // 2. terminal check

@@ -43,8 +43,11 @@ object LogRollups {
           .as("retry_count"),
         sum(when(col("verdict") === "escalate", 1).otherwise(0))
           .as("escalate_count"),
+        min("step").as("first_step"),
         max("step").as("last_step"),
-        last("exit_status").as("exit_status"))
+        // the FINAL step's status — max_by is deterministic; a bare
+        // last() depends on shuffle arrival order
+        max_by(col("exit_status"), col("step")).as("exit_status"))
       .withColumn("attention_reasons", array_compact(array(
         when(col("retry_count") > RetryThreshold, "retries"),
         when(col("escalate_count") > EscalationThreshold, "escalations"),
@@ -67,7 +70,9 @@ object LogRollups {
         sum("total_latency_ms").as("total_latency_ms"),
         max(col("needs_attention").cast("int")).cast("boolean")
           .as("needs_attention"),
-        array_sort(collect_list(struct(col("last_step"), col("node_id"))))
+        // node_path ordered by FIRST step seen per node (the reference
+        // path order; last_step would misorder revisited nodes)
+        array_sort(collect_list(struct(col("first_step"), col("node_id"))))
           .as("path_structs"),
         max(when(col("exit_status") === "failed", 1).otherwise(0))
           .as("any_failed"),

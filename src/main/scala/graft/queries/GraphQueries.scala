@@ -63,8 +63,11 @@ object GraphQueries {
         .localCheckpoint(true) // reused for entry pick + final left join
       val entry = nodes.agg(min("id")).head().getString(0)
       // the transition graph is post-aggregation (≤ |event types|
-      // nodes): BFS on the collected edge list, not per-depth joins
-      val r = GraphOps.reachableLocal(e, Seq(entry))
+      // nodes): BFS on the collected edge list, not per-depth joins.
+      // maxIters = 6 matches the oracle's recursion cap (depth < 6 →
+      // max emitted depth 6) so both sides bound identically on any
+      // graph shape.
+      val r = GraphOps.reachableLocal(e, Seq(entry), maxIters = 6)
       nodes.join(r, nodes("id") === r("node"), "left")
         .select(col("id").as("node"),
           col("depth").isNotNull.as("reachable"), col("depth"))

@@ -39,8 +39,12 @@ object CsvSource {
             val w = Window.orderBy(col(k))
             df.withColumn("_rn", row_number().over(w))
           case None =>
-            df.withColumn("_rn",
-              monotonically_increasing_id() + 1)
+            // monotonically_increasing_id is NOT contiguous (it jumps
+            // by 2^33 per partition) — but it IS ordered by (partition,
+            // position), so ranking over it reconstructs file order
+            // with contiguous row numbers across splits
+            val w = Window.orderBy(monotonically_increasing_id())
+            df.withColumn("_rn", row_number().over(w))
         }
         val upper = limit.map(offset + _).getOrElse(Long.MaxValue)
         keyed.filter(col("_rn") > offset && col("_rn") <= upper)

@@ -80,6 +80,42 @@ class SafeEvalSpec extends SparkTestBase {
     assert(got === Array(false, false))
   }
 
+  test("None comparisons are null checks (python x != None semantics)") {
+    assert(evalRow0("m.get('zz') == None") === true)
+    assert(evalRow0("m.get('zz') != None") === false)
+    assert(evalRow0("m.get('k') != None") === true)
+    assert(evalRow0("None == m.get('zz')") === true)
+  }
+
+  test("failed evaluations collapse to False in condition() " +
+      "(edge.py:200-204, ANSI-safe)") {
+    // ZeroDivisionError → False
+    assert(df.select(SafeEval.condition("1 / (i - 1) > 0", schema))
+      .head().getBoolean(0) === false) // i=1 → div by zero
+    // ValueError from int('abc') → False
+    assert(df.select(SafeEval.condition("int(m.get('k')) > 0", schema))
+      .head().getBoolean(0) === false) // 'v' is not an int
+    // IndexError from out-of-range subscript → False
+    assert(df.select(SafeEval.condition("arr[9] == 'a'", schema))
+      .head().getBoolean(0) === false)
+    // the numeric map value parses
+    assert(df.select(SafeEval.condition("int(m.get('n')) == 3", schema))
+      .head().getBoolean(0) === true)
+  }
+
+  test("split is literal like python str.split, not regex") {
+    val df2 = Seq("a.b.c").toDF("s")
+    assert(df2.select(SafeEval.compile("len(s.split('.'))", df2.schema))
+      .head().getInt(0) === 3)
+    assert(df2.select(SafeEval.compile("s.split('.')[1]", df2.schema))
+      .head().getString(0) === "b")
+  }
+
+  test("round honors ndigits") {
+    assert(evalRow0("round(2.345, 2)") === 2.35)
+    assert(evalRow0("round(2.5)") === 3.0)
+  }
+
   // Property test (SURVEY §5): on randomly generated expressions from
   // the integer/boolean fragment of the grammar, the Catalyst
   // translation must agree with a direct Python-semantics interpreter.

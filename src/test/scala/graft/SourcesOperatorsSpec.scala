@@ -457,6 +457,63 @@ class MoreOperatorsSpec extends SparkTestBase {
     assert(mem("classified") === "yes")
   }
 
+  test("GraphRunner: rewriting an existing memory key wins " +
+      "(executor.py:860-865 last-write semantics)") {
+    import spark.implicits._
+    import graft.model.Model.EdgeSpec
+    import graft.operators.GraphRunner
+    val edges = Seq(EdgeSpec("start", "done", condition = "always"))
+    // 'draft' key already in memory; the start node rewrites it
+    val init = Seq(("s1", "start", true, Map("draft" -> "v1")))
+      .toDF("state_id", "node", "success", "memory")
+    val out = GraphRunner.run(spark, edges, Set("done"), init,
+      nodeOutputs = Map("start" -> Map("draft" -> "v2")))
+    val mem = out.head().getAs[Map[String, String]]("memory")
+    assert(mem("draft") === "v2")
+  }
+
+  test("CSV pagination is contiguous across multiple files") {
+    import graft.sources.CsvSource
+    val dir = Files.createTempDirectory("csvmulti").toFile
+    Files.writeString(new java.io.File(dir, "a.csv").toPath,
+      "id\n" + (1 to 40).map(i => s"$i\n").mkString)
+    Files.writeString(new java.io.File(dir, "b.csv").toPath,
+      "id\n" + (41 to 80).map(i => s"$i\n").mkString)
+    val page = CsvSource.read(spark, dir.getAbsolutePath,
+      offset = 50, limit = Some(10), orderBy = None)
+    assert(page.totalCount === 80)
+    // pages past the first file must still return rows
+    assert(page.rows.count() === 10)
+  }
+
+  test("L2 exit_status is the final step's; node_path is first-seen order") {
+    import spark.implicits._
+    import graft.operators.LogRollups
+    val steps = Seq(
+      // node A visited first (steps 1-2), revisited last (step 10)
+      ("r1", "A", 1, "accept", 10L, 5L, 5L, "completed"),
+      ("r1", "A", 2, "accept", 10L, 5L, 5L, "completed"),
+      ("r1", "B", 3, "retry", 10L, 5L, 5L, "completed"),
+      ("r1", "A", 10, "accept", 10L, 5L, 5L, "failed"))
+      .toDF("run_id", "node_id", "step", "verdict", "latency_ms",
+        "tokens_in", "tokens_out", "exit_status")
+    val l2 = LogRollups.l3ToL2(steps)
+    val a = l2.filter(col("node_id") === "A").head()
+    assert(a.getAs[String]("exit_status") === "failed") // step 10's
+    val l1 = LogRollups.l2ToL1(l2).head()
+    assert(l1.getAs[Seq[String]]("node_path") === Seq("A", "B"))
+  }
+
+  test("sampleFrameIndexes drops media shorter than one frame") {
+    import graft.multimodal.Multimodal
+    import org.apache.spark.sql.Row
+    val rows = java.util.Arrays.asList(
+      Row(1L, "video", null, null, 10L, null)) // 10ms @ 30fps → 0 frames
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    assert(Multimodal.sampleFrameIndexes(media, fps = 30, stride = 1)
+      .count() === 0)
+  }
+
   test("salted join ≡ plain join; two-phase agg ≡ direct agg (skew path)") {
     import spark.implicits._
     import graft.operators.Skew
