@@ -251,20 +251,30 @@ object EventAnalytics {
   }
 
   // e10 — JSON payload extraction (AgentEvent.data map payloads,
-  // event_bus.py:139-168; from_json/get_json_object path)
+  // event_bus.py:139-168; from_json/get_json_object path).
+  // Parity guards: DuckDB hard-errors on malformed JSON (json_valid
+  // gate) and ROUNDS '1.5'→2 on CAST to BIGINT while Spark nulls or
+  // throws — both engines therefore regex-validate integerness before
+  // the cast, so any payload shape hashes identically.
   val e10 = Q(
     "e10_json_extract",
     """SELECT event_type,
-      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-      |  COUNT(DISTINCT json_extract_string(props, '$.k')) AS n_distinct_k
+      |  CAST(SUM(CASE WHEN json_valid(props)
+      |    AND regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+      |    THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END) AS BIGINT) AS sum_k,
+      |  MAX(CASE WHEN json_valid(props)
+      |    AND regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+      |    THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END) AS max_k,
+      |  COUNT(DISTINCT CASE WHEN json_valid(props)
+      |    THEN json_extract_string(props, '$.k') END) AS n_distinct_k
       |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
     val k = get_json_object(col("props"), "$.k")
+    val kInt = when(k.rlike("^-?[0-9]+$"), k.cast(LongType))
     Tables.load(s, dir, "events")
       .groupBy("event_type")
       .agg(
-        sum(k.cast(LongType)).as("sum_k"),
-        max(k.cast(LongType)).as("max_k"),
+        sum(kInt).as("sum_k"),
+        max(kInt).as("max_k"),
         countDistinct(k).as("n_distinct_k"))
   }
 
@@ -308,7 +318,9 @@ object EventAnalytics {
   // (user, band ∪ band+1), then apply the residual time predicate —
   // so the shuffle key stays an equi-key at any volume (the oracle's
   // inequality join would degenerate to per-user cross products).
-  // Bounds: strict > at shared ns precision, upper bound at ms.
+  // Bounds compare at MICROSECOND precision on both sides: DuckDB 1.x
+  // reads TIMESTAMP(NANOS) parquet µs-truncated, so a Spark-side ns
+  // comparison would diverge whenever two events share a microsecond.
   val e13 = Q(
     "e13_range_join",
     """WITH err AS (SELECT user_id, event_id, ts FROM events
@@ -321,18 +333,19 @@ object EventAnalytics {
       |GROUP BY err.user_id, err.event_id""".stripMargin) { (s, dir) =>
     val bandMs = 300000L
     val ev = Tables.load(s, dir, "events")
+      .withColumn("us", expr("ts div 1000")) // µs = DuckDB's precision
       .withColumn("ms", expr("ts div 1000000"))
     val err = ev.filter(col("event_type") === "error")
-      .select(col("user_id"), col("event_id"), col("ts").as("e_ts"),
+      .select(col("user_id"), col("event_id"), col("us").as("e_us"),
         col("ms").as("e_ms"))
     val errBanded = err.withColumn("band",
       explode(array(expr(s"e_ms div $bandMs"),
         expr(s"e_ms div $bandMs") + 1)))
     val vBanded = ev.select(col("user_id"), col("event_id").as("v_id"),
-      col("ts").as("v_ts"), col("ms").as("v_ms"))
+      col("us").as("v_us"), col("ms").as("v_ms"))
       .withColumn("band", expr(s"v_ms div $bandMs"))
     val cand = errBanded.join(vBanded, Seq("user_id", "band"))
-      .filter(col("v_ts") > col("e_ts") &&
+      .filter(col("v_us") > col("e_us") &&
         col("v_ms") <= col("e_ms") + bandMs)
       .groupBy("user_id", "event_id")
       .agg(count(col("v_id")).as("n"))

@@ -12,8 +12,9 @@ import org.apache.spark.sql.types._
   * (`csv_tool.py:273-386`, `excel_tool.py:474-653`); here each
   * capability is a declarative DataFrame plan so Catalyst does
   * pushdown/pruning/join-reorder, and dimension joins are
-  * broadcast (nation/region/part are small at any SF — at 100 TB
-  * the fact tables scale, the dims don't).
+  * broadcast only when fixed-size (nation/region; customer,
+  * supplier and part scale with SF, so their joins are left to the
+  * optimizer/AQE).
   */
 object Relational {
 
@@ -73,14 +74,18 @@ object Relational {
       |FROM orders WHERE o_orderstatus = 'O'
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) {
     (s, dir) =>
+      // rank on the RAW price — the oracle's ORDER BY o_totalprice
+      // sees unrounded values, so ordering on the DECIMAL-cast output
+      // column would pick a different row set whenever prices carry
+      // sub-cent precision
       Tables.load(s, dir, "orders")
         .filter(col("o_orderstatus") === "O")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
         .select(
           col("o_orderkey"), col("o_custkey"),
           col("o_totalprice").cast(D12_2).cast(DoubleType).as("total_price"),
           col("o_orderdate").cast(DateType).as("order_date"))
-        .orderBy(col("total_price").desc, col("o_orderkey"))
-        .limit(10)
   }
 
   // ---------------------------------------------------------------
@@ -100,8 +105,11 @@ object Relational {
     val o = Tables.load(s, dir, "orders")
     val c = Tables.load(s, dir, "customer")
     val n = Tables.load(s, dir, "nation")
+    // customer scales with SF (TPC-H: SF x 150k rows) — no forced
+    // broadcast; AQE picks broadcast at small SF and shuffles at scale.
+    // nation is a true fixed-size dim (25 rows) and stays hinted.
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"))
       .agg(
@@ -127,7 +135,7 @@ object Relational {
     val byCust = o.groupBy("o_custkey").agg(
       sum(col("o_totalprice").cast(D12_2)).cast(DoubleType).as("revenue"),
       count(lit(1)).as("n_orders"))
-    byCust.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    byCust.join(c, col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(10)
@@ -151,7 +159,7 @@ object Relational {
     val n = Tables.load(s, dir, "nation")
     val r = Tables.load(s, dir, "region")
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region"))
@@ -489,8 +497,10 @@ object Relational {
     val li = Tables.load(s, dir, "lineitem")
     val sup = Tables.load(s, dir, "supplier")
     val p = Tables.load(s, dir, "part")
-    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    // supplier/part scale with SF (SF x 10k / 200k rows) — let the
+    // optimizer pick the strategy instead of forcing a broadcast
+    li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .groupBy("s_name", "p_brand")
       .agg(
         sum(col("l_quantity").cast(D12_2)).cast(DoubleType).as("total_qty"),

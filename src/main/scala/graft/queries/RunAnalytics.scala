@@ -17,6 +17,22 @@ object RunAnalytics {
 
   private val D12_2 = DecimalType(12, 2)
 
+  /** Oracle-side integer extraction of props.k with validity guards —
+    * DuckDB errors on malformed JSON and ROUNDS non-integer text on
+    * CAST to BIGINT; gating on json_valid + an integer regex makes
+    * both engines agree on any payload shape. */
+  private val kIntSql =
+    """CASE WHEN json_valid(props)
+      |    AND regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+      |    THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END"""
+      .stripMargin
+
+  /** Spark twin of [[kIntSql]]. */
+  private def kInt = {
+    val k = get_json_object(col("props"), "$.k")
+    when(k.rlike("^-?[0-9]+$"), k.cast(LongType))
+  }
+
   // ---------------------------------------------------------------
   // a01 as-of join — for every purchase, the most recent earlier error
   // of the same user. The reference approximates nearest-event-in-time
@@ -56,11 +72,11 @@ object RunAnalytics {
   // mean latency, token sum (`builder/query.py:366-396`).
   val b01 = Q(
     "b01_node_performance",
-    """SELECT event_type AS node_id, COUNT(*) AS total,
+    s"""SELECT event_type AS node_id, COUNT(*) AS total,
       |  CAST(SUM(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS successes,
       |  CAST(SUM(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS success_rate,
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_latency,
-      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_tokens
+      |  CAST(SUM($kIntSql) AS BIGINT) AS total_tokens
       |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
     val ok = when(col("value") >= 50, 1).otherwise(0)
     Tables.load(s, dir, "events")
@@ -71,8 +87,7 @@ object RunAnalytics {
         (sum(ok).cast(DoubleType) / count(lit(1))).as("success_rate"),
         (sum(col("value").cast(D12_2)).cast(DoubleType) / count(lit(1)))
           .as("avg_latency"),
-        sum(get_json_object(col("props"), "$.k").cast(LongType))
-          .as("total_tokens"))
+        sum(kInt).as("total_tokens"))
   }
 
   // ---------------------------------------------------------------
@@ -106,10 +121,10 @@ object RunAnalytics {
   // hash-stable across engines, unlike native list columns).
   val b03 = Q(
     "b03_run_metrics",
-    """SELECT user_id, COUNT(*) AS n_decisions,
+    s"""SELECT user_id, COUNT(*) AS n_decisions,
       |  CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_success,
       |  CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS success_rate,
-      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_tokens,
+      |  CAST(SUM($kIntSql) AS BIGINT) AS total_tokens,
       |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS nodes,
       |  MIN(event_id) AS first_event, MAX(event_id) AS last_event
       |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
@@ -120,8 +135,7 @@ object RunAnalytics {
         count(lit(1)).as("n_decisions"),
         sum(ok).as("n_success"),
         (sum(ok).cast(DoubleType) / count(lit(1))).as("success_rate"),
-        sum(get_json_object(col("props"), "$.k").cast(LongType))
-          .as("total_tokens"),
+        sum(kInt).as("total_tokens"),
         array_join(array_sort(collect_set(col("event_type"))), ",")
           .as("nodes"),
         min("event_id").as("first_event"),

@@ -89,8 +89,10 @@ object TextDedup {
   val d02 = Q(
     "d02_ngram_jaccard",
     s"""$gramsCte,
-      |h AS (SELECT doc_id, ('0x'||substr(md5(gram),1,15))::BIGINT AS gid
-      |      FROM g),
+      |h0 AS (SELECT doc_id, ('0x'||substr(md5(gram),1,15))::BIGINT AS gid
+      |       FROM g),
+      |h AS (SELECT doc_id, gid FROM h0 WHERE gid NOT IN
+      |        (SELECT gid FROM h0 GROUP BY gid HAVING COUNT(*) > 1000)),
       |n AS (SELECT doc_id, COUNT(*) AS n FROM h GROUP BY doc_id),
       |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
       |        CAST(COUNT(*) AS BIGINT) AS inter
@@ -105,9 +107,18 @@ object TextDedup {
     (s, dir) =>
       // the hashed gram relation fans out (2 join sides + doc sizes):
       // pin it so tokenize+shingle+md5 runs once
-      val h = grams(s, dir)
+      val h0 = grams(s, dir)
         .select(col("doc_id"), Fns.hash60(col("gram")).as("gid"))
         .localCheckpoint(true)
+      // document-frequency cap: a hub shingle appearing in >1000 docs
+      // would square into >500k candidate pairs on ONE shuffle key —
+      // the standard capped-Jaccard guard, mirrored in the oracle so
+      // both engines drop the same grams. The hot list is tiny at any
+      // scale (it is the skew, by definition) → broadcast anti-join.
+      val hot = h0.groupBy("gid").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 1000).select("gid")
+      val h = h0.join(broadcast(hot), Seq("gid"), "left_anti")
+        .select("doc_id", "gid") // join key moves first; restore order
       val n = h.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = h.toDF("doc_a", "gid")
         .join(h.toDF("doc_b", "gid"), "gid")

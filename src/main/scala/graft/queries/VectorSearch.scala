@@ -69,6 +69,10 @@ object VectorSearch {
         col("n").as("q_n"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
+    // exact brute-force baseline: a bounded query set is part of the
+    // operator's contract (top-k for SPECIFIC queries); the broadcast
+    // of that bounded set is the intended plan — corpus streams, no
+    // shuffle. Unbounded query sets belong to d06/v03's equi-join path.
     e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         Fns.cosineFromScaled(
@@ -187,7 +191,10 @@ object VectorSearch {
         col("n").as("q_n"), col("bucket").as("q_bucket"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    eb.join(broadcast(q),
+    // the bucket key makes this a plain equi-join: no forced
+    // broadcast — the query side grows with the corpus (1 in 50), so
+    // the optimizer must be free to shuffle on bucket at scale
+    eb.join(q,
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         col("q_bucket").as("bucket"),
