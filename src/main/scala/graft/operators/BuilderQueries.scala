@@ -125,6 +125,74 @@ object BuilderQueries {
           array().cast("array<string>")).as("problematic_nodes"))
   }
 
+  /** Failure analysis for one run (`query.py:171-210`): first failed
+    * decision = failure point and root cause; all-decisions-succeeded
+    * on a failed run flags the "external cause?" branch. Returns one
+    * row (run_id, failure_point_node, root_cause, n_chain_decisions,
+    * external_cause). */
+  def analyzeFailure(runs: DataFrame, decisions: DataFrame,
+      runId: String): DataFrame = {
+    val run = runs.filter(col("run_id") === runId &&
+      col("status") === "failed")
+    val d = decisions.filter(col("run_id") === runId)
+    val firstFail = d.filter(!col("success"))
+      .orderBy("idx")
+      .limit(1)
+      .select(col("run_id"),
+        col("node_id").as("failure_point_node"),
+        coalesce(col("error"), lit("Unknown")).as("root_cause"))
+    val chainLen = d.agg(
+      coalesce(min(when(!col("success"), col("idx"))),
+        max(col("idx"))).as("last_idx"))
+      .select((col("last_idx") + 1).as("n_chain_decisions"))
+    run.select(col("run_id"))
+      .join(firstFail, Seq("run_id"), "left")
+      .crossJoin(chainLen)
+      .select(col("run_id"),
+        coalesce(col("failure_point_node"),
+          lit("Unknown - no decision marked as failed"))
+          .as("failure_point_node"),
+        coalesce(col("root_cause"),
+          lit("Run failed but all decisions succeeded (external cause?)"))
+          .as("root_cause"),
+        col("n_chain_decisions"),
+        col("failure_point_node").isNull.as("external_cause"))
+  }
+
+  /** Improvement suggestions as a rule table over the pattern rows
+    * (`query.py:310-364`): problematic nodes → node_improvement
+    * (priority high when rate > 0.3); errors seen ≥2× →
+    * error_handling (high at ≥5); goal success rate < 0.8 →
+    * architecture. Output: goal_id, type, target, priority. */
+  def suggestImprovements(runs: DataFrame,
+      decisions: DataFrame): DataFrame = {
+    val byGoalRates = goalSuccessRate(runs)
+    val nodeSuggestions = decisions.groupBy("goal_id", "node_id").agg(
+      avg(when(!col("success"), 1.0).otherwise(0.0)).as("failure_rate"))
+      .filter(col("failure_rate") > 0.10)
+      .select(col("goal_id"),
+        lit("node_improvement").as("type"),
+        col("node_id").as("target"),
+        when(col("failure_rate") > 0.3, "high").otherwise("medium")
+          .as("priority"))
+    val errorSuggestions = runs
+      .filter(col("status") === "failed" && col("error").isNotNull)
+      .groupBy("goal_id", "error").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("goal_id"),
+        lit("error_handling").as("type"),
+        col("error").as("target"),
+        when(col("n") >= 5, "high").otherwise("medium").as("priority"))
+    val archSuggestions = byGoalRates
+      .filter(col("success_rate") < 0.8)
+      .select(col("goal_id"),
+        lit("architecture").as("type"),
+        col("goal_id").as("target"),
+        lit("high").as("priority"))
+    nodeSuggestions.unionByName(errorSuggestions)
+      .unionByName(archSuggestions)
+  }
+
   /** Summary-with-fallback lookup (`storage/backend.py:116-127`): every
     * run keeps its stored summary when present, otherwise the summary
     * computed from the run row itself — a right join + coalesce per

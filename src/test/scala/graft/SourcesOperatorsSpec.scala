@@ -585,6 +585,50 @@ class MoreOperatorsSpec extends SparkTestBase {
     assert(fo === Map("s1" -> true, "s2" -> false))
   }
 
+  test("analyzeFailure: failure point + external-cause branch " +
+      "(query.py:171-210)") {
+    import spark.implicits._
+    val runs = Seq(
+      ("r1", "g1", "failed", "boom"),
+      ("r2", "g1", "failed", "mystery"))
+      .toDF("run_id", "goal_id", "status", "error")
+    val decisions = Seq(
+      ("r1", "g1", 0, "node_a", true, null.asInstanceOf[String]),
+      ("r1", "g1", 1, "node_b", false, "tool timeout"),
+      ("r1", "g1", 2, "node_c", true, null.asInstanceOf[String]),
+      // r2: failed run but every decision succeeded
+      ("r2", "g1", 0, "node_a", true, null.asInstanceOf[String]))
+      .toDF("run_id", "goal_id", "idx", "node_id", "success", "error")
+    val a1 = BuilderQueries.analyzeFailure(runs, decisions, "r1").head()
+    assert(a1.getAs[String]("failure_point_node") === "node_b")
+    assert(a1.getAs[String]("root_cause") === "tool timeout")
+    assert(a1.getAs[Long]("n_chain_decisions") === 2L)
+    assert(!a1.getAs[Boolean]("external_cause"))
+    val a2 = BuilderQueries.analyzeFailure(runs, decisions, "r2").head()
+    assert(a2.getAs[String]("root_cause").contains("external cause"))
+    assert(a2.getAs[Boolean]("external_cause"))
+  }
+
+  test("suggestImprovements rule table (query.py:310-364)") {
+    import spark.implicits._
+    val runs = (1 to 6).map(i =>
+      (s"r$i", "g1", if (i <= 4) "failed" else "completed",
+        if (i <= 4) "timeout" else null.asInstanceOf[String]))
+      .toDF("run_id", "goal_id", "status", "error")
+    val decisions = Seq(
+      ("r1", "g1", "node_a", false), ("r2", "g1", "node_a", false),
+      ("r3", "g1", "node_a", true), ("r4", "g1", "node_b", true))
+      .toDF("run_id", "goal_id", "node_id", "success")
+    val sugg = BuilderQueries.suggestImprovements(runs, decisions)
+      .collect().map(r => (r.getAs[String]("type"),
+        r.getAs[String]("target"), r.getAs[String]("priority")))
+    // node_a fails 2/3 > 0.3 -> high; timeout x4 -> medium (<5);
+    // success rate 2/6 < 0.8 -> architecture high
+    assert(sugg.contains(("node_improvement", "node_a", "high")))
+    assert(sugg.contains(("error_handling", "timeout", "medium")))
+    assert(sugg.contains(("architecture", "g1", "high")))
+  }
+
   test("findPatterns composed report (query.py:222-282)") {
     import spark.implicits._
     val runs = Seq(
