@@ -111,9 +111,13 @@ object Fns {
     * (`session_state.py:146-154`, `run.py:102-109`); null inputs → 0
     * (the reference's still-running convention). */
   def durationMs(startedAt: Column, completedAt: Column): Column =
-    when(completedAt.isNull || startedAt.isNull, lit(0L))
-      .otherwise(unix_millis(to_timestamp(completedAt)) -
-        unix_millis(to_timestamp(startedAt)))
+    // try_to_timestamp: a malformed (non-null) timestamp string is a
+    // runtime error under ANSI; the reference's per-document parse
+    // treats it as not-completed → 0
+    coalesce(
+      unix_millis(try_to_timestamp(completedAt)) -
+        unix_millis(try_to_timestamp(startedAt)),
+      lit(0L))
 
   /** Code-indicator heuristic of the reference's output validator
     * (`node.py:383-428` `_contains_code_indicators`): true when the

@@ -246,7 +246,20 @@ object SafeEval {
     * surface at compile time; runtime nulls coalesce. */
   def condition(expression: String,
       schema: StructType = new StructType()): Column =
-    coalesce(compile(expression, schema).cast(BooleanType), lit(false))
+    coalesce(tryBool(compile(expression, schema)), lit(false))
+
+  /** TRY-mode boolean cast: under Spark 4's ANSI default a plain
+    * cast('done' AS BOOLEAN) is a runtime error that would abort the
+    * job, while the edge contract maps failed evaluations to False
+    * (`edge.py:200-204`) — TRY yields null, which condition()
+    * coalesces. (Python truthiness of arbitrary strings remains a
+    * documented delta, FIXTURES §8.) */
+  private def tryBool(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.GraftColumnBridge.expression(c),
+        BooleanType, None,
+        org.apache.spark.sql.catalyst.expressions.EvalMode.TRY))
 
   private def fieldType(schema: StructType, n: String): Option[DataType] =
     schema.fields.find(_.name == n).map(_.dataType)
@@ -264,7 +277,7 @@ object SafeEval {
       TV(array(vs.map(_.c): _*),
         vs.headOption.flatMap(_.dt).map(ArrayType(_)))
 
-    case Unary("not", a) => TV(!eval(a, schema).c.cast(BooleanType),
+    case Unary("not", a) => TV(!tryBool(eval(a, schema).c),
       Some(BooleanType))
     case Unary("-", a) =>
       val t = eval(a, schema); TV(negate(t.c), t.dt)
@@ -290,10 +303,10 @@ object SafeEval {
       }
 
     case BoolOp("and", xs) =>
-      TV(xs.map(eval(_, schema).c.cast(BooleanType)).reduce(_ && _),
+      TV(xs.map(x => tryBool(eval(x, schema).c)).reduce(_ && _),
         Some(BooleanType))
     case BoolOp("or", xs) =>
-      TV(xs.map(eval(_, schema).c.cast(BooleanType)).reduce(_ || _),
+      TV(xs.map(x => tryBool(eval(x, schema).c)).reduce(_ || _),
         Some(BooleanType))
     case BoolOp(op, _) => throw new SafeEvalException(s"boolop $op")
 
@@ -331,7 +344,7 @@ object SafeEval {
 
     case Ternary(c, a, b) =>
       val at = eval(a, schema)
-      TV(when(eval(c, schema).c.cast(BooleanType), at.c)
+      TV(when(tryBool(eval(c, schema).c), at.c)
         .otherwise(eval(b, schema).c), at.dt)
 
     // attribute access doubles as struct-field access (context rows

@@ -20,7 +20,9 @@ import org.apache.spark.sql.functions._
 object GoalProgress {
 
   private def words(c: org.apache.spark.sql.Column) =
-    array_distinct(split(lower(c), " "))
+    // drop the empty tokens doubled/edge spaces produce — Python's
+    // str.split() discards them, and '' must not count as an overlap
+    array_remove(array_distinct(split(lower(c), " ")), "")
 
   /** Per-criterion progress: success rate over keyword-related
     * decisions (≥2 overlapping words). */

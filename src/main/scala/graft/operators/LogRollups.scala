@@ -30,7 +30,10 @@ object LogRollups {
 
   /** L3 → L2: per-(run, node) detail with attention flags + reasons. */
   def l3ToL2(steps: DataFrame): DataFrame = {
-    val tokens = col("tokens_in") + col("tokens_out")
+    // null-tolerant: a step missing one token side still contributes
+    // the other (null + x = null would drop the row from the sum)
+    val tokens = coalesce(col("tokens_in"), lit(0L)) +
+      coalesce(col("tokens_out"), lit(0L))
     steps
       .groupBy("run_id", "node_id")
       .agg(
@@ -59,7 +62,10 @@ object LogRollups {
 
   /** L2 → L1: per-run summary. Quality rules (`executor.py:963-1045`):
     * failed if any node failed; degraded if any retries; else clean.
-    * node_path ordered by first step seen per node. */
+    * node_path is DEDUPLICATED first-visit order (the L2 grain is
+    * (run, node), so revisits are not representable here) — the full
+    * visit sequence comes from [[visitPath]] over the L3 steps or from
+    * `SessionState.progress.path`. */
   def l2ToL1(details: DataFrame): DataFrame = {
     details
       .groupBy("run_id")
@@ -87,6 +93,22 @@ object LogRollups {
         when(col("any_failed") === 1, "failed").otherwise("completed"))
       .drop("path_structs", "any_failed")
   }
+
+  /** True node visit path per run from the L3 step log: consecutive
+    * same-node steps collapse into one visit, revisits are kept
+    * (`SessionState.progress.path` semantics — the path the L2 grain
+    * cannot reconstruct). */
+  def visitPath(steps: DataFrame): DataFrame =
+    steps
+      .groupBy("run_id")
+      .agg(array_sort(collect_list(struct(col("step"), col("node_id"))))
+        .as("ordered"))
+      .select(col("run_id"),
+        expr("""filter(
+          transform(ordered, (s, i) ->
+            CASE WHEN i = 0 OR ordered[i-1].node_id != s.node_id
+                 THEN s.node_id END),
+          x -> x IS NOT NULL)""").as("node_path"))
 
   /** Tail-N recent verdicts per (run, node) — the worker-monitoring
     * window query (`worker_monitoring_tools.py:152-156`). */

@@ -32,7 +32,13 @@ object Compaction {
     val df = SessionSource.load(spark, sessionsRoot)
       .withColumn("started_date",
         to_date(to_timestamp(col("timestamps.started_at"))))
-    df.repartition(targetFiles, col("started_date"))
+    // hash-partitioning by the date alone funnels each whole date
+    // through ONE task (one giant file, a straggler on hot dates); a
+    // stable salt from the row key splits every date across
+    // ~targetFiles writers
+    df.repartition(
+        col("started_date"),
+        pmod(hash(col("session_id")), lit(targetFiles)))
       .write
       .partitionBy("started_date")
       .mode("overwrite")
@@ -46,7 +52,8 @@ object Compaction {
       outDir: String, targetFiles: Int = 1): Long = {
     val df = CsvSource.readJsonl(spark, jsonlDir)
       .withColumn("event_date", to_date(col("ts")))
-    df.repartition(targetFiles, col("event_date"))
+    df.repartition(
+        col("event_date"), pmod(hash(col("ts")), lit(targetFiles)))
       .write
       .partitionBy("event_date")
       .mode("overwrite")
@@ -62,11 +69,21 @@ object Compaction {
     val compacted = spark.read.parquet(compactedDir)
     freshRoot match {
       case Some(root) =>
+        import org.apache.spark.sql.expressions.Window
         val fresh = SessionSource.load(spark, root)
           .withColumn("started_date",
-            to_date(to_timestamp(col("timestamps.started_at"))))
-        compacted.unionByName(fresh, allowMissingColumns = true)
-          .dropDuplicates("session_id")
+            to_date(try_to_timestamp(col("timestamps.started_at"))))
+        // dedup must PREFER the fresh row (a session updated since the
+        // last compaction has newer state); dropDuplicates keeps an
+        // arbitrary shuffle-order row, so rank explicitly
+        val w = Window.partitionBy("session_id").orderBy(
+          col("__fresh").desc, col("timestamps.updated_at").desc)
+        compacted.withColumn("__fresh", lit(0))
+          .unionByName(fresh.withColumn("__fresh", lit(1)),
+            allowMissingColumns = true)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__fresh", "__rn")
       case None => compacted
     }
   }

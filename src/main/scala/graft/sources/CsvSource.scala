@@ -39,11 +39,14 @@ object CsvSource {
             val w = Window.orderBy(col(k))
             df.withColumn("_rn", row_number().over(w))
           case None =>
-            // monotonically_increasing_id is NOT contiguous (it jumps
-            // by 2^33 per partition) — but it IS ordered by (partition,
-            // position), so ranking over it reconstructs file order
-            // with contiguous row numbers across splits
-            val w = Window.orderBy(monotonically_increasing_id())
+            // fallback order = (file name, split position): Spark
+            // packs splits into partitions by SIZE, so a bare
+            // monotonically_increasing_id ranking would follow size
+            // order, not file order. The single-task window is fine at
+            // this operator's scale — the reference paginates small
+            // CSVs; large data paginates on a key column (header note).
+            val w = Window.orderBy(input_file_name(),
+              monotonically_increasing_id())
             df.withColumn("_rn", row_number().over(w))
         }
         val upper = limit.map(offset + _).getOrElse(Long.MaxValue)

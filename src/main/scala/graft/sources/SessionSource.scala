@@ -79,10 +79,10 @@ object SessionSource {
       .filter(col("_corrupt_record").isNull && col("session_id").isNotNull)
       .drop("_corrupt_record")
       .withColumn("duration_ms",
-        when(col("timestamps.completed_at").isNull, lit(0L))
-          .otherwise(
-            unix_millis(to_timestamp(col("timestamps.completed_at"))) -
-              unix_millis(to_timestamp(col("timestamps.started_at")))))
+        coalesce(
+          unix_millis(try_to_timestamp(col("timestamps.completed_at"))) -
+            unix_millis(try_to_timestamp(col("timestamps.started_at"))),
+          lit(0L)))
       .withColumn("is_resumable", col("status") =!= "completed")
 
   /** The list-scan query (`session_store.py:121-173`): optional status

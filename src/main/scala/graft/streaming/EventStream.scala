@@ -137,8 +137,13 @@ object EventStream {
   def boundedHistory(history: DataFrame, maxHistory: Int = 1000)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // tie-break on every orderable coordinate so retention at the
+    // boundary is deterministic across runs (data maps are not
+    // orderable; same-(ts,type,node,execution) duplicates remain
+    // arbitrary, as in the reference's insertion-ordered ring)
     val w = Window.partitionBy("streamId")
-      .orderBy(col("ts").desc, col("eventType"))
+      .orderBy(col("ts").desc, col("eventType"), col("nodeId"),
+        col("executionId"))
     history.withColumn("recency", row_number().over(w))
       .filter(col("recency") <= maxHistory)
       .drop("recency")

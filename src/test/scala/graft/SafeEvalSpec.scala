@@ -101,6 +101,12 @@ class SafeEvalSpec extends SparkTestBase {
     // the numeric map value parses
     assert(df.select(SafeEval.condition("int(m.get('n')) == 3", schema))
       .head().getBoolean(0) === true)
+    // a non-boolean string as the whole condition: ANSI cast would
+    // throw; TRY-mode yields null → False
+    assert(df.select(SafeEval.condition("m.get('k')", schema))
+      .head().getBoolean(0) === false)
+    assert(df.select(SafeEval.condition("m.get('k') and i == 1", schema))
+      .head().getBoolean(0) === false)
   }
 
   test("split is literal like python str.split, not regex") {

@@ -585,6 +585,63 @@ class MoreOperatorsSpec extends SparkTestBase {
     assert(fo === Map("s1" -> true, "s2" -> false))
   }
 
+  test("visitPath keeps revisits; L2 tokens tolerate nulls (L3 grain)") {
+    import spark.implicits._
+    import graft.operators.LogRollups
+    val steps = Seq(
+      ("r1", "A", 1, "accept", 10L, Some(90000L), None: Option[Long], "completed"),
+      ("r1", "A", 2, "accept", 10L, Some(100L), Some(50L), "completed"),
+      ("r1", "B", 3, "accept", 10L, Some(100L), Some(50L), "completed"),
+      ("r1", "A", 4, "accept", 10L, Some(100L), Some(50L), "completed"))
+      .toDF("run_id", "node_id", "step", "verdict", "latency_ms",
+        "tokens_in", "tokens_out", "exit_status")
+    // revisit preserved (A,B,A), unlike the L2-grain node_path
+    assert(LogRollups.visitPath(steps).head().getAs[Seq[String]]("node_path")
+      === Seq("A", "B", "A"))
+    // the null tokens_out row still contributes its tokens_in side
+    val a = LogRollups.l3ToL2(steps).filter(col("node_id") === "A").head()
+    assert(a.getAs[Long]("total_tokens") === 90000L + 150L + 150L)
+  }
+
+  test("goal keyword overlap ignores empty tokens (str.split parity)") {
+    import spark.implicits._
+    import graft.operators.GoalProgress
+    val criteria = Seq(("g1", "c1", "Validate the schema ", 1.0))
+      .toDF("goal_id", "criterion_id", "description", "weight")
+    val decisions = Seq(("g1", "refactor the parser ", true))
+      .toDF("goal_id", "intent", "success")
+    // only 'the' overlaps (1 < 2) — trailing-space empties must not
+    // push the overlap to the relatedness threshold
+    val row = GoalProgress.criterionProgress(criteria, decisions).head()
+    assert(row.getAs[Long]("n_related") === 0L)
+  }
+
+  test("sessionsView prefers the fresh row for updated sessions") {
+    import graft.sources.Compaction
+    val root = Files.createTempDirectory("cview").toFile
+    def put(status: String, updated: String): Unit = {
+      val d = new java.io.File(root,
+        "session_20260301_100000_aaaa0001")
+      d.mkdirs()
+      Files.writeString(new java.io.File(d, "state.json").toPath,
+        s"""{"schema_version":"1.1","session_id":"session_20260301_100000_aaaa0001",
+           |"goal_id":"g","status":"$status",
+           |"timestamps":{"started_at":"2026-03-01T10:00:00+00:00",
+           |"updated_at":"$updated","completed_at":null},
+           |"progress":{"steps_executed":1},"result":{}}"""
+          .stripMargin.replace("\n", ""))
+    }
+    put("active", "2026-03-01T10:00:00+00:00")
+    val out = Files.createTempDirectory("cviewout").toString + "/s"
+    Compaction.compactSessions(spark, root.getAbsolutePath, out)
+    // session completes AFTER compaction
+    put("completed", "2026-03-01T11:00:00+00:00")
+    val view = Compaction.sessionsView(spark, out,
+      Some(root.getAbsolutePath))
+    assert(view.count() === 1)
+    assert(view.head().getAs[String]("status") === "completed")
+  }
+
   test("analyzeFailure: failure point + external-cause branch " +
       "(query.py:171-210)") {
     import spark.implicits._
