@@ -85,7 +85,12 @@ object Multimodal {
   def sampleFrameIndexes(media: DataFrame, fps: Int,
       stride: Int): DataFrame =
     media
-      .filter(col("duration_ms").isNotNull)
+      // bound the duration before arithmetic: a corrupt value (e.g.
+      // nanoseconds stored as ms) would overflow duration_ms * fps
+      // under ANSI and abort the stage; ~10 years of ms is a generous
+      // sanity ceiling for any real media
+      .filter(col("duration_ms").isNotNull &&
+        col("duration_ms").between(0L, 315360000000L))
       .withColumn("n_frames",
         (col("duration_ms") * fps / 1000).cast(IntegerType))
       // media too short for a single complete frame produces no rows

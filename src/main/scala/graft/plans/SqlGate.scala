@@ -25,6 +25,11 @@ object SqlGate {
       case _: Command => true
       case _: ParsedStatement => true // DDL/DML not yet resolved
       case _: InsertIntoStatement => true
+      // EXECUTE IMMEDIATE parses to a plain LogicalPlan (neither
+      // Command nor ParsedStatement) but executes arbitrary embedded
+      // SQL — a gate bypass if not rejected explicitly
+      case _: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedExecuteImmediate => true
       case _ => false
     }
     !plan.collect { case p if offending(p) => p }.nonEmpty
@@ -40,8 +45,13 @@ object SqlGate {
   }
 
   /** `csv_sql` semantics (`csv_tool.py:273-310`): load a CSV with a
-    * header row, register it as table `data`, run the SELECT. */
+    * header row, register it as table `data`, run the SELECT. The gate
+    * runs BEFORE the load — a blocked query must not pay the
+    * full-file inferSchema scans or leave the view registered. */
   def csvSql(spark: SparkSession, path: String, sql: String): DataFrame = {
+    if (!isSelectOnly(spark, sql))
+      throw new BlockedSqlException(
+        "Only SELECT queries are allowed for security reasons")
     spark.read.option("header", "true").option("inferSchema", "true")
       .csv(path).createOrReplaceTempView("data")
     query(spark, sql)

@@ -45,11 +45,14 @@ object Catalog {
 
   /** `pg_explain` — the physical plan as a one-column DataFrame
     * (`postgres_tool.py:381-418`; EXPLAIN text there, formatted plan
-    * here). */
+    * here). Gated like the rest of the SQL surface: `spark.sql` runs
+    * command plans EAGERLY at Dataset creation, so an ungated explain
+    * would execute DDL/DML instead of describing it. */
   def explainSql(spark: SparkSession, sql: String): DataFrame = {
     import spark.implicits._
-    val plan = spark.sql(sql).queryExecution.explainString(
-      org.apache.spark.sql.execution.FormattedMode)
+    val plan = graft.plans.SqlGate.query(spark, sql)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
     plan.split("\n").toSeq.toDF("plan_line")
   }
 

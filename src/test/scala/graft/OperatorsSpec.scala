@@ -173,7 +173,9 @@ class SqlGateSpec extends SparkTestBase {
         "DROP TABLE data",
         "CREATE TABLE t(x INT)",
         "INSERT INTO data VALUES (1)",
-        "/* sneaky */ DELETE FROM data"))
+        "/* sneaky */ DELETE FROM data",
+        // EXECUTE IMMEDIATE wraps arbitrary SQL in a non-Command plan
+        "EXECUTE IMMEDIATE 'DROP TABLE data'"))
       assert(!SqlGate.isSelectOnly(spark, bad), bad)
     intercept[SqlGate.BlockedSqlException](
       SqlGate.query(spark, "DROP TABLE data"))
