@@ -61,6 +61,22 @@ object Compaction {
     spark.read.parquet(outDir).count()
   }
 
+  /** Bucketed compaction for co-located joins: both sides of a
+    * recurring large-large equi-join (e.g. runs ⋈ decisions on
+    * run_id) written with the same bucket spec join WITHOUT a shuffle
+    * — each bucket pair joins locally. This is the pre-pay-the-shuffle
+    * lever for the 100 TB recurring-join workload; one-off joins keep
+    * using plain partitioned parquet. Requires a catalog table (the
+    * bucket metadata lives in the metastore). */
+  def compactBucketedForJoin(df: DataFrame, tableName: String,
+      key: String, buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(tableName)
+
   /** Freshness-tail union: compacted Parquet ∪ the raw JSON written
     * since the last compaction run — the query-time view that makes
     * compaction invisible to readers. */

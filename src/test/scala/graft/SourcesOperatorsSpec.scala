@@ -280,6 +280,33 @@ class CompactionSpec extends SparkTestBase {
     assert(view.count() === 3)
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    import spark.implicits._
+    import graft.sources.Compaction
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a non-broadcast join so the Exchange check is meaningful
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Compaction.compactBucketedForJoin(
+        (1 to 100).map(i => (i.toLong, s"run_$i")).toDF("run_id", "status"),
+        "bk_runs", "run_id", 4)
+      Compaction.compactBucketedForJoin(
+        (1 to 300).map(i => ((i % 100 + 1).toLong, s"d_$i"))
+          .toDF("run_id", "decision"),
+        "bk_decisions", "run_id", 4)
+      val joined = spark.table("bk_runs")
+        .join(spark.table("bk_decisions"), "run_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() === 300)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bk_runs")
+      spark.sql("DROP TABLE IF EXISTS bk_decisions")
+    }
+  }
+
   test("events JSONL -> date-partitioned parquet") {
     val dir = Files.createTempDirectory("cev").toFile
     Files.writeString(new java.io.File(dir, "ev.jsonl").toPath,
