@@ -269,13 +269,17 @@ object EventAnalytics {
       |    THEN json_extract_string(props, '$.k') END) AS n_distinct_k
       |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
     val k = get_json_object(col("props"), "$.k")
-    val kInt = when(k.rlike("^-?[0-9]+$"), k.cast(LongType))
+    // materialize the parsed/validated values once per row — inlined
+    // into three aggregate expressions the JSON parse + regex would
+    // run three times (no CSE across agg expressions)
     Tables.load(s, dir, "events")
+      .select(col("event_type"), k.as("k"),
+        when(k.rlike("^-?[0-9]+$"), k.cast(LongType)).as("k_int"))
       .groupBy("event_type")
       .agg(
-        sum(kInt).as("sum_k"),
-        max(kInt).as("max_k"),
-        countDistinct(k).as("n_distinct_k"))
+        sum(col("k_int")).as("sum_k"),
+        max(col("k_int")).as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
   }
 
   // e11 — tumbling time buckets (batch analog of the streaming

@@ -80,6 +80,7 @@ object RunAnalytics {
       |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
     val ok = when(col("value") >= 50, 1).otherwise(0)
     Tables.load(s, dir, "events")
+      .withColumn("k_int", kInt) // parse+validate once per row
       .groupBy(col("event_type").as("node_id"))
       .agg(
         count(lit(1)).as("total"),
@@ -87,7 +88,7 @@ object RunAnalytics {
         (sum(ok).cast(DoubleType) / count(lit(1))).as("success_rate"),
         (sum(col("value").cast(D12_2)).cast(DoubleType) / count(lit(1)))
           .as("avg_latency"),
-        sum(kInt).as("total_tokens"))
+        sum(col("k_int")).as("total_tokens"))
   }
 
   // ---------------------------------------------------------------
@@ -130,12 +131,13 @@ object RunAnalytics {
       |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
     val ok = when(col("event_type") =!= "error", 1).otherwise(0)
     Tables.load(s, dir, "events")
+      .withColumn("k_int", kInt) // parse+validate once per row
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("n_decisions"),
         sum(ok).as("n_success"),
         (sum(ok).cast(DoubleType) / count(lit(1))).as("success_rate"),
-        sum(kInt).as("total_tokens"),
+        sum(col("k_int")).as("total_tokens"),
         array_join(array_sort(collect_set(col("event_type"))), ",")
           .as("nodes"),
         min("event_id").as("first_event"),
