@@ -170,9 +170,39 @@ class SafeEvalSpec extends SparkTestBase {
           val (a, av) = genBool(depth + 1); (s"(not $a)", !av)
       }
 
-    val samples = (1 to 120).map { k =>
-      if (k % 2 == 0) { val (e, v) = genInt(0); (e, v: Any) }
-      else { val (e, v) = genBool(0); (e, v: Any) }
+    // string fragment: literals + whitelisted methods + membership
+    val pool = Seq("alpha", "Beta", "  pad  ", "x", "")
+    def genStr(depth: Int): (String, String) =
+      rnd.nextInt(if (depth > 2) 1 else 4) match {
+        case 0 =>
+          val v = pool(rnd.nextInt(pool.length)); (s"'$v'", v)
+        case 1 =>
+          val (e, v) = genStr(depth + 1); (s"$e.lower()", v.toLowerCase)
+        case 2 =>
+          val (e, v) = genStr(depth + 1); (s"$e.upper()", v.toUpperCase)
+        case 3 =>
+          val (e, v) = genStr(depth + 1); (s"$e.strip()", v.trim)
+      }
+
+    def genStrBool(): (String, Boolean) =
+      rnd.nextInt(3) match {
+        case 0 =>
+          val (a, av) = genStr(0); val (b, bv) = genStr(0)
+          (s"$a == $b", av == bv)
+        case 1 =>
+          val (a, av) = genStr(0); val (b, bv) = genStr(0)
+          (s"$a != $b", av != bv)
+        case 2 => // python `in` on strings = substring containment
+          val (a, av) = genStr(1); val (b, bv) = genStr(1)
+          (s"$a in $b", bv.contains(av))
+      }
+
+    val samples = (1 to 180).map { k =>
+      k % 3 match {
+        case 0 => val (e, v) = genInt(0); (e, v: Any)
+        case 1 => val (e, v) = genBool(0); (e, v: Any)
+        case 2 => val (e, v) = genStrBool(); (e, v: Any)
+      }
     }
     val base = Seq((iVal, jVal)).toDF("i2", "j2")
     val s2 = base.schema
