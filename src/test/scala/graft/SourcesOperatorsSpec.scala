@@ -484,6 +484,27 @@ class MoreOperatorsSpec extends SparkTestBase {
     assert(mem("classified") === "yes")
   }
 
+  test("GraphRunner: failing condition evaluations route False, not abort " +
+      "(edge.py:200-204 under ANSI)") {
+    import spark.implicits._
+    import graft.model.Model.EdgeSpec
+    import graft.operators.GraphRunner
+    val edges = Seq(
+      // non-boolean string condition + int() on garbage: both are
+      // Python runtime errors -> False per the reference contract
+      EdgeSpec("start", "a", condition = "conditional",
+        conditionExpr = Some("memory.get('mode')"), priority = 2),
+      EdgeSpec("start", "b", condition = "conditional",
+        conditionExpr = Some("int(memory.get('mode')) > 0"), priority = 1))
+    val init = Seq(("s1", "start", true, Map("mode" -> "fast")))
+      .toDF("state_id", "node", "success", "memory")
+    val out = GraphRunner.run(spark, edges, Set("a", "b"), init,
+      nodeOutputs = Map.empty)
+    // neither condition is traversable; the job must complete with the
+    // session stuck rather than throw CAST_INVALID_INPUT
+    assert(out.head().getAs[String]("status") === "stuck")
+  }
+
   test("GraphRunner: rewriting an existing memory key wins " +
       "(executor.py:860-865 last-write semantics)") {
     import spark.implicits._
