@@ -138,26 +138,69 @@ object EventAnalytics {
           .as("avg_session_events"))
   }
 
-  // e06 — per-type distribution quantiles (interpolated; rounded to
-  // DECIMAL(18,4) on both sides — interpolation formulas can differ
-  // in the last ulp between engines)
+  // e06 — per-type distribution quantiles. Interpolation is spelled
+  // out identically on BOTH engines (rank window + conditional
+  // aggregate + lo + (hi-lo)·frac) instead of relying on
+  // quantile_cont ≡ percentile: the builtins interpolate with
+  // different expression orders, and any last-ulp difference survives
+  // (or is amplified by) discretization. Every operand here is an
+  // exact 2-decimal double, and both engines execute the same IEEE
+  // ops in the same order → bit-identical by construction.
+  // (n-1) is cast to DOUBLE before the multiply on BOTH engines:
+  // DuckDB parses the 0.5/0.9 literal as DECIMAL and would do exact
+  // decimal arithmetic where Spark does IEEE double
+  private def quantileCte(p: String, tag: String): String =
+    s"""MAX(CASE WHEN rn = CAST(floor(CAST(n-1 AS DOUBLE)*$p) AS BIGINT) + 1
+       |      THEN CAST(v AS DOUBLE) END) AS lo$tag,
+       |  MAX(CASE WHEN rn = least(CAST(floor(CAST(n-1 AS DOUBLE)*$p) AS BIGINT) + 2, n)
+       |      THEN CAST(v AS DOUBLE) END) AS hi$tag""".stripMargin
+
   val e06 = Q(
     "e06_value_quantiles",
-    """SELECT event_type,
-      |  CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,4)) AS DOUBLE) AS median_value,
-      |  CAST(CAST(quantile_cont(value, 0.9) AS DECIMAL(18,4)) AS DOUBLE) AS p90_value,
-      |  CAST(MIN(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS min_value,
-      |  CAST(MAX(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS max_value
-      |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+    s"""WITH r AS (
+      |  SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |sel AS (
+      |  SELECT event_type, n,
+      |  ${quantileCte("0.5", "50")},
+      |  ${quantileCte("0.9", "90")},
+      |  MIN(CAST(v AS DOUBLE)) AS min_value,
+      |  MAX(CAST(v AS DOUBLE)) AS max_value
+      |  FROM r GROUP BY event_type, n)
+      |SELECT event_type,
+      |  lo50 + (hi50 - lo50) * (CAST(n-1 AS DOUBLE)*0.5 - floor(CAST(n-1 AS DOUBLE)*0.5)) AS median_value,
+      |  lo90 + (hi90 - lo90) * (CAST(n-1 AS DOUBLE)*0.9 - floor(CAST(n-1 AS DOUBLE)*0.9)) AS p90_value,
+      |  min_value, max_value
+      |FROM sel""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value"), col("event_id"))
+    val wn = Window.partitionBy("event_type")
+    def idx(p: Double) = (col("n") - 1).cast(DoubleType) * p
+    def lohi(p: Double, tag: String) = Seq(
+      max(when(col("rn") === floor(idx(p)).cast(LongType) + 1,
+        col("v").cast(DoubleType))).as(s"lo$tag"),
+      max(when(col("rn") === least(
+        floor(idx(p)).cast(LongType) + 2, col("n")),
+        col("v").cast(DoubleType))).as(s"hi$tag"))
+    def interp(p: Double, tag: String) =
+      col(s"lo$tag") + (col(s"hi$tag") - col(s"lo$tag")) *
+        (idx(p) - floor(idx(p)))
+    val aggs = lohi(0.5, "50") ++ lohi(0.9, "90") ++ Seq(
+      min(col("v").cast(DoubleType)).as("min_value"),
+      max(col("v").cast(DoubleType)).as("max_value"))
     Tables.load(s, dir, "events")
-      .groupBy("event_type")
-      .agg(
-        expr("percentile(value, 0.5)").cast(DecimalType(18, 4))
-          .cast(DoubleType).as("median_value"),
-        expr("percentile(value, 0.9)").cast(DecimalType(18, 4))
-          .cast(DoubleType).as("p90_value"),
-        min(col("value").cast(D12_2)).cast(DoubleType).as("min_value"),
-        max(col("value").cast(D12_2)).cast(DoubleType).as("max_value"))
+      .withColumn("v", col("value").cast(D12_2))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy("event_type", "n")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("event_type"),
+        interp(0.5, "50").as("median_value"),
+        interp(0.9, "90").as("p90_value"),
+        col("min_value"), col("max_value"))
   }
 
   // e07 — stall detection: N consecutive identical values
