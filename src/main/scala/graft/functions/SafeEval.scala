@@ -415,7 +415,7 @@ object SafeEval {
             Some(DoubleType))
         }
         case "str" => TV(vs.head.c.cast(StringType), Some(StringType))
-        case "bool" => TV(vs.head.c.cast(BooleanType), Some(BooleanType))
+        case "bool" => TV(tryBool(vs.head.c), Some(BooleanType))
         case "abs" => TV(abs(vs.head.c), vs.head.dt)
         case "round" =>
           if (vs.size > 1) args(1) match {
@@ -442,9 +442,9 @@ object SafeEval {
           TV(aggregate(vs.head.c, lit(0).cast(
             vs.head.dt.collect { case ArrayType(et, _) => et }
               .getOrElse(DoubleType)), (acc, x) => acc + x), None)
-        case "all" => TV(forall(vs.head.c, x => x.cast(BooleanType)),
+        case "all" => TV(forall(vs.head.c, x => tryBool(x)),
           Some(BooleanType))
-        case "any" => TV(exists(vs.head.c, x => x.cast(BooleanType)),
+        case "any" => TV(exists(vs.head.c, x => tryBool(x)),
           Some(BooleanType))
       }
 

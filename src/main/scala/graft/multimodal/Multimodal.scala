@@ -83,20 +83,25 @@ object Multimodal {
     * the exploded (media_id, frame_idx) rows drive a later batched
     * decode. */
   def sampleFrameIndexes(media: DataFrame, fps: Int,
-      stride: Int): DataFrame =
+      stride: Int): DataFrame = {
+    require(fps >= 1 && fps <= 1000, s"unreasonable fps: $fps")
     media
       // bound the duration before arithmetic: a corrupt value (e.g.
       // nanoseconds stored as ms) would overflow duration_ms * fps
       // under ANSI and abort the stage; ~10 years of ms is a generous
-      // sanity ceiling for any real media
+      // sanity ceiling for any real media. n_frames stays in LONG
+      // integer math and is capped below Int.MaxValue — within the
+      // duration bound, even fps=1000 cannot overflow the Int cast.
       .filter(col("duration_ms").isNotNull &&
         col("duration_ms").between(0L, 315360000000L))
       .withColumn("n_frames",
-        (col("duration_ms") * fps / 1000).cast(IntegerType))
+        least(expr(s"(duration_ms * $fps) div 1000"),
+          lit(Int.MaxValue.toLong - 1)).cast(IntegerType))
       // media too short for a single complete frame produces no rows
       // (an unguarded sequence(0, greatest(-1, 0)) would emit frame 0)
       .filter(col("n_frames") >= 1)
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
       .select("media_id", "frame_idx")
+  }
 }

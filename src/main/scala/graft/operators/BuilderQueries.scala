@@ -144,7 +144,8 @@ object BuilderQueries {
     val chainLen = d.agg(
       coalesce(min(when(!col("success"), col("idx"))),
         max(col("idx"))).as("last_idx"))
-      .select((col("last_idx") + 1).as("n_chain_decisions"))
+      .select(coalesce(col("last_idx") + 1, lit(0L))
+        .as("n_chain_decisions")) // zero-decision run: empty chain
     run.select(col("run_id"))
       .join(firstFail, Seq("run_id"), "left")
       .crossJoin(chainLen)

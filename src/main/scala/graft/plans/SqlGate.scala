@@ -49,22 +49,26 @@ object SqlGate {
     * runs BEFORE the load — a blocked query must not pay the
     * full-file inferSchema scans or leave the view registered. */
   def csvSql(spark: SparkSession, path: String, sql: String): DataFrame = {
+    gate(spark, sql)
+    spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(path).createOrReplaceTempView("data")
+    spark.sql(sql) // already gated — avoid a second parse
+  }
+
+  private def gate(spark: SparkSession, sql: String): Unit =
     if (!isSelectOnly(spark, sql))
       throw new BlockedSqlException(
         "Only SELECT queries are allowed for security reasons")
-    spark.read.option("header", "true").option("inferSchema", "true")
-      .csv(path).createOrReplaceTempView("data")
-    query(spark, sql)
-  }
 
   /** `excel_sql` semantics (`excel_tool.py:574-617`): every sheet is a
     * table named after the sheet with spaces → underscores. Sheets
     * arrive as (name → DataFrame). */
   def sheetSql(spark: SparkSession, sheets: Map[String, DataFrame],
       sql: String): DataFrame = {
-    sheets.foreach { case (name, df) =>
+    gate(spark, sql) // before registration: a blocked query must not
+    sheets.foreach { case (name, df) => // leave views behind
       df.createOrReplaceTempView(name.replace(" ", "_"))
     }
-    query(spark, sql)
+    spark.sql(sql)
   }
 }

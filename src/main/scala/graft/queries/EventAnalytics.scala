@@ -162,7 +162,7 @@ object EventAnalytics {
       |    ROW_NUMBER() OVER (PARTITION BY event_type
       |      ORDER BY value, event_id) AS rn,
       |    COUNT(*) OVER (PARTITION BY event_type) AS n
-      |  FROM events),
+      |  FROM events WHERE value IS NOT NULL),
       |sel AS (
       |  SELECT event_type, n,
       |  ${quantileCte("0.5", "50")},
@@ -192,6 +192,9 @@ object EventAnalytics {
       min(col("v").cast(DoubleType)).as("min_value"),
       max(col("v").cast(DoubleType)).as("max_value"))
     Tables.load(s, dir, "events")
+      // nulls excluded like the percentile builtins would (they also
+      // rank at opposite ends of the two engines' default sort order)
+      .filter(col("value").isNotNull)
       .withColumn("v", col("value").cast(D12_2))
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(wn))
@@ -295,29 +298,32 @@ object EventAnalytics {
 
   // e10 — JSON payload extraction (AgentEvent.data map payloads,
   // event_bus.py:139-168; from_json/get_json_object path).
-  // Parity guards: DuckDB hard-errors on malformed JSON (json_valid
-  // gate) and ROUNDS '1.5'→2 on CAST to BIGINT while Spark nulls or
-  // throws — both engines therefore regex-validate integerness before
-  // the cast, so any payload shape hashes identically.
+  // Parity guards: the two JSON parsers disagree at the margins
+  // (DuckDB's json_valid hard-rejects what Spark's lenient
+  // get_json_object accepts, and vice versa for trailing commas), and
+  // DuckDB CAST ROUNDS '1.5'→2 where Spark nulls/throws. Both engines
+  // therefore gate on the SAME document-shape regex — inside the gate
+  // both parsers agree — and regex-validate integerness before the
+  // cast, so any payload shape hashes identically.
+  private val propsShape = """^\{"k": -?[0-9]+\}$"""
+
   val e10 = Q(
     "e10_json_extract",
-    """SELECT event_type,
-      |  CAST(SUM(CASE WHEN json_valid(props)
-      |    AND regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
-      |    THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END) AS BIGINT) AS sum_k,
-      |  MAX(CASE WHEN json_valid(props)
-      |    AND regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
-      |    THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END) AS max_k,
-      |  COUNT(DISTINCT CASE WHEN json_valid(props)
-      |    THEN json_extract_string(props, '$.k') END) AS n_distinct_k
+    s"""SELECT event_type,
+      |  CAST(SUM(CASE WHEN regexp_matches(props, '$propsShape')
+      |    THEN CAST(json_extract_string(props, '$$.k') AS BIGINT) END) AS BIGINT) AS sum_k,
+      |  MAX(CASE WHEN regexp_matches(props, '$propsShape')
+      |    THEN CAST(json_extract_string(props, '$$.k') AS BIGINT) END) AS max_k,
+      |  COUNT(DISTINCT CASE WHEN regexp_matches(props, '$propsShape')
+      |    THEN json_extract_string(props, '$$.k') END) AS n_distinct_k
       |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
-    val k = get_json_object(col("props"), "$.k")
+    val valid = col("props").rlike(propsShape)
+    val k = when(valid, get_json_object(col("props"), "$.k"))
     // materialize the parsed/validated values once per row — inlined
     // into three aggregate expressions the JSON parse + regex would
     // run three times (no CSE across agg expressions)
     Tables.load(s, dir, "events")
-      .select(col("event_type"), k.as("k"),
-        when(k.rlike("^-?[0-9]+$"), k.cast(LongType)).as("k_int"))
+      .select(col("event_type"), k.as("k"), k.cast(LongType).as("k_int"))
       .groupBy("event_type")
       .agg(
         sum(col("k_int")).as("sum_k"),

@@ -17,21 +17,23 @@ object RunAnalytics {
 
   private val D12_2 = DecimalType(12, 2)
 
-  /** Oracle-side integer extraction of props.k with validity guards —
-    * DuckDB errors on malformed JSON and ROUNDS non-integer text on
-    * CAST to BIGINT; gating on json_valid + an integer regex makes
-    * both engines agree on any payload shape. */
+  /** Oracle-side integer extraction of props.k. Both engines gate on
+    * the SAME document-shape regex (their JSON parsers disagree at the
+    * margins — DuckDB hard-rejects payloads Spark reads leniently and
+    * accepts trailing commas Spark nulls; DuckDB CAST also ROUNDS
+    * non-integer text) — inside the gate the parsers agree and the
+    * cast input is integer text on both sides. */
+  private val propsShape = """^\{"k": -?[0-9]+\}$"""
+
   private val kIntSql =
-    """CASE WHEN json_valid(props)
-      |    AND regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
-      |    THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END"""
+    s"""CASE WHEN regexp_matches(props, '$propsShape')
+      |    THEN CAST(json_extract_string(props, '$$.k') AS BIGINT) END"""
       .stripMargin
 
   /** Spark twin of [[kIntSql]]. */
-  private def kInt = {
-    val k = get_json_object(col("props"), "$.k")
-    when(k.rlike("^-?[0-9]+$"), k.cast(LongType))
-  }
+  private def kInt =
+    when(col("props").rlike(propsShape),
+      get_json_object(col("props"), "$.k")).cast(LongType)
 
   // ---------------------------------------------------------------
   // a01 as-of join — for every purchase, the most recent earlier error

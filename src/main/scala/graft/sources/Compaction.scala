@@ -31,7 +31,7 @@ object Compaction {
       outDir: String, targetFiles: Int = 1): Long = {
     val df = SessionSource.load(spark, sessionsRoot)
       .withColumn("started_date",
-        to_date(to_timestamp(col("timestamps.started_at"))))
+        to_date(try_to_timestamp(col("timestamps.started_at"))))
     // hash-partitioning by the date alone funnels each whole date
     // through ONE task (one giant file, a straggler on hot dates); a
     // stable salt from the row key splits every date across
