@@ -285,36 +285,76 @@ object TextDedup {
   }
 
   // ---------------------------------------------------------------
-  // d06 embedding-cosine near-dup — exact integer cosine within label
-  // blocks (the coarse IVF cell of v02 as the blocking key: candidate
-  // pairs only form inside a cell, so the join is an equi-join on the
-  // cell id — the same shape LSH bucketing gives, with the cell
-  // assignment already stored). Vectors pre-scaled to BIGINT once
-  // ([[graft.functions.Fns.scaleVec]]); pair loop is pure integer
-  // multiply-add.
+  // d06 embedding-cosine near-dup — exact integer cosine within
+  // (label, coarse-cell) blocks. The cell is an IVF-style orthant
+  // code: the sign pattern of [[D06CellBits]] embedding dims, two
+  // bands OR'd LSH-style for recall (a pair is a candidate if it
+  // agrees on EITHER band's cell). Each band is a plain equi-join on
+  // (label, cell): block size is bounded by corpus/(labels·2^bits)
+  // instead of corpus/labels — the bare-label key was O(N) per block
+  // and within-block pairing went quadratic at scale. At 100 TB you
+  // widen D06CellBits (same plan, finer cells), exactly like d04's
+  // widen-to-64-bit note. Vectors pre-scaled to BIGINT once
+  // ([[graft.functions.Fns.scaleVec]]); signs are taken on the scaled
+  // ints so both engines see identical cells; pair loop is pure
+  // integer multiply-add.
+  /** Bits per d06 orthant band — 2^bits cells per band per label. */
+  private val D06CellBits = 4
+
+  /** Oracle fragment: orthant code over sx[from .. from+bits-1]
+    * (1-indexed), bit i set when the scaled component is > 0. */
+  private def orthantSql(from: Int): String =
+    (0 until D06CellBits)
+      .map(i => s"(CASE WHEN sx[${from + i}] > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  /** Spark twin of [[orthantSql]] over the `sx` column. */
+  private def orthantCol(from: Int): Column =
+    (0 until D06CellBits)
+      .map(i => when(element_at(col("sx"), from + i) > 0, lit(1 << i))
+        .otherwise(lit(0)))
+      .reduce(_ + _)
+
   val d06 = Q(
     "d06_embedding_neardup",
-    """WITH e AS (SELECT vec_id, label,
+    s"""WITH e AS (SELECT vec_id, label,
       |    list_transform(embedding, x -> round(x::DOUBLE*1e6)::BIGINT) AS sx
       |  FROM embeddings),
       |n AS (SELECT vec_id, label, sx,
-      |  CAST(list_sum(list_transform(sx, x -> x*x)) AS BIGINT) AS nn FROM e)
+      |  CAST(list_sum(list_transform(sx, x -> x*x)) AS BIGINT) AS nn,
+      |  ${orthantSql(1)} AS c1, ${orthantSql(1 + D06CellBits)} AS c2
+      |  FROM e)
       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
       |  CAST(list_sum(list_transform(list_zip(a.sx, b.sx),
       |    x -> x[1]*x[2])) AS BIGINT)::DOUBLE
       |    / (sqrt(a.nn::DOUBLE) * sqrt(b.nn::DOUBLE)) AS cosine
       |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |  AND (a.c1 = b.c1 OR a.c2 = b.c2)
       |WHERE cosine >= 0.3""".stripMargin) { (s, dir) =>
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         Fns.scaleVec(col("embedding")).as("sx"))
       .withColumn("nn", VectorExprs.normSqIntNative(col("sx")))
-    val a = e.select(col("vec_id").as("vec_a"), col("label"),
+      .withColumn("c1", orthantCol(1))
+      .withColumn("c2", orthantCol(1 + D06CellBits))
+    // candidate generation: one equi-join per band (the OR in the
+    // oracle's join condition would force a non-equi join in Spark;
+    // union-distinct of per-band equi-joins is the same set with
+    // shuffle-key joins throughout — d03's band pattern)
+    val ids = e.select("vec_id", "label", "c1", "c2")
+    val cand = Seq("c1", "c2").map { c =>
+      ids.select(col("vec_id").as("vec_a"), col("label"), col(c).as("c"))
+        .join(ids.select(col("vec_id").as("vec_b"), col("label"),
+          col(c).as("c")), Seq("label", "c"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b", "label")
+    }.reduce(_ union _).distinct()
+    // verification: re-attach the two signatures and take exact cosine
+    val a = e.select(col("vec_id").as("vec_a"),
       col("sx").as("sx_a"), col("nn").as("nn_a"))
-    val b = e.select(col("vec_id").as("vec_b"), col("label"),
+    val b = e.select(col("vec_id").as("vec_b"),
       col("sx").as("sx_b"), col("nn").as("nn_b"))
-    a.join(b, Seq("label"))
-      .filter(col("vec_a") < col("vec_b"))
+    cand.join(a, "vec_a").join(b, "vec_b")
       .select(col("vec_a"), col("vec_b"), col("label"),
         Fns.cosineFromScaled(VectorExprs.dotIntNative(col("sx_a"), col("sx_b")),
           col("nn_a"), col("nn_b")).as("cosine"))

@@ -27,6 +27,10 @@ object VectorSearch {
   /** Embedding width of the `embeddings` table (TESTDATA.md). */
   private val Dims = 64
 
+  /** v01's query-set bound: the broadcast side is at most this many
+    * rows no matter how large the corpus grows. */
+  private val V01Queries = 20
+
   /** Oracle fragment: embeddings pre-scaled to integer vectors
     * (sx_i = round(x_i·1e6), one rounding per element per VECTOR), plus
     * the integer squared norm. The pair-loop dot product is then pure
@@ -46,14 +50,18 @@ object VectorSearch {
       |      x -> x[1]*x[2])) AS BIGINT)""".stripMargin
 
   // ---------------------------------------------------------------
-  // v01 brute-force cosine top-k — every 50th vector queries the whole
-  // corpus; the corpus side streams (no shuffle), the query side
-  // broadcasts. Exact; the baseline the ANN tiers are judged against.
+  // v01 brute-force cosine top-k — an explicit BOUNDED query set (the
+  // first [[V01Queries]] sampled ids in deterministic vec_id order)
+  // against the whole corpus; the corpus side streams (no shuffle),
+  // the query side broadcasts. Exact; the baseline the ANN tiers are
+  // judged against. The bound is what makes the broadcast safe at any
+  // corpus size — unbounded query sets belong to v03's bucket join.
   val v01 = Q(
     "v01_knn_bruteforce",
     s"""$normCte,
       |q AS (SELECT vec_id AS q_id, sx AS q_sx, n AS q_n
-      |      FROM e WHERE vec_id % 50 = 0),
+      |      FROM e WHERE vec_id % 50 = 0
+      |      ORDER BY vec_id LIMIT $V01Queries),
       |p AS (SELECT q.q_id, e.vec_id AS neighbor_id,
       |        $dotSql::DOUBLE / (sqrt(q.q_n::DOUBLE) * sqrt(e.n::DOUBLE)) AS cosine
       |      FROM q JOIN e ON e.vec_id <> q.q_id)
@@ -64,15 +72,15 @@ object VectorSearch {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), Fns.scaleVec(col("embedding")).as("sx"))
       .withColumn("n", VectorExprs.normSqIntNative(col("sx")))
+    // the bounded query set: sampled ids, unique-key ORDER BY + LIMIT
+    // so both engines pick the identical set; broadcast size is
+    // V01Queries rows regardless of corpus size
     val q = e.filter(col("vec_id") % 50 === 0)
+      .orderBy("vec_id").limit(V01Queries)
       .select(col("vec_id").as("q_id"), col("sx").as("q_sx"),
         col("n").as("q_n"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    // exact brute-force baseline: a bounded query set is part of the
-    // operator's contract (top-k for SPECIFIC queries); the broadcast
-    // of that bounded set is the intended plan — corpus streams, no
-    // shuffle. Unbounded query sets belong to d06/v03's equi-join path.
     e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         Fns.cosineFromScaled(
