@@ -1,0 +1,50 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Local profiling aid (not part of the driver contract): runs each
+  * query N times in one session and prints per-run times, separating
+  * one-shot cost (Catalyst analysis + Janino codegen + AQE re-plan)
+  * from steady-state data-path time. */
+object BenchProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARFIRST", "false"))
+      .config(graft.operators.Pin.Key,
+        sys.env.getOrElse("SPARK_GRAFT_PIN", "localCheckpoint"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+    // optional: untimed pass over the whole suite at a (small) warm
+    // dir first — measures how much of the per-query cost is
+    // plan-shape-keyed cache (Janino codegen, parquet footers, JIT)
+    sys.env.get("SPARK_GRAFT_WARM_DIR").foreach { wd =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, wd).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+      println(f"WARMPASS ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (only.forall(_.contains(name))) {
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"PROFILE $name%-28s ${times.map(t => f"$t%.3f").mkString(" ")}")
+      }
+    }
+    spark.stop()
+  }
+}

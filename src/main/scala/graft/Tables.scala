@@ -16,16 +16,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-      // reader rejects; read it as a LongType of epoch-nanoseconds.
-      // Millisecond values derive via INTEGER division (`ts div 1000000`)
-      // — float division loses precision at 1.7e18-ns magnitudes.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    }
-    spark.read.parquet(s"$dir/$name.parquet")
-  }
+  // Relation cache: one analyzed scan per (session, path). Re-creating
+  // the DataFrame per query re-lists files and re-reads the parquet
+  // footer on the driver — pure per-query latency that a long-lived
+  // session (or a catalog table at cluster scale) never pays. The
+  // logical plan is immutable, so sharing it across queries is safe.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, s"$dir/$name.parquet"), { key =>
+      if (name == "events") {
+        // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+        // reader rejects; read it as a LongType of epoch-nanoseconds.
+        // Millisecond values derive via INTEGER division (`ts div 1000000`)
+        // — float division loses precision at 1.7e18-ns magnitudes.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      }
+      spark.read.parquet(key._2)
+    })
 
   /** Register every table as a temp view (the family-A SQL surface:
     * reference registers each CSV/sheet as a queryable table,

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** Graph-shaped query capabilities of the reference's dataflow engine,
   * re-expressed on DataFrames (SURVEY §2.10): reachability
@@ -34,10 +35,10 @@ object GraphOps {
         .select(col("dst").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("depth", lit(depth))
-        .localCheckpoint(true)
+        .pipe(Pin.apply)
       if (next.isEmpty) done = true
       else {
-        visited = visited.union(next).localCheckpoint(true)
+        visited = Pin(visited.union(next))
         frontier = next
       }
     }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.model.Model.EdgeSpec
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** Vectorized deterministic graph traversal (family E, SURVEY §2.10).
   *
@@ -123,7 +124,7 @@ object GraphRunner {
         .unionByName(nowTerminal)
         .unionByName(routed.select(finished.columns.map(col): _*))
         .unionByName(stuck)
-        .localCheckpoint(true)
+        .pipe(Pin.apply)
       activeLeft = !states.filter(col("status") === "active").isEmpty
     }
     states.withColumn("status",

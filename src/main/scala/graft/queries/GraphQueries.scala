@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.operators.GraphOps
+import graft.operators.{GraphOps, Pin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -58,9 +58,8 @@ object GraphQueries {
       |FROM nodes LEFT JOIN m ON nodes.id = m.node""".stripMargin) {
     (s, dir) =>
       val e = edges(s, dir)
-      val nodes = Tables.load(s, dir, "events")
-        .select(col("event_type").as("id")).distinct()
-        .localCheckpoint(true) // reused for entry pick + final left join
+      val nodes = Pin(Tables.load(s, dir, "events") // entry pick + final left join reuse
+        .select(col("event_type").as("id")).distinct())
       val entry = nodes.agg(min("id")).head().getString(0)
       // the transition graph is post-aggregation (≤ |event types|
       // nodes): BFS on the collected edge list, not per-depth joins.

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.operators.Pin
 import graft.functions.{Fns, VectorExprs}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -107,9 +108,8 @@ object TextDedup {
     (s, dir) =>
       // the hashed gram relation fans out (2 join sides + doc sizes):
       // pin it so tokenize+shingle+md5 runs once
-      val h0 = grams(s, dir)
-        .select(col("doc_id"), Fns.hash60(col("gram")).as("gid"))
-        .localCheckpoint(true)
+      val h0 = Pin(grams(s, dir)
+        .select(col("doc_id"), Fns.hash60(col("gram")).as("gid")))
       // document-frequency cap: a hub shingle appearing in >1000 docs
       // would square into >500k candidate pairs on ONE shuffle key —
       // the standard capped-Jaccard guard, mirrored in the oracle so
@@ -182,8 +182,7 @@ object TextDedup {
         min((lit(as(k)) * col("x") + lit(bs(k))) % 2147483647L).as(s"m$k"))
       // one row per doc; feeds 4 band joins + 2 signature re-joins —
       // pin it so the shingle+hash pass runs once
-      val sig = h.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-        .localCheckpoint(true)
+      val sig = Pin(h.groupBy("doc_id").agg(mins.head, mins.tail: _*))
       val aCols = "doc_a" +: (0 to 7).map(k => s"a$k")
       val bCols = "doc_b" +: (0 to 7).map(k => s"b$k")
       val sa = sig.toDF(aCols: _*)
@@ -239,11 +238,10 @@ object TextDedup {
       val assemble = (0 to 31)
         .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
         .reduce(_ + _)
-      val sim = hh
+      val sim = Pin(hh // feeds both sides of the piece join
         .groupBy("doc_id")
         .agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"), assemble.as("simhash"))
-        .localCheckpoint(true) // feeds both sides of the piece join
+        .select(col("doc_id"), assemble.as("simhash")))
       // pigeonhole: hamming<=3 over 4 pieces => >=1 piece identical
       val pieces = sim
         .withColumn("p", explode(sequence(lit(0), lit(3))))
