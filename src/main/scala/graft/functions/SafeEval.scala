@@ -60,12 +60,34 @@ object SafeEval {
       else if (c.isDigit || (c == '.' && i + 1 < s.length && s(i + 1).isDigit)) {
         val start = i
         while (i < s.length && (s(i).isDigit || s(i) == '.')) i += 1
-        out += Tok("num", s.substring(start, i))
+        val t = s.substring(start, i)
+        // a malformed literal like 1.2.3 must fail as a SafeEvalException
+        // at parse, not escape later as NumberFormatException (the
+        // Python lexer this mirrors rejects it as a SyntaxError)
+        if (t.count(_ == '.') > 1)
+          throw new SafeEvalException(s"bad numeric literal '$t'")
+        out += Tok("num", t)
       } else if (c == '\'' || c == '"') {
-        val q = c; val start = i + 1; i += 1
-        while (i < s.length && s(i) != q) i += 1
+        val q = c; i += 1
+        val sb = new StringBuilder
+        // Python string-literal escapes: \' \" \\ \n \t \r; an
+        // unrecognized escape keeps the backslash, as Python does
+        while (i < s.length && s(i) != q) {
+          if (s(i) == '\\' && i + 1 < s.length) {
+            s(i + 1) match {
+              case 'n' => sb += '\n'
+              case 't' => sb += '\t'
+              case 'r' => sb += '\r'
+              case '\'' => sb += '\''
+              case '"' => sb += '"'
+              case '\\' => sb += '\\'
+              case other => sb += '\\'; sb += other
+            }
+            i += 2
+          } else { sb += s(i); i += 1 }
+        }
         if (i >= s.length) throw new SafeEvalException("unterminated string")
-        out += Tok("str", s.substring(start, i)); i += 1
+        out += Tok("str", sb.toString); i += 1
       } else if (c.isLetter || c == '_') {
         val start = i
         while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1

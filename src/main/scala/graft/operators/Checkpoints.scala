@@ -13,12 +13,20 @@ import org.apache.spark.sql.functions._
   */
 object Checkpoints {
 
-  /** Latest clean checkpoint per session
-    * (`checkpoint.py:171-177`): newest `is_clean` row, checkpoint_id
-    * tie-break for determinism. */
+  /** Latest clean checkpoint per session (`checkpoint.py:175-178`):
+    * the reference's index is an appended list and latest-clean is
+    * `clean[-1]` — pure insertion order. If the input carries a
+    * monotonic insertion sequence column `seq` (the relational analog
+    * of list position), order by it exactly; otherwise fall back to
+    * `created_at` desc with a `checkpoint_id` desc tie-break — a
+    * deliberate determinism delta from list order that only differs
+    * when two clean checkpoints share a same-second `created_at` AND
+    * their id lexicographic order disagrees with insertion order. */
   def latestClean(checkpoints: DataFrame): DataFrame = {
-    val w = Window.partitionBy("session_id")
-      .orderBy(col("created_at").desc, col("checkpoint_id").desc)
+    val order =
+      if (checkpoints.columns.contains("seq")) Seq(col("seq").desc)
+      else Seq(col("created_at").desc, col("checkpoint_id").desc)
+    val w = Window.partitionBy("session_id").orderBy(order: _*)
     checkpoints
       .filter(col("is_clean"))
       .withColumn("rn", row_number().over(w))

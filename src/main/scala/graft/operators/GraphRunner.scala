@@ -65,12 +65,19 @@ object GraphRunner {
           lit(false)) // replaced below
         .otherwise(col("success")) // llm_decide fallback edge.py:271-274
 
-    // compile each distinct CONDITIONAL expr once (driver-scale set)
+    // compile each distinct CONDITIONAL expr once (driver-scale set).
+    // An expression that fails to PARSE routes False instead of
+    // aborting the run — the reference catches every safe_eval error
+    // (syntax included) and treats the edge as non-traversable
+    // (edge.py:199-204); runtime eval failures already have TRY
+    // semantics inside SafeEval.condition.
     val condExprs = edges.filter(_.condition == "conditional")
       .flatMap(_.conditionExpr).distinct
     val conditionalCol = condExprs.foldLeft(lit(false)) { (acc, e) =>
-      when(col("condition_expr") === e,
-        graft.functions.SafeEval.condition(e, memSchema)).otherwise(acc)
+      val compiled =
+        try graft.functions.SafeEval.condition(e, memSchema)
+        catch { case _: Exception => lit(false) }
+      when(col("condition_expr") === e, compiled).otherwise(acc)
     }
     val travCol = when(col("condition") === "conditional", conditionalCol)
       .otherwise(traversable)

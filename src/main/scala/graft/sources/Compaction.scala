@@ -47,10 +47,13 @@ object Compaction {
   }
 
   /** Compact an events JSONL log directory (the `HIVE_DEBUG_EVENTS`
-    * layout, `event_bus.py:28-56`) into date-partitioned Parquet. */
+    * layout, `event_bus.py:28-56`) into date-partitioned Parquet.
+    * Reads the reference's own serialization (snake_case fields, ISO
+    * `timestamp` — `event_bus.py:150-162`) via
+    * [[graft.streaming.EventStream.batchFromJsonl]]. */
   def compactEvents(spark: SparkSession, jsonlDir: String,
       outDir: String, targetFiles: Int = 1): Long = {
-    val df = CsvSource.readJsonl(spark, jsonlDir)
+    val df = graft.streaming.EventStream.batchFromJsonl(spark, jsonlDir)
       .withColumn("event_date", to_date(col("ts")))
     df.repartition(
         col("event_date"), pmod(hash(col("ts")), lit(targetFiles)))

@@ -47,13 +47,50 @@ object EventStream {
       sub.executionId.forall(x => e.executionId.contains(x))
     }
 
+  /** The on-disk field layout of a HIVE_DEBUG_EVENTS line — exactly
+    * what `AgentEvent.to_dict` serializes (`event_bus.py:150-162`):
+    * snake_case names, ISO-8601 `timestamp` string (Python
+    * `datetime.isoformat()`, microsecond precision, usually no zone).
+    * `data` values may be nested JSON; Spark's JSON reader captures
+    * non-string values as their raw JSON text under
+    * `MAP<STRING,STRING>`, matching the tolerant read the analytics
+    * queries expect. */
+  val referenceEventSchema: String =
+    "type STRING, stream_id STRING, node_id STRING, " +
+      "execution_id STRING, data MAP<STRING,STRING>, " +
+      "timestamp STRING, correlation_id STRING, graph_id STRING"
+
+  /** Rename a reference-layout event frame to the internal contract
+    * (`eventType/streamId/nodeId/executionId/ts/data` + the two
+    * pass-through correlation coordinates). `try_to_timestamp` keeps
+    * the reader tolerant: a malformed timestamp yields a null `ts`,
+    * not a dead job. */
+  def normalizeReferenceEvents(df: DataFrame): DataFrame =
+    df.select(
+      col("type").as("eventType"),
+      col("stream_id").as("streamId"),
+      col("node_id").as("nodeId"),
+      col("execution_id").as("executionId"),
+      try_to_timestamp(col("timestamp")).as("ts"),
+      col("data"),
+      col("correlation_id").as("correlationId"),
+      col("graph_id").as("graphId"))
+
   /** JSONL event-log source (the reference's HIVE_DEBUG_EVENTS JSONL,
-    * `event_bus.py:28-56`) as a file stream. */
+    * `event_bus.py:28-56`) as a file stream. Parses the reference's
+    * own serialization (`AgentEvent.to_dict`, `event_bus.py:150-162`)
+    * and renames to the internal contract. */
   def fromJsonl(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema("eventType STRING, streamId STRING, nodeId STRING, " +
-        "executionId STRING, ts TIMESTAMP, data MAP<STRING,STRING>")
-      .json(dir)
+    normalizeReferenceEvents(
+      spark.readStream.schema(referenceEventSchema).json(dir))
+
+  /** Batch flavor of [[fromJsonl]] for compaction / replay analytics;
+    * corrupt lines drop instead of failing (`runtime_log_store.py:265-289`
+    * tolerance contract). */
+  def batchFromJsonl(spark: SparkSession, dir: String): DataFrame =
+    normalizeReferenceEvents(
+      spark.read.schema(referenceEventSchema)
+        .option("mode", "DROPMALFORMED").json(dir))
 
   /** Tumbling event-time rollup with watermark — the 2-minute health
     * cadence (`monitoring/judge.py:4`) as a windowed aggregation. */

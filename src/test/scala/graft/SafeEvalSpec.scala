@@ -74,6 +74,26 @@ class SafeEvalSpec extends SparkTestBase {
     intercept[SafeEvalException](SafeEval.compile("arr.append(1)", schema))
   }
 
+  test("malformed numeric literals raise SafeEvalException, " +
+      "not NumberFormatException (lexer parity)") {
+    intercept[SafeEvalException](SafeEval.compile("1.2.3"))
+    intercept[SafeEvalException](SafeEval.compile("i + 1.2.3", schema))
+    // valid forms still lex
+    assert(evalRow0("1.5 + .5") === 2.0)
+  }
+
+  test("backslash escapes in string literals (python lexer semantics)") {
+    assert(evalRow0("""'it\'s'""") === "it's")
+    assert(evalRow0(""""say \"hi\"""" + "\"") === "say \"hi\"")
+    assert(evalRow0("""'a\nb'""") === "a\nb")
+    assert(evalRow0("""'a\tb'""") === "a\tb")
+    assert(evalRow0("""'back\\slash'""") === "back\\slash")
+    // unknown escape keeps the backslash, as Python does
+    assert(evalRow0("""'a\qb'""") === "a\\qb")
+    // an escaped quote must not terminate the literal early
+    assert(evalRow0("""len('it\'s')""") === 4)
+  }
+
   test("condition(): errors/nulls collapse to false (edge.py:200-204)") {
     val got = df.select(SafeEval.condition("m.get('zz') == 'v'", schema))
       .collect().map(_.getBoolean(0))

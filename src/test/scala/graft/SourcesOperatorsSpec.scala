@@ -307,11 +307,13 @@ class CompactionSpec extends SparkTestBase {
     }
   }
 
-  test("events JSONL -> date-partitioned parquet") {
+  test("events JSONL -> date-partitioned parquet (reference layout, " +
+      "event_bus.py:150-162)") {
     val dir = Files.createTempDirectory("cev").toFile
+    // exactly what AgentEvent.to_dict + json.dumps writes
     Files.writeString(new java.io.File(dir, "ev.jsonl").toPath,
-      """{"eventType":"a","streamId":"s","ts":"2026-03-01T10:00:00Z"}
-        |{"eventType":"b","streamId":"s","ts":"2026-03-02T11:00:00Z"}
+      """{"type":"node_started","stream_id":"s","node_id":null,"execution_id":null,"data":{},"timestamp":"2026-03-01T10:00:00.123456","correlation_id":null,"graph_id":null}
+        |{"type":"node_completed","stream_id":"s","node_id":"n1","execution_id":"x1","data":{"k":"v"},"timestamp":"2026-03-02T11:00:00.000001","correlation_id":"c1","graph_id":"g1"}
         |corrupt line
         |""".stripMargin)
     val out = Files.createTempDirectory("cevo").toString + "/events"
@@ -503,6 +505,48 @@ class MoreOperatorsSpec extends SparkTestBase {
     // neither condition is traversable; the job must complete with the
     // session stuck rather than throw CAST_INVALID_INPUT
     assert(out.head().getAs[String]("status") === "stuck")
+  }
+
+  test("GraphRunner: an edge expression that fails to PARSE routes " +
+      "False instead of killing the run (edge.py:199-204)") {
+    import spark.implicits._
+    import graft.model.Model.EdgeSpec
+    import graft.operators.GraphRunner
+    val edges = Seq(
+      // syntax error at plan-build time: must compile to lit(false),
+      // not throw SafeEvalException and abort all sessions
+      EdgeSpec("start", "a", condition = "conditional",
+        conditionExpr = Some("memory.get('x') =="), priority = 2),
+      EdgeSpec("start", "b", condition = "conditional",
+        conditionExpr = Some("memory.get('mode') == 'fast'"), priority = 1))
+    val init = Seq(("s1", "start", true, Map("mode" -> "fast")))
+      .toDF("state_id", "node", "success", "memory")
+    val out = GraphRunner.run(spark, edges, Set("a", "b"), init,
+      nodeOutputs = Map.empty)
+    val row = out.head()
+    // the malformed higher-priority edge is non-traversable; the valid
+    // lower-priority edge still routes
+    assert(row.getAs[String]("status") === "completed")
+    assert(row.getAs[String]("node") === "b")
+  }
+
+  test("Checkpoints.latestClean honors insertion order via seq " +
+      "(checkpoint.py:175-178 clean[-1] semantics)") {
+    import spark.implicits._
+    // same-second created_at; id lexicographic order (cp_B > cp_A)
+    // disagrees with insertion order (cp_A inserted later)
+    val cp = Seq(
+      ("s1", "cp_B", "node_complete", "b",
+        Timestamp.valueOf("2026-03-01 10:00:00"), true, 1L),
+      ("s1", "cp_A", "node_complete", "a",
+        Timestamp.valueOf("2026-03-01 10:00:00"), true, 2L))
+      .toDF("session_id", "checkpoint_id", "checkpoint_type",
+        "current_node", "created_at", "is_clean", "seq")
+    val withSeq = Checkpoints.latestClean(cp).head()
+    assert(withSeq.getAs[String]("checkpoint_id") === "cp_A")
+    // without seq: documented fallback picks the id tie-break
+    val noSeq = Checkpoints.latestClean(cp.drop("seq")).head()
+    assert(noSeq.getAs[String]("checkpoint_id") === "cp_B")
   }
 
   test("GraphRunner: rewriting an existing memory key wins " +

@@ -133,12 +133,15 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("fromJsonl file stream: debug-log replay end-to-end " +
-      "(event_bus.py:28-56)") {
+  test("fromJsonl file stream: reference-layout debug-log replay, " +
+      "every field parses non-null (event_bus.py:150-162)") {
     val dir = Files.createTempDirectory("evjsonl").toFile
+    // fixture lines are byte-for-byte what AgentEvent.to_dict +
+    // json.dumps produces: snake_case names, isoformat() timestamp
+    // (microseconds, no zone), nested object inside data
     Files.writeString(new java.io.File(dir, "events.jsonl").toPath,
-      """{"eventType":"node_started","streamId":"s1","ts":"2026-03-01T10:00:00Z","data":{"node":"fetch"}}
-        |{"eventType":"node_failed","streamId":"s1","ts":"2026-03-01T10:00:05Z","data":{"node":"fetch"}}
+      """{"type":"node_started","stream_id":"s1","node_id":"fetch","execution_id":"ex1","data":{"node":"fetch","args":{"q":"1"}},"timestamp":"2026-03-01T10:00:00.123456","correlation_id":"corr1","graph_id":"g1"}
+        |{"type":"node_failed","stream_id":"s1","node_id":"fetch","execution_id":"ex1","data":{"node":"fetch"},"timestamp":"2026-03-01T10:00:05.000000","correlation_id":"corr1","graph_id":"g1"}
         |""".stripMargin)
     val stream = EventStream.fromJsonl(spark, dir.getAbsolutePath)
     assert(stream.isStreaming)
@@ -147,9 +150,21 @@ class EventStreamSpec extends SparkTestBase {
     try {
       q.processAllAvailable()
       val rows = spark.table("jsonl_replay")
-      assert(rows.count() === 2)
-      assert(rows.filter(col("eventType") === "node_failed").count() === 1)
-      assert(rows.head().getAs[Map[String, String]]("data").nonEmpty)
+        .orderBy("ts").collect()
+      assert(rows.length === 2)
+      val r = rows.head
+      assert(r.getAs[String]("eventType") === "node_started")
+      assert(r.getAs[String]("streamId") === "s1")
+      assert(r.getAs[String]("nodeId") === "fetch")
+      assert(r.getAs[String]("executionId") === "ex1")
+      assert(r.getAs[java.sql.Timestamp]("ts") !== null)
+      assert(r.getAs[String]("correlationId") === "corr1")
+      assert(r.getAs[String]("graphId") === "g1")
+      val data = r.getAs[Map[String, String]]("data")
+      assert(data("node") === "fetch")
+      // nested JSON object captured as its raw text
+      assert(data("args").contains("\"q\""))
+      assert(rows.last.getAs[String]("eventType") === "node_failed")
     } finally q.stop()
   }
 
