@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Native Catalyst expression for the integer dot product — the hot
   * inner loop of the similarity-search family (SURVEY §4.2c; the
@@ -69,6 +69,88 @@ case class LongArrayDot(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(newLeft, newRight)
 }
 
+/** Word-3-gram shingle hashes in one native pass per document.
+  *
+  * Replaces the interpreted chain `transform(sequence(...), concat_ws)`
+  * → `explode` → `md5` → `substring` → `conv` that dominated the dedup
+  * family's data path: higher-order functions are CodegenFallback (per
+  * element lambda binding + boxing), `md5` goes through commons-codec
+  * hex strings, and `conv` re-parses that hex. Here each document pays
+  * one interpreted call (CodegenFallback at DOCUMENT granularity, ~400
+  * grams per call) and the inner loop is tight Java: token bytes are
+  * materialized once, each gram digests `w_i ' ' w_{i+1} ' ' w_{i+2}`
+  * through a thread-local reused MessageDigest, and the value is the
+  * first 15 hex nibbles of the md5 read directly from the digest bytes
+  * (first 8 bytes as unsigned big-endian >>> 4) — bit-identical to
+  * `('0x'||substr(md5(gram),1,15))::BIGINT` on the DuckDB side.
+  *
+  * `distinct = true` dedups hashes per document (the relational twin of
+  * `list_distinct` over gram strings, applied post-hash on both engines
+  * so any 60-bit collision collapses identically).
+  */
+case class Shingle3Hash60(child: Expression, distinct: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_shingle3_hash60"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val ws = input.asInstanceOf[ArrayData]
+    val n = ws.numElements()
+    if (n < 3) return new GenericArrayData(Array.empty[Long])
+    val toks = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val t = ws.getUTF8String(i)
+      toks(i) = if (t == null) Array.emptyByteArray else t.getBytes
+      i += 1
+    }
+    val md = Shingle3Hash60.md5.get()
+    val out = new Array[Long](n - 2)
+    i = 0
+    while (i < n - 2) {
+      md.reset()
+      md.update(toks(i)); md.update(' '.toByte)
+      md.update(toks(i + 1)); md.update(' '.toByte)
+      md.update(toks(i + 2))
+      val d = md.digest()
+      var v = 0L
+      var j = 0
+      while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      out(i) = v >>> 4 // first 15 hex nibbles = top 60 bits
+      i += 1
+    }
+    if (!distinct) new GenericArrayData(out)
+    else {
+      val seen = new java.util.HashSet[java.lang.Long](out.length * 2)
+      val kept = new Array[Long](out.length)
+      var k = 0
+      i = 0
+      while (i < out.length) {
+        if (seen.add(out(i))) { kept(k) = out(i); k += 1 }
+        i += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(kept, k))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object Shingle3Hash60 {
+  private val md5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+}
+
 object VectorExprs {
 
   /** Column wrapper: native integer dot product. */
@@ -78,4 +160,9 @@ object VectorExprs {
 
   /** Column wrapper: native integer squared norm (dot with itself). */
   def normSqIntNative(sx: Column): Column = dotIntNative(sx, sx)
+
+  /** Column wrapper: native word-3-gram shingle 60-bit md5 hashes. */
+  def shingleHash60(ws: Column, distinct: Boolean): Column =
+    GraftColumnBridge.column(Shingle3Hash60(
+      GraftColumnBridge.expression(ws), distinct))
 }

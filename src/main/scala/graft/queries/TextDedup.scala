@@ -30,31 +30,35 @@ object TextDedup {
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), Fns.tokens(col("text")).as("ws"))
 
-  /** doc_id + distinct word-3-gram shingles, docs with ≥3 tokens. */
-  private def grams(s: SparkSession, dir: String): DataFrame =
+  /** doc_id + 60-bit md5-prefix hash per word-3-gram shingle, docs
+    * with ≥3 tokens — the whole shingle→hash pipeline as ONE native
+    * pass per document ([[graft.functions.Shingle3Hash60]]); the gram
+    * strings never materialize as rows. `distinct` dedups hashes per
+    * doc (the post-hash twin of `list_distinct`; MIN-aggregating
+    * consumers skip it — duplicate-insensitive). */
+  private def gids(s: SparkSession, dir: String,
+      distinct: Boolean): DataFrame =
     tokenized(s, dir)
-      .select(col("doc_id"), explode(Fns.shingles3(col("ws"))).as("gram"))
+      .select(col("doc_id"),
+        explode(VectorExprs.shingleHash60(col("ws"), distinct)).as("gid"))
 
-  /** Non-distinct variant for MIN-aggregating consumers (d03, d05):
-    * MIN is duplicate-insensitive, so skipping the per-row
-    * `array_distinct` removes a hash-set pass per document. */
-  private def gramsRaw(s: SparkSession, dir: String): DataFrame =
-    tokenized(s, dir)
-      .select(col("doc_id"), explode(Fns.shingles3Raw(col("ws"))).as("gram"))
-
-  private val gramsCte =
+  /** Oracle twin of [[gids]](distinct = true): hash first, dedup the
+    * hashes — identical to Spark's order so any 60-bit collision
+    * collapses on both engines. */
+  private val gidsCte =
     """WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
       |g AS (SELECT doc_id,
-      |        unnest(list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2]
-      |                              FOR i IN range(1, len(ws)-1)])) AS gram
+      |        unnest(list_distinct(
+      |          [('0x'||substr(md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]),1,15))::BIGINT
+      |           FOR i IN range(1, len(ws)-1)])) AS gid
       |      FROM t WHERE len(ws) >= 3)""".stripMargin
 
-  /** Oracle twin of [[gramsRaw]] — no `list_distinct`. */
-  private val gramsRawCte =
+  /** Oracle twin of [[gids]](distinct = false). */
+  private val gidsRawCte =
     """WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
       |g AS (SELECT doc_id,
-      |        unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]
-      |                FOR i IN range(1, len(ws)-1)]) AS gram
+      |        unnest([('0x'||substr(md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]),1,15))::BIGINT
+      |                FOR i IN range(1, len(ws)-1)]) AS gid
       |      FROM t WHERE len(ws) >= 3)""".stripMargin
 
   // ---------------------------------------------------------------
@@ -89,11 +93,9 @@ object TextDedup {
   // relation without changing shape.
   val d02 = Q(
     "d02_ngram_jaccard",
-    s"""$gramsCte,
-      |h0 AS (SELECT doc_id, ('0x'||substr(md5(gram),1,15))::BIGINT AS gid
-      |       FROM g),
-      |h AS (SELECT doc_id, gid FROM h0 WHERE gid NOT IN
-      |        (SELECT gid FROM h0 GROUP BY gid HAVING COUNT(*) > 1000)),
+    s"""$gidsCte,
+      |h AS (SELECT doc_id, gid FROM g WHERE gid NOT IN
+      |        (SELECT gid FROM g GROUP BY gid HAVING COUNT(*) > 1000)),
       |n AS (SELECT doc_id, COUNT(*) AS n FROM h GROUP BY doc_id),
       |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
       |        CAST(COUNT(*) AS BIGINT) AS inter
@@ -106,19 +108,26 @@ object TextDedup {
       |       JOIN n nb ON p.doc_b = nb.doc_id
       |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5""".stripMargin) {
     (s, dir) =>
-      // the hashed gram relation fans out (2 join sides + doc sizes):
-      // pin it so tokenize+shingle+md5 runs once
-      val h0 = Pin(grams(s, dir)
-        .select(col("doc_id"), Fns.hash60(col("gram")).as("gid")))
+      // the hashed gram relation fans out (hot-list agg + anti-join
+      // stream side): pin it so the native shingle pass runs once
+      val h0 = Pin(gids(s, dir, distinct = true))
       // document-frequency cap: a hub shingle appearing in >1000 docs
       // would square into >500k candidate pairs on ONE shuffle key —
       // the standard capped-Jaccard guard, mirrored in the oracle so
       // both engines drop the same grams. The hot list is tiny at any
-      // scale (it is the skew, by definition) → broadcast anti-join.
+      // scale (it is the skew, by definition) → broadcast anti-join,
+      // which preserves the streamed side's gid partitioning.
       val hot = h0.groupBy("gid").agg(count(lit(1)).as("df"))
         .filter(col("df") > 1000).select("gid")
-      val h = h0.join(broadcast(hot), Seq("gid"), "left_anti")
-        .select("doc_id", "gid") // join key moves first; restore order
+      // pin the capped relation too: it fans out FOUR ways (both
+      // self-join sides + the two doc-size joins); unpinned, each
+      // consumer re-runs the hot-list aggregation and the anti-join —
+      // the plan audit showed 4× the df-cap shuffle, which dominated
+      // d02's data path
+      val h = Pin(h0.join(broadcast(hot), Seq("gid"), "left_anti")
+        .select("doc_id", "gid")) // join key moves first; restore order
+      // n is doc-grain (tiny): two agg passes over pinned h beat the
+      // extra materialization barrier a pin would add
       val n = h.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = h.toDF("doc_a", "gid")
         .join(h.toDF("doc_b", "gid"), "gid")
@@ -145,10 +154,8 @@ object TextDedup {
   // and bit-identical in DuckDB.
   val d03 = Q(
     "d03_minhash_lsh",
-    s"""$gramsRawCte,
-      |h AS (SELECT doc_id,
-      |        ('0x'||substr(md5(gram),1,15))::BIGINT % 2147483647 AS x
-      |      FROM g),
+    s"""$gidsRawCte,
+      |h AS (SELECT doc_id, gid % 2147483647 AS x FROM g),
       |sig AS (SELECT doc_id,
       |  MIN((1000000007*x + 12345) % 2147483647) AS m0,
       |  MIN((998244353*x + 54321) % 2147483647) AS m1,
@@ -176,8 +183,8 @@ object TextDedup {
         167772161L, 1224736769L, 1051721729L, 1107296257L)
       val bs = Seq(12345L, 54321L, 88883L, 13577L, 97531L, 24680L,
         86420L, 11111L)
-      val h = gramsRaw(s, dir)
-        .select(col("doc_id"), (Fns.hash60(col("gram")) % 2147483647L).as("x"))
+      val h = gids(s, dir, distinct = false)
+        .select(col("doc_id"), (col("gid") % 2147483647L).as("x"))
       val mins = (0 to 7).map(k =>
         min((lit(as(k)) * col("x") + lit(bs(k))) % 2147483647L).as(s"m$k"))
       // one row per doc; feeds 4 band joins + 2 signature re-joins —
@@ -187,14 +194,21 @@ object TextDedup {
       val bCols = "doc_b" +: (0 to 7).map(k => s"b$k")
       val sa = sig.toDF(aCols: _*)
       val sb = sig.toDF(bCols: _*)
-      // one equi-join per band; union + distinct = the candidate set
-      val cand = (0 to 3).map { band =>
-        sa.join(sb,
-            col(s"a${2 * band}") === col(s"b${2 * band}") &&
-            col(s"a${2 * band + 1}") === col(s"b${2 * band + 1}") &&
-            col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b")
-      }.reduce(_ union _).distinct()
+      // ONE band join instead of four: explode each signature to
+      // (doc_id, band, band_key) rows and self-equi-join on
+      // (band, band_key). The key m_even·(2³¹−1)+m_odd is a
+      // collision-free pairing of the band's two minhashes (both
+      // < 2³¹−1), so this is exactly the per-band equality — 4
+      // shuffles + union + distinct collapse into 1 join + 1 distinct.
+      val bandKeys = (0 to 3).map(band =>
+        col(s"m${2 * band}") * lit(2147483647L) + col(s"m${2 * band + 1}"))
+      val bands = sig.select(col("doc_id"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+      val cand = bands.toDF("doc_a", "band", "bkey")
+        .join(bands.toDF("doc_b", "band", "bkey"), Seq("band", "bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
       val matches = (0 to 7)
         .map(k => when(col(s"a$k") === col(s"b$k"), 1).otherwise(0))
         .reduce(_ + _)
@@ -213,10 +227,8 @@ object TextDedup {
   // the scale path; at 100 TB you widen to 64 bits and keep the plan.
   val d04 = Q(
     "d04_simhash",
-    s"""$gramsCte,
-      |hh AS (SELECT doc_id,
-      |         (('0x'||substr(md5(gram),1,15))::BIGINT & 4294967295) AS h32
-      |       FROM g),
+    s"""$gidsCte,
+      |hh AS (SELECT doc_id, (gid & 4294967295) AS h32 FROM g),
       |bs AS (SELECT doc_id,
       |${(0 to 31).map(b => s"         SUM(CASE WHEN (h32 >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n")}
       |       FROM hh GROUP BY doc_id),
@@ -229,9 +241,9 @@ object TextDedup {
       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin) {
     (s, dir) =>
-      val hh = grams(s, dir)
+      val hh = gids(s, dir, distinct = true)
         .select(col("doc_id"),
-          (Fns.hash60(col("gram")).bitwiseAND(lit(4294967295L))).as("h32"))
+          col("gid").bitwiseAND(lit(4294967295L)).as("h32"))
       val bitSums = (0 to 31).map(b =>
         sum(when(expr(s"shiftright(h32, $b) & 1") === 1, 1).otherwise(-1))
           .as(s"s$b"))
@@ -264,17 +276,16 @@ object TextDedup {
   // are near-dup candidate groups. Single groupBy on a 8-byte key.
   val d05 = Q(
     "d05_fingerprint_groups",
-    s"""$gramsRawCte,
-      |fp AS (SELECT doc_id,
-      |         MIN(('0x'||substr(md5(gram),1,15))::BIGINT) AS fingerprint
+    s"""$gidsRawCte,
+      |fp AS (SELECT doc_id, MIN(gid) AS fingerprint
       |       FROM g GROUP BY doc_id)
       |SELECT fingerprint, COUNT(*) AS n_docs,
       |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
       |FROM fp GROUP BY fingerprint HAVING COUNT(*) >= 2""".stripMargin) {
     (s, dir) =>
-      gramsRaw(s, dir)
+      gids(s, dir, distinct = false)
         .groupBy("doc_id")
-        .agg(min(Fns.hash60(col("gram"))).as("fingerprint"))
+        .agg(min(col("gid")).as("fingerprint"))
         .groupBy("fingerprint")
         .agg(count(lit(1)).as("n_docs"),
           min("doc_id").as("min_doc_id"),

@@ -27,6 +27,30 @@ class VectorExprsSpec extends SparkTestBase {
       s"row ${r.getInt(0)}"))
   }
 
+  test("Shingle3Hash60 ≡ hash60(shingles3) composed path, both " +
+      "distinct modes") {
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b c a b c a b c", // repeated grams: distinct matters
+      "one two", // under 3 tokens -> empty
+      "x y z",
+      "unicode tökens mätch bytes tökens mätch bytes")
+      .zipWithIndex.map(_.swap).toDF("id", "t")
+      .select(col("id"), Fns.tokens(col("t")).as("ws"))
+    val got = docs.select(col("id"),
+      VectorExprs.shingleHash60(col("ws"), distinct = false).as("raw"),
+      VectorExprs.shingleHash60(col("ws"), distinct = true).as("dst"),
+      transform(Fns.shingles3Raw(col("ws")), g => Fns.hash60(g)).as("refRaw"),
+      array_distinct(transform(Fns.shingles3(col("ws")),
+        g => Fns.hash60(g))).as("refDst"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](3), s"raw id ${r.getInt(0)}")
+      assert(r.getSeq[Long](2).sorted === r.getSeq[Long](4).sorted,
+        s"distinct id ${r.getInt(0)}")
+    }
+  }
+
   test("interpreted eval path matches (nullSafeEval)") {
     val a = Literal.create(Seq(1L, 2L, 3L), ArrayType(LongType))
     val b = Literal.create(Seq(4L, 5L, 6L), ArrayType(LongType))
