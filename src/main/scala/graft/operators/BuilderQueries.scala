@@ -26,6 +26,59 @@ object BuilderQueries {
       avg(when(col("status") === "completed", 1.0).otherwise(0.0))
         .as("success_rate"))
 
+  /** Deterministic run narrative (`run.py:160-189`) — the reference's
+    * own non-LLM fallback for `Run.complete()`, assembled per run as a
+    * derived column:
+    * opening ("Run completed successfully." / "Run failed."), decision
+    * summary, critical/warning problem lists (insertion order), and
+    * the first 3 failed-decision intents. `problems` rows are
+    * (run_id, idx, severity, description); pass None when the run
+    * store has no problems relation. */
+  def narrative(runs: DataFrame, decisions: DataFrame,
+      problems: Option[DataFrame] = None): DataFrame = {
+    val intents = transform(
+      slice(array_sort(collect_list( // nulls drop: failures only
+        when(!col("success"), struct(col("idx"), col("intent"))))), 1, 3),
+      s => s.getField("intent"))
+    val m = decisions.groupBy("run_id").agg(
+      count(lit(1)).as("total_decisions"),
+      sum(when(col("success"), 1L).otherwise(0L)).as("n_success"),
+      sum(when(!col("success"), 1L).otherwise(0L)).as("n_failed"),
+      array_join(intents, ", ").as("failed_intents"))
+    val probAgg = problems.map { p =>
+      def sevList(severity: String) = array_join(transform(
+        array_sort(collect_list(when(col("severity") === severity,
+          struct(col("idx"), col("description"))))),
+        s => s.getField("description")), ", ")
+      p.groupBy("run_id").agg(
+        sevList("critical").as("critical_str"),
+        sevList("warning").as("warning_str"))
+    }
+    val withProblems = probAgg match {
+      case Some(pa) => m.join(pa, Seq("run_id"), "left")
+      case None => m.withColumn("critical_str", lit(""))
+        .withColumn("warning_str", lit(""))
+    }
+    runs.select(col("run_id"), col("status"))
+      .join(withProblems, Seq("run_id"), "left")
+      .select(col("run_id"), col("status"),
+        concat_ws(" ",
+          concat(lit("Run "),
+            when(col("status") === "completed", "completed successfully")
+              .otherwise("failed"), lit(".")),
+          concat(lit("Made "), coalesce(col("total_decisions"), lit(0L)),
+            lit(" decisions: "), coalesce(col("n_success"), lit(0L)),
+            lit(" succeeded, "), coalesce(col("n_failed"), lit(0L)),
+            lit(" failed.")),
+          when(length(col("critical_str")) > 0,
+            concat(lit("Critical issues: "), col("critical_str"))),
+          when(length(col("warning_str")) > 0,
+            concat(lit("Warnings: "), col("warning_str"))),
+          when(col("n_failed") > 0,
+            concat(lit("Failed on: "), col("failed_intents"))))
+          .as("narrative"))
+  }
+
   /** Top-5 failure messages by count (`query.py:241-253`). */
   def topFailures(runs: DataFrame, n: Int = 5): DataFrame =
     runs.filter(col("status") === "failed" && col("error").isNotNull)

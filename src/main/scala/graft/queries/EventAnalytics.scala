@@ -422,6 +422,57 @@ object EventAnalytics {
         approx_count_distinct(col("props"), 0.02).as("approx_payloads"))
   }
 
+  // ---------------------------------------------------------------
+  // e15 — tool doom-loop detection (`event_loop_node.py:2108-2152`):
+  // a turn's fingerprint is (tool, canonical args) — here the raw
+  // (event_type, props) pair, order-sensitive by construction since
+  // rows compare positionally along event_id — and a doom loop is
+  // `threshold` (3) consecutive turns with identical fingerprints.
+  // Differs from e07's stall detect exactly the way the reference's
+  // operator differs from its value-stall check: the ARGS participate
+  // in the fingerprint. One row per session mirrors the reference
+  // contract — (is_doom_loop, description), with `(false, '')` for
+  // healthy sessions and the description built from the first doom
+  // point's tool name.
+  val e15 = Q(
+    "e15_doom_loop",
+    """WITH t AS (
+      |  SELECT user_id, event_id, event_type, props,
+      |    (event_type = LAG(event_type, 1) OVER w AND
+      |     event_type = LAG(event_type, 2) OVER w AND
+      |     props IS NOT DISTINCT FROM LAG(props, 1) OVER w AND
+      |     props IS NOT DISTINCT FROM LAG(props, 2) OVER w) AS doom
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+      |SELECT user_id,
+      |  CAST(SUM(CASE WHEN doom THEN 1 ELSE 0 END) AS BIGINT) AS n_doom_points,
+      |  CAST(SUM(CASE WHEN doom THEN 1 ELSE 0 END) AS BIGINT) > 0 AS is_doom_loop,
+      |  COALESCE('Doom loop detected: 3 consecutive identical tool calls ('
+      |    || arg_min(CASE WHEN doom THEN event_type END,
+      |               CASE WHEN doom THEN event_id END) || ')',
+      |    '') AS description
+      |FROM t GROUP BY user_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val doom = col("event_type") === col("t1") &&
+      col("event_type") === col("t2") &&
+      (col("props") <=> col("p1")) && (col("props") <=> col("p2"))
+    Tables.load(s, dir, "events")
+      .withColumn("t1", lag(col("event_type"), 1).over(w))
+      .withColumn("p1", lag(col("props"), 1).over(w))
+      .withColumn("t2", lag(col("event_type"), 2).over(w))
+      .withColumn("p2", lag(col("props"), 2).over(w))
+      .withColumn("doom", doom)
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("doom"), 1L).otherwise(0L)).as("n_doom_points"),
+        (sum(when(col("doom"), 1L).otherwise(0L)) > 0).as("is_doom_loop"),
+        coalesce(concat(
+          lit("Doom loop detected: 3 consecutive identical tool calls ("),
+          min_by(when(col("doom"), col("event_type")),
+            when(col("doom"), col("event_id"))), lit(")")), lit(""))
+          .as("description"))
+  }
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
-    e11, e12, e13, e14)
+    e11, e12, e13, e14, e15)
 }

@@ -171,5 +171,65 @@ object RunAnalytics {
       types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
   }
 
-  val all: Seq[Q] = Seq(a01, b01, b02, b03, b04)
+  // ---------------------------------------------------------------
+  // b05 deterministic run narrative — the reference's non-LLM fallback
+  // for Run.complete() (`run.py:160-189`) as a derived column, pinned
+  // against the oracle on the events mapping (user = run, success =
+  // b01's value predicate, intent = event_type). The full operator
+  // (explicit runs/decisions/problems relations incl. the
+  // critical/warning clauses) is [[graft.operators.BuilderQueries
+  // .narrative]]; this entry locks the string-assembly semantics:
+  // opening, decision summary, first-3 failed intents in event order.
+  val b05 = Q(
+    "b05_narrative",
+    """WITH d AS (SELECT user_id, event_id, event_type,
+      |             (value >= 50) AS ok FROM events),
+      |m AS (SELECT user_id, COUNT(*) AS total,
+      |        CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS succ,
+      |        CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT) AS fail
+      |      FROM d GROUP BY user_id),
+      |f AS (SELECT user_id,
+      |        array_to_string(list_slice(
+      |          list(event_type ORDER BY event_id), 1, 3), ', ') AS failed_on
+      |      FROM d WHERE NOT ok GROUP BY user_id)
+      |SELECT m.user_id,
+      |  CASE WHEN fail = 0 THEN 'completed' ELSE 'failed' END AS status,
+      |  'Run ' || CASE WHEN fail = 0 THEN 'completed successfully'
+      |                 ELSE 'failed' END || '. ' ||
+      |  'Made ' || CAST(total AS VARCHAR) || ' decisions: ' ||
+      |  CAST(succ AS VARCHAR) || ' succeeded, ' ||
+      |  CAST(fail AS VARCHAR) || ' failed.' ||
+      |  CASE WHEN fail > 0 THEN ' Failed on: ' || f.failed_on
+      |       ELSE '' END AS narrative
+      |FROM m LEFT JOIN f ON m.user_id = f.user_id""".stripMargin) {
+    (s, dir) =>
+      val d = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          (col("value") >= 50).as("ok"))
+      val failedOn = array_join(transform(
+        slice(array_sort(collect_list(
+          when(!col("ok"), struct(col("event_id"), col("event_type"))))),
+          1, 3),
+        x => x.getField("event_type")), ", ")
+      d.groupBy("user_id")
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("succ"),
+          sum(when(!col("ok"), 1L).otherwise(0L)).as("fail"),
+          failedOn.as("failed_on"))
+        .select(col("user_id"),
+          when(col("fail") === 0, "completed").otherwise("failed")
+            .as("status"),
+          concat(
+            lit("Run "),
+            when(col("fail") === 0, "completed successfully")
+              .otherwise("failed"),
+            lit(". Made "), col("total"), lit(" decisions: "),
+            col("succ"), lit(" succeeded, "), col("fail"),
+            lit(" failed."),
+            when(col("fail") > 0,
+              concat(lit(" Failed on: "), col("failed_on")))
+              .otherwise(lit(""))).as("narrative"))
+  }
+
+  val all: Seq[Q] = Seq(a01, b01, b02, b03, b04, b05)
 }

@@ -327,6 +327,75 @@ class CompactionSpec extends SparkTestBase {
 
 class MoreOperatorsSpec extends SparkTestBase {
 
+  test("e15 doom loop fires on identical (tool, args) streaks only " +
+      "(event_loop_node.py:2108-2152)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("doomsf").toFile.getAbsolutePath
+    val ts = Timestamp.valueOf("2026-03-01 10:00:00")
+    // u1: 3 identical (search, {"q":1}) turns -> doom
+    // u2: same tool 3x but args differ on turn 3 -> no doom (e07 would
+    //     flag this one; the args are the point of e15)
+    // u3: alternating tools -> no doom
+    val rows = Seq(
+      (1L, ts, 1L, "search", 1.0, """{"q":1}"""),
+      (2L, ts, 1L, "search", 1.0, """{"q":1}"""),
+      (3L, ts, 1L, "search", 1.0, """{"q":1}"""),
+      (4L, ts, 2L, "search", 1.0, """{"q":1}"""),
+      (5L, ts, 2L, "search", 1.0, """{"q":1}"""),
+      (6L, ts, 2L, "search", 1.0, """{"q":2}"""),
+      (7L, ts, 3L, "fetch", 1.0, """{"u":1}"""),
+      (8L, ts, 3L, "search", 1.0, """{"q":1}"""),
+      (9L, ts, 3L, "fetch", 1.0, """{"u":1}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.write.parquet(s"$dir/events.parquet")
+    val out = graft.queries.EventAnalytics.e15.run(spark, dir)
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("is_doom_loop"))
+    assert(out(1L).getAs[Long]("n_doom_points") === 1L)
+    assert(out(1L).getAs[String]("description") ===
+      "Doom loop detected: 3 consecutive identical tool calls (search)")
+    assert(!out(2L).getAs[Boolean]("is_doom_loop"))
+    assert(out(2L).getAs[String]("description") === "")
+    assert(!out(3L).getAs[Boolean]("is_doom_loop"))
+  }
+
+  test("narrative operator assembles all template clauses " +
+      "(run.py:160-189)") {
+    import spark.implicits._
+    import graft.operators.BuilderQueries
+    val runs = Seq(
+      ("r1", "completed"), ("r2", "failed"), ("r3", "completed"))
+      .toDF("run_id", "status")
+    val decisions = Seq(
+      ("r1", 0, "plan", true), ("r1", 1, "build", true),
+      ("r2", 0, "plan", true), ("r2", 1, "fetch data", false),
+      ("r2", 2, "parse json", false), ("r2", 3, "retry fetch", false),
+      ("r2", 4, "give up", false))
+      .toDF("run_id", "idx", "intent", "success")
+    val problems = Seq(
+      ("r2", 0, "critical", "db unreachable"),
+      ("r2", 1, "warning", "slow responses"),
+      ("r2", 2, "critical", "quota exceeded"))
+      .toDF("run_id", "idx", "severity", "description")
+    val out = BuilderQueries
+      .narrative(runs, decisions, Some(problems))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out("r1") ===
+      "Run completed successfully. Made 2 decisions: 2 succeeded, 0 failed.")
+    // failed run: all clauses, insertion-ordered problems, first 3
+    // failed intents only. The problems/failed-on clauses carry no
+    // trailing period — exactly the reference's f-strings.
+    assert(out("r2") ===
+      "Run failed. Made 5 decisions: 1 succeeded, 4 failed. " +
+      "Critical issues: db unreachable, quota exceeded " +
+      "Warnings: slow responses " +
+      "Failed on: fetch data, parse json, retry fetch")
+    // run with no decisions at all: zero-count summary, like the
+    // reference's metrics defaults
+    assert(out("r3") ===
+      "Run completed successfully. Made 0 decisions: 0 succeeded, 0 failed.")
+  }
+
   test("percentage parse with 0.8 fallback (outcome_aggregator.py:362-372)") {
     import spark.implicits._
     val got = Seq("95%", "42", "garbage", null)
