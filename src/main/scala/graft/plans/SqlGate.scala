@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan, ParsedStatement}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoDir, InsertIntoStatement, LogicalPlan, ParsedStatement}
 
 /** The family-A SQL surface: SELECT-only queries over registered
   * tabular data (SURVEY §2.1–§2.2, §3.1).
@@ -25,6 +25,10 @@ object SqlGate {
       case _: Command => true
       case _: ParsedStatement => true // DDL/DML not yet resolved
       case _: InsertIntoStatement => true
+      // INSERT OVERWRITE DIRECTORY parses to InsertIntoDir — a plain
+      // UnaryNode, not a Command — but executing it writes files
+      // (found by the adversarial gate corpus)
+      case _: InsertIntoDir => true
       // EXECUTE IMMEDIATE parses to a plain LogicalPlan (neither
       // Command nor ParsedStatement) but executes arbitrary embedded
       // SQL — a gate bypass if not rejected explicitly

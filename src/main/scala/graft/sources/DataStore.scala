@@ -47,6 +47,49 @@ object DataStore {
     (limit.fold(page)(page.limit), total)
   }
 
+  /** Outcome of [[edit]] — the reference returns an error dict rather
+    * than raising (`data_tools.py:313-355`); mirrored as a value. */
+  final case class EditOutcome(success: Boolean, error: Option[String],
+      sizeBytes: Long, replacements: Int)
+
+  /** `edit_data` (`data_tools.py:313-355`): surgical find-replace over
+    * a saved blob. `oldText` must match EXACTLY ONCE in the
+    * line-joined document (whitespace and newlines included); zero or
+    * multiple matches reject the edit with the reference's error
+    * semantics. On success the blob is rewritten in place. */
+  def edit(spark: SparkSession, root: String, name: String,
+      oldText: String, newText: String): EditOutcome = {
+    if (!new java.io.File(s"$root/$name").isDirectory)
+      return EditOutcome(success = false,
+        Some(s"File not found: $name"), 0L, 0)
+    val (df, _) = load(spark, root, name)
+    val content = df.orderBy("line_no").collect()
+      .map(_.getAs[String]("value")).mkString("\n")
+    // occurrence count with overlap semantics identical to
+    // str.count for non-overlapping scans
+    def count(hay: String, needle: String): Int =
+      if (needle.isEmpty) 0
+      else Iterator.iterate(hay.indexOf(needle))(i =>
+        hay.indexOf(needle, i + needle.length))
+        .takeWhile(_ >= 0).size
+    count(content, oldText) match {
+      case 0 => EditOutcome(success = false,
+        Some("old_text not found in the file. Make sure you're " +
+          "matching the exact text, including whitespace and newlines."),
+        0L, 0)
+      case n if n > 1 => EditOutcome(success = false,
+        Some(s"old_text found $n times — it must be unique. Include " +
+          "more surrounding context to match exactly once."), 0L, 0)
+      case _ =>
+        val i = content.indexOf(oldText)
+        val updated = content.substring(0, i) + newText +
+          content.substring(i + oldText.length)
+        save(spark, root, name, updated.split("\n", -1).toSeq)
+        EditOutcome(success = true, None,
+          updated.getBytes("UTF-8").length.toLong, 1)
+    }
+  }
+
   /** `list_data_files`: names + line counts. */
   def list(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._

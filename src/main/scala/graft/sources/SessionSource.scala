@@ -101,6 +101,23 @@ object SessionSource {
       .limit(limit)
   }
 
+  /** The auto-discovery ordering (`worker_monitoring_tools.py:109-117`):
+    * two-level sort — live sessions (`in_progress`/`running`) before
+    * finished ones, then most-recent first (updated_at standing in for
+    * the reference's file mtime, falling back to started_at), with a
+    * session_id tie-break for determinism. `head(1)` of this is the
+    * reference's `session_id == "auto"` resolution. */
+  def scanPrioritized(sessions: DataFrame, limit: Int = 100): DataFrame =
+    sessions
+      .withColumn("status_priority",
+        when(col("status").isin("in_progress", "running"), 0)
+          .otherwise(1))
+      .orderBy(col("status_priority"),
+        coalesce(col("timestamps.updated_at"),
+          col("timestamps.started_at")).desc,
+        col("session_id"))
+      .limit(limit)
+
   /** Timestamp inference from the id format
     * `session_YYYYMMDD_HHMMSS_{uuid8}` for documents predating the
     * timestamps block (`runtime_log_store.py:290+`). */

@@ -181,6 +181,51 @@ class SqlGateSpec extends SparkTestBase {
       SqlGate.query(spark, "DROP TABLE data"))
   }
 
+  test("adversarial corpus: command shapes cannot pass the gate " +
+      "(regression wall for Spark upgrades)") {
+    // blocked = isSelectOnly returns false OR the parse itself throws
+    // (multi-statement); either way query() cannot reach execution
+    def blocked(sql: String): Boolean =
+      scala.util.Try(SqlGate.isSelectOnly(spark, sql)).map(!_)
+        .getOrElse(true)
+    val corpus = Seq(
+      // CTE-wrapped DML
+      "WITH t AS (SELECT 1 AS x) INSERT INTO data SELECT * FROM t",
+      "WITH t AS (SELECT 1 AS x) DELETE FROM data WHERE id IN (SELECT x FROM t)",
+      // EXECUTE IMMEDIATE variants — including an innocent-looking one
+      "EXECUTE IMMEDIATE 'DROP TABLE data'",
+      "EXECUTE IMMEDIATE 'SELECT 1'",
+      "EXECUTE IMMEDIATE 'DELETE FROM data' USING 1 AS x",
+      // DML family
+      "UPDATE data SET v = 1 WHERE id = 1",
+      "DELETE FROM data WHERE id = 1",
+      "MERGE INTO data USING data AS s ON data.id = s.id " +
+        "WHEN MATCHED THEN DELETE",
+      "INSERT OVERWRITE DIRECTORY '/tmp/leak' SELECT * FROM data",
+      // DDL family
+      "DROP TABLE data", "TRUNCATE TABLE data",
+      "ALTER TABLE data ADD COLUMNS (y INT)",
+      "CREATE OR REPLACE TEMPORARY VIEW v AS SELECT 1",
+      // eager-at-Dataset-creation commands (the spark.sql trap)
+      "CACHE TABLE sneaky AS SELECT * FROM data",
+      "SET spark.sql.ansi.enabled=false",
+      "ANALYZE TABLE data COMPUTE STATISTICS",
+      "REFRESH TABLE data",
+      "DECLARE sneaky_var INT",
+      // multi-statement
+      "SELECT 1; DROP TABLE data")
+    corpus.foreach(sql => assert(blocked(sql), s"NOT BLOCKED: $sql"))
+    // positive controls — genuinely read-only shapes must keep passing
+    Seq(
+      "SELECT 1",
+      "WITH t AS (SELECT 1 AS x) SELECT * FROM t",
+      "SELECT * FROM (SELECT 1 AS x) WHERE x IN (SELECT 1)",
+      "SELECT 1 UNION ALL SELECT 2",
+      "SELECT /*+ BROADCAST(t) */ * FROM (SELECT 1 AS x) t")
+      .foreach(sql =>
+        assert(SqlGate.isSelectOnly(spark, sql), s"BLOCKED: $sql"))
+  }
+
   test("csvSql: header-derived view `data` (csv_tool.py:273-310)") {
     val dir = java.nio.file.Files.createTempDirectory("csvsql").toFile
     val f = new java.io.File(dir, "t.csv")

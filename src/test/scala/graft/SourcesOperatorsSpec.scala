@@ -66,7 +66,8 @@ class SessionSourceSpec extends SparkTestBase {
 
   private def writeSession(root: java.io.File, id: String,
       status: String, completedAt: Option[String],
-      startedAt: String = "2026-03-01T10:00:00+00:00"): Unit = {
+      startedAt: String = "2026-03-01T10:00:00+00:00",
+      updatedAt: String = "2026-03-01T10:05:00+00:00"): Unit = {
     val dir = new java.io.File(root, id)
     dir.mkdirs()
     val completed = completedAt.map(c => s""""$c"""").getOrElse("null")
@@ -74,7 +75,7 @@ class SessionSourceSpec extends SparkTestBase {
       s"""{"schema_version":"1.1","session_id":"$id","goal_id":"g1",
          |"status":"$status",
          |"timestamps":{"started_at":"$startedAt",
-         |"updated_at":"2026-03-01T10:05:00+00:00",
+         |"updated_at":"$updatedAt",
          |"completed_at":$completed},
          |"progress":{"steps_executed":3,"path":["a","b"]},
          |"result":{"success":true}}""".stripMargin.replace("\n", ""))
@@ -119,6 +120,27 @@ class SessionSourceSpec extends SparkTestBase {
     val first = SessionSource.scan(sessions, None).head()
     assert(first.getAs[String]("session_id")
       === "session_20260301_120000_cccc3333")
+  }
+
+  test("scanPrioritized: live sessions first, then recency " +
+      "(worker_monitoring_tools.py:109-117)") {
+    val root = Files.createTempDirectory("sessions3").toFile
+    // newest overall is COMPLETED; an older in_progress session must
+    // still sort first (priority level beats recency)
+    writeSession(root, "session_20260301_100000_aaaa1111", "completed",
+      Some("2026-03-01T14:00:00+00:00"),
+      updatedAt = "2026-03-01T14:00:00+00:00")
+    writeSession(root, "session_20260301_110000_bbbb2222", "in_progress",
+      None, updatedAt = "2026-03-01T11:30:00+00:00")
+    writeSession(root, "session_20260301_120000_cccc3333", "running",
+      None, updatedAt = "2026-03-01T12:30:00+00:00")
+    val sessions = SessionSource.load(spark, root.getAbsolutePath)
+    val ordered = SessionSource.scanPrioritized(sessions).collect()
+      .map(_.getAs[String]("session_id")).toSeq
+    assert(ordered === Seq(
+      "session_20260301_120000_cccc3333", // live, newer update
+      "session_20260301_110000_bbbb2222", // live, older update
+      "session_20260301_100000_aaaa1111")) // finished, newest of all
   }
 
   test("inferStartedAt parses the id timestamp (runtime_log_store.py:290+)") {
@@ -723,6 +745,34 @@ class MoreOperatorsSpec extends SparkTestBase {
     val listing = DataStore.list(spark, root).collect()
     assert(listing.map(r => r.getString(0) -> r.getLong(1)).toMap
       === Map("notes" -> 4L))
+  }
+
+  test("DataStore.edit: unique-match find-replace, zero/multi reject " +
+      "(data_tools.py:313-355)") {
+    import graft.sources.DataStore
+    val root = Files.createTempDirectory("dedit").toString
+    DataStore.save(spark, root, "report",
+      Seq("<h1>TITLE</h1>", "body text", "PLACEHOLDER", "footer"))
+    // missing file
+    assert(DataStore.edit(spark, root, "nope", "a", "b").error.get
+      .startsWith("File not found"))
+    // zero matches
+    assert(DataStore.edit(spark, root, "report", "absent", "x").error.get
+      .contains("not found"))
+    // multiple matches rejected, file untouched
+    DataStore.save(spark, root, "multi", Seq("dup", "dup"))
+    val multi = DataStore.edit(spark, root, "multi", "dup", "x")
+    assert(!multi.success && multi.error.get.contains("2 times"))
+    assert(DataStore.load(spark, root, "multi")._1.collect()
+      .map(_.getAs[String]("value")).toSeq === Seq("dup", "dup"))
+    // unique match replaces — including a multi-line needle
+    val ok = DataStore.edit(spark, root, "report",
+      "body text\nPLACEHOLDER", "body text\nfilled in")
+    assert(ok.success && ok.replacements === 1)
+    val after = DataStore.load(spark, root, "report")._1.collect()
+      .map(_.getAs[String]("value")).toSeq
+    assert(after === Seq("<h1>TITLE</h1>", "body text", "filled in",
+      "footer"))
   }
 
   test("missing output keys + dynamic fan-out (validator.py; executor.py:1771-1818)") {
