@@ -26,39 +26,70 @@ object Relational {
     (ep.cast(D12_2) * (lit(1).cast(D4_2) - disc.cast(D4_2)))
       .cast(DecimalType(18, 4))
 
+  /** Money/percent in integer cents: floor(x·100 + 0.5) as BIGINT
+    * (half-up for these non-negative values). Per-row products then
+    * stay in codegen'd long arithmetic — Spark's Decimal multiply
+    * ALWAYS routes through java.math.BigDecimal (only +/− have a
+    * compact fast path), and Spark's round() builds a BigDecimal PER
+    * VALUE (measured ~0.3 s for the 4-column projection alone at
+    * sf0.1); floor is a bare IEEE op. Oracle twin:
+    * `CAST(floor(x*100 + 0.5) AS BIGINT)` — floor first because
+    * DuckDB's double→BIGINT cast rounds half-even while Spark's
+    * truncates; floor-of-identical-doubles is exact on both. */
+  private def cents(c: Column): Column = floor(c * 100 + 0.5)
+
+  /** Overflow-safe EXACT sum of a long-valued expression: accumulate
+    * as DECIMAL — per-row values stay compact longs, accumulator adds
+    * are long adds until ~9.2e18 and promote to BigDecimal
+    * transparently beyond (the 100 TB safety the raw BIGINT sum lacks
+    * under ANSI). Oracle twin: DuckDB `SUM(BIGINT)` is HUGEINT-exact.
+    * Cast to DOUBLE and de-scale only at the end. */
+  private def sumExact(c: Column): Column = sum(c.cast(DecimalType(18, 0)))
+
   // ---------------------------------------------------------------
   // q01 pricing summary — full-scan groupBy w/ exact decimal sums
   // (SQL GROUP BY contract, csv_tool.py:301-303; TPC-H Q1 shape)
   val q01 = Q(
     "q01_pricing_summary",
-    """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-      |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+    """WITH c AS (SELECT l_returnflag, l_linestatus,
+      |    CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS qc,
+      |    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS epc,
+      |    CAST(floor(l_discount*100 + 0.5) AS BIGINT) AS dc,
+      |    CAST(floor(l_tax*100 + 0.5) AS BIGINT) AS tc
+      |  FROM lineitem)
+      |SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(qc) AS DOUBLE) / 100.0 AS sum_qty,
+      |  CAST(SUM(epc) AS DOUBLE) / 100.0 AS sum_base_price,
+      |  CAST(SUM(epc * (100 - dc)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+      |  CAST(SUM(epc * (100 - dc) * (100 + tc)) AS DOUBLE) / 1000000.0 AS sum_charge,
+      |  CAST(SUM(qc) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty,
+      |  CAST(SUM(epc) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
+      |  CAST(SUM(dc) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
       |  COUNT(*) AS count_order
-      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) {
+      |FROM c GROUP BY l_returnflag, l_linestatus""".stripMargin) {
     (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-      val dp = discPrice(col("l_extendedprice"), col("l_discount"))
-      val charge = (dp * (lit(1).cast(D4_2) + col("l_tax").cast(D4_2)))
-        .cast(DecimalType(24, 6))
-      li.groupBy("l_returnflag", "l_linestatus")
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          cents(col("l_quantity")).as("qc"),
+          cents(col("l_extendedprice")).as("epc"),
+          cents(col("l_discount")).as("dc"),
+          cents(col("l_tax")).as("tc"))
+        .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast(D12_2)).cast(DoubleType).as("sum_qty"),
-          sum(col("l_extendedprice").cast(D12_2)).cast(DoubleType)
+          (sumExact(col("qc")).cast(DoubleType) / 100.0).as("sum_qty"),
+          (sumExact(col("epc")).cast(DoubleType) / 100.0)
             .as("sum_base_price"),
-          sum(dp).cast(DoubleType).as("sum_disc_price"),
-          sum(charge).cast(DoubleType).as("sum_charge"),
-          (sum(col("l_quantity").cast(D12_2)).cast(DoubleType) /
-            count(lit(1))).as("avg_qty"),
-          (sum(col("l_extendedprice").cast(D12_2)).cast(DoubleType) /
-            count(lit(1))).as("avg_price"),
-          (sum(col("l_discount").cast(D4_2)).cast(DoubleType) /
-            count(lit(1))).as("avg_disc"),
+          (sumExact(col("epc") * (lit(100L) - col("dc")))
+            .cast(DoubleType) / 10000.0).as("sum_disc_price"),
+          (sumExact(col("epc") * (lit(100L) - col("dc")) *
+            (lit(100L) + col("tc"))).cast(DoubleType) / 1000000.0)
+            .as("sum_charge"),
+          (sumExact(col("qc")).cast(DoubleType) / 100.0 / count(lit(1)))
+            .as("avg_qty"),
+          (sumExact(col("epc")).cast(DoubleType) / 100.0 / count(lit(1)))
+            .as("avg_price"),
+          (sumExact(col("dc")).cast(DoubleType) / 100.0 / count(lit(1)))
+            .as("avg_disc"),
           count(lit(1)).as("count_order"))
   }
 
@@ -94,7 +125,9 @@ object Relational {
   val q03 = Q(
     "q03_revenue_by_nation",
     """SELECT n.n_name AS nation,
-      |  CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  CAST(SUM(CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT) *
+      |           (100 - CAST(floor(l.l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE)
+      |    / 10000.0 AS revenue,
       |  COUNT(*) AS n_items
       |FROM lineitem l
       |JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -113,8 +146,9 @@ object Relational {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"))
       .agg(
-        sum(discPrice(col("l_extendedprice"), col("l_discount")))
-          .cast(DoubleType).as("revenue"),
+        (sumExact(cents(col("l_extendedprice")) *
+          (lit(100L) - cents(col("l_discount"))))
+          .cast(DoubleType) / 10000.0).as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
@@ -146,7 +180,9 @@ object Relational {
   val q05 = Q(
     "q05_region_revenue",
     """SELECT r.r_name AS region,
-      |  CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |  CAST(SUM(CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT) *
+      |           (100 - CAST(floor(l.l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE)
+      |    / 10000.0 AS revenue
       |FROM lineitem l
       |JOIN orders o ON l.l_orderkey = o.o_orderkey
       |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -163,8 +199,9 @@ object Relational {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region"))
-      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
-        .cast(DoubleType).as("revenue"))
+      .agg((sumExact(cents(col("l_extendedprice")) *
+        (lit(100L) - cents(col("l_discount"))))
+        .cast(DoubleType) / 10000.0).as("revenue"))
   }
 
   // ---------------------------------------------------------------
@@ -173,7 +210,9 @@ object Relational {
   val q06 = Q(
     "q06_selective_agg",
     """SELECT
-      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue,
+      |  CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) *
+      |           CAST(floor(l_discount*100 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / 10000.0 AS promo_revenue,
       |  COUNT(*) AS n_rows
       |FROM lineitem
       |WHERE l_discount >= 0.05 AND l_quantity < 25
@@ -183,9 +222,9 @@ object Relational {
         .filter(col("l_discount") >= 0.05 && col("l_quantity") < 25 &&
           col("l_shipdate").cast(DateType) >= lit("1995-01-01").cast(DateType))
         .agg(
-          sum((col("l_extendedprice").cast(D12_2) *
-            col("l_discount").cast(D4_2)).cast(DecimalType(18, 4)))
-            .cast(DoubleType).as("promo_revenue"),
+          (sumExact(cents(col("l_extendedprice")) *
+            cents(col("l_discount"))).cast(DoubleType) / 10000.0)
+            .as("promo_revenue"),
           count(lit(1)).as("n_rows"))
   }
 
@@ -439,7 +478,7 @@ object Relational {
       |  COALESCE(l_linestatus, '<all>') AS line_status,
       |  GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS grouping_lvl,
       |  COUNT(*) AS n_items,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |  CAST(SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin) {
     (s, dir) =>
       Tables.load(s, dir, "lineitem")
@@ -448,7 +487,8 @@ object Relational {
           (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
             .as("grouping_lvl"),
           count(lit(1)).as("n_items"),
-          sum(col("l_quantity").cast(D12_2)).cast(DoubleType).as("sum_qty"))
+          (sumExact(cents(col("l_quantity"))).cast(DoubleType) / 100.0)
+            .as("sum_qty"))
         .select(
           coalesce(col("l_returnflag"), lit("<all>")).as("return_flag"),
           coalesce(col("l_linestatus"), lit("<all>")).as("line_status"),
@@ -462,19 +502,20 @@ object Relational {
     "q19_dispersion",
     """WITH s AS (
       |  SELECT p_type, COUNT(*) AS n,
-      |    CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-      |    CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2)) * CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sxx
+      |    CAST(SUM(CAST(floor(p_retailprice*100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sx,
+      |    CAST(SUM(CAST(floor(p_retailprice*100 + 0.5) AS BIGINT) *
+      |             CAST(floor(p_retailprice*100 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sxx
       |  FROM part GROUP BY p_type)
       |SELECT p_type, n, sx / n AS mean_price,
       |  CASE WHEN n > 1 THEN (sxx - sx * sx / n) / (n - 1) ELSE NULL END AS var_price
       |FROM s""".stripMargin) { (s, dir) =>
-    val px = col("p_retailprice").cast(D12_2)
+    val px = cents(col("p_retailprice"))
     Tables.load(s, dir, "part")
       .groupBy("p_type")
       .agg(
         count(lit(1)).as("n"),
-        sum(px).cast(DoubleType).as("sx"),
-        sum(px * px).cast(DoubleType).as("sxx"))
+        (sumExact(px).cast(DoubleType) / 100.0).as("sx"),
+        (sumExact(px * px).cast(DoubleType) / 10000.0).as("sxx"))
       .select(
         col("p_type"), col("n"),
         (col("sx") / col("n")).as("mean_price"),
@@ -488,7 +529,7 @@ object Relational {
   val q20 = Q(
     "q20_supplier_part_volume",
     """SELECT s.s_name, p.p_brand,
-      |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+      |  CAST(SUM(CAST(floor(l.l_quantity*100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_qty,
       |  COUNT(*) AS n_shipments
       |FROM lineitem l
       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -503,7 +544,8 @@ object Relational {
       .join(p, col("l_partkey") === col("p_partkey"))
       .groupBy("s_name", "p_brand")
       .agg(
-        sum(col("l_quantity").cast(D12_2)).cast(DoubleType).as("total_qty"),
+        (sumExact(cents(col("l_quantity"))).cast(DoubleType) / 100.0)
+          .as("total_qty"),
         count(lit(1)).as("n_shipments"))
   }
 
@@ -518,7 +560,7 @@ object Relational {
       |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
       |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
       |  COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |  CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total
       |FROM orders
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin) {
     (s, dir) =>
@@ -529,7 +571,8 @@ object Relational {
           grouping(col("o_orderpriority")).cast(IntegerType)
             .as("g_priority"),
           count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(D12_2)).cast(DoubleType).as("total"))
+          (sumExact(cents(col("o_totalprice"))).cast(DoubleType) / 100.0)
+            .as("total"))
   }
 
   /** Family-A end-to-end: the SAME SQL text runs through the gated
