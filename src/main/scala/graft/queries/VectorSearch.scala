@@ -214,5 +214,104 @@ object VectorSearch {
       .select("q_id", "neighbor_id", "bucket", "rnk", "cosine")
   }
 
-  val all: Seq[Q] = Seq(v01, v02, v03)
+  // ---------------------------------------------------------------
+  // v04 IVF probe search — the full query path v02 is the first half
+  // of: build per-cell centroids (cell = label), coarse-assign each
+  // query to its nprobe=2 nearest cells, then exact cosine ONLY
+  // against vectors in the probed cells. At 100 TB this is the plan
+  // you want: the centroid table is #cells×dims (broadcast), the
+  // probe decision touches #queries×#cells rows, and the candidate
+  // join is a plain equi-join on the cell key — the corpus partitions
+  // by cell and only probed partitions are read. Distances reuse
+  // v02's rounded-term construction; cosines reuse the scaled-BIGINT
+  // dot so every number is bit-identical cross-engine.
+  val v04 = Q(
+    "v04_ivf_probe_search",
+    s"""WITH el AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> round(x::DOUBLE*1e6)::BIGINT) AS sx,
+      |    CAST(list_sum(list_transform(
+      |      list_transform(embedding, x -> round(x::DOUBLE*1e6)::BIGINT),
+      |      x -> x*x)) AS BIGINT) AS n
+      |  FROM embeddings),
+      |ex AS (SELECT label, generate_subscripts(embedding,1) AS pos,
+      |         unnest(embedding) AS x FROM embeddings),
+      |cen AS (SELECT label, pos,
+      |          CAST(SUM(round(x::DOUBLE*1e9)::BIGINT) AS BIGINT) AS sxs,
+      |          COUNT(*) AS c
+      |        FROM ex GROUP BY label, pos),
+      |cm AS (SELECT label, pos, sxs::DOUBLE / (c * 1e9) AS m FROM cen),
+      |qx AS (SELECT vec_id AS q_id, generate_subscripts(embedding,1) AS pos,
+      |         unnest(embedding) AS x
+      |       FROM embeddings WHERE vec_id % 50 = 0),
+      |d AS (SELECT q_id, cm.label,
+      |        CAST(SUM(round((qx.x::DOUBLE - cm.m)*(qx.x::DOUBLE - cm.m)*1e12)::BIGINT) AS BIGINT) AS ds
+      |      FROM qx JOIN cm ON qx.pos = cm.pos GROUP BY q_id, cm.label),
+      |probe AS (SELECT q_id, label
+      |          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+      |                  ORDER BY ds, label) AS rnk FROM d) t
+      |          WHERE rnk <= 2),
+      |q AS (SELECT vec_id AS q_id, sx AS q_sx, n AS q_n FROM el
+      |      WHERE vec_id % 50 = 0),
+      |p AS (SELECT q.q_id, e.vec_id AS neighbor_id, e.label,
+      |        CAST(list_sum(list_transform(list_zip(q.q_sx, e.sx),
+      |          x -> x[1]*x[2])) AS BIGINT)::DOUBLE
+      |          / (sqrt(q.q_n::DOUBLE) * sqrt(e.n::DOUBLE)) AS cosine
+      |      FROM probe
+      |      JOIN el e ON e.label = probe.label AND e.vec_id <> probe.q_id
+      |      JOIN q ON q.q_id = probe.q_id)
+      |SELECT q_id, neighbor_id, label, rnk, cosine
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+      |        ORDER BY cosine DESC, neighbor_id) AS rnk FROM p) t
+      |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val el = emb
+      .select(col("vec_id"), col("label"),
+        Fns.scaleVec(col("embedding")).as("sx"))
+      .withColumn("n", VectorExprs.normSqIntNative(col("sx")))
+    // centroids: one groupBy over (label, dim) — #cells×dims output
+    val ex = emb.select(col("label"),
+      posexplode(col("embedding")).as(Seq("pos0", "x")))
+    val cm = ex.groupBy("label", "pos0")
+      .agg(sum(round(col("x").cast(DoubleType) * 1e9).cast(LongType))
+        .as("sxs"), count(lit(1)).as("c"))
+      .select(col("label"), col("pos0"),
+        (col("sxs").cast(DoubleType) / (col("c") * lit(1e9))).as("m"))
+    // coarse assignment: nprobe=2 nearest cells per query
+    val qx = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"),
+        posexplode(col("embedding")).as(Seq("pos0", "x")))
+    val diff = col("x").cast(DoubleType) - col("m")
+    val dAgg = qx.join(broadcast(cm), "pos0")
+      .select(col("q_id"), col("label"),
+        round(diff * diff * lit(1e12)).cast(LongType).as("term"))
+      .groupBy("q_id", "label")
+      .agg(sum("term").as("ds"))
+    val wProbe = Window.partitionBy("q_id").orderBy(col("ds"), col("label"))
+    val probe = dAgg.withColumn("rnk", row_number().over(wProbe))
+      .filter(col("rnk") <= 2)
+      .select("q_id", "label")
+    // exact search within probed cells only: equi-join on the cell key
+    // (probe side is #queries×2 rows — broadcast; the corpus side
+    // streams partitioned by cell)
+    val q = el.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("sx").as("q_sx"),
+        col("n").as("q_n"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    el.join(broadcast(probe),
+        el("label") === probe("label") && col("vec_id") =!= probe("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), el("label"),
+        col("sx"), col("n"))
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("neighbor_id"), col("label"),
+        Fns.cosineFromScaled(
+          VectorExprs.dotIntNative(col("q_sx"), col("sx")),
+          col("q_n"), col("n")).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "neighbor_id", "label", "rnk", "cosine")
+  }
+
+  val all: Seq[Q] = Seq(v01, v02, v03, v04)
 }
