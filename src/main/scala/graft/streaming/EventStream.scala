@@ -110,49 +110,65 @@ object EventStream {
       lastEventType: String,
       stallStreak: Int,
       stalled: Boolean,
+      doomStreak: Int,
+      doomLoop: Boolean,
       closed: Boolean)
 
   // public: the state encoder's generated deserializer must be able to
   // construct it
   case class SessState(nEvents: Long, nErrors: Long,
-      lastType: String, streak: Int)
+      lastType: String, streak: Int, lastFp: String, fpStreak: Int)
+
+  /** The reference's turn fingerprint — (tool, canonical args json)
+    * with sorted keys (`event_loop_node.py:2117-2126`) — over an
+    * [[AgentEvent]]: event type + the data map in key order. */
+  def fingerprint(e: AgentEvent): String =
+    e.eventType + "|" + e.data.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString(",")
 
   /** Per-stream session state: counts, consecutive-identical-event
     * streak (stall detection threshold 3,
-    * `event_loop_node.py:2047-2055,79`), gap-timeout close. One state
-    * row per stream key — Spark's state store is the per-key lock.
-    * `gapMs <= 0` disables the gap-timeout close (no processing-time
-    * timeouts scheduled — deterministic for batch-style tests). */
+    * `event_loop_node.py:2047-2055,79`), consecutive identical
+    * (tool, args) fingerprints (tool doom loop, threshold 3,
+    * `event_loop_node.py:2127-2152` — the live flavor of e15),
+    * gap-timeout close. One state row per stream key — Spark's state
+    * store is the per-key lock. `gapMs <= 0` disables the gap-timeout
+    * close (no processing-time timeouts scheduled — deterministic for
+    * batch-style tests). */
   def sessionize(events: Dataset[AgentEvent], gapMs: Long)(
       implicit spark: SparkSession): Dataset[SessionUpdate] = {
     import spark.implicits._
     val timeoutKind =
       if (gapMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
+    val zero = SessState(0, 0, "", 0, "", 0)
+    def emit(key: String, s: SessState, closed: Boolean) =
+      SessionUpdate(key, s.nEvents, s.nErrors, s.lastType,
+        s.streak, s.streak >= 3, s.fpStreak, s.fpStreak >= 3, closed)
     events
       .groupByKey(_.streamId)
       .flatMapGroupsWithState[SessState, SessionUpdate](
         OutputMode.Append(), timeoutKind) {
         case (key, it, state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
-            val s = state.getOption.getOrElse(SessState(0, 0, "", 0))
+            val s = state.getOption.getOrElse(zero)
             state.remove()
-            Iterator(SessionUpdate(key, s.nEvents, s.nErrors, s.lastType,
-              s.streak, s.streak >= 3, closed = true))
+            Iterator(emit(key, s, closed = true))
           } else {
-            var s = state.getOption.getOrElse(SessState(0, 0, "", 0))
+            var s = state.getOption.getOrElse(zero)
             // deterministic in-batch order: arrival order within group
             it.foreach { e =>
               val streak =
                 if (e.eventType == s.lastType) s.streak + 1 else 1
+              val fp = fingerprint(e)
+              val fpStreak = if (fp == s.lastFp) s.fpStreak + 1 else 1
               s = SessState(s.nEvents + 1,
                 s.nErrors + (if (e.eventType == "error") 1 else 0),
-                e.eventType, streak)
+                e.eventType, streak, fp, fpStreak)
             }
             state.update(s)
             if (gapMs > 0) state.setTimeoutDuration(gapMs)
-            Iterator(SessionUpdate(key, s.nEvents, s.nErrors, s.lastType,
-              s.streak, s.streak >= 3, closed = false))
+            Iterator(emit(key, s, closed = false))
           }
       }
   }
@@ -215,9 +231,11 @@ object EventStream {
   def attentionStream(updates: Dataset[SessionUpdate])(
       implicit spark: SparkSession): DataFrame = {
     updates.toDF()
-      .filter(col("stalled") || col("nErrors") > 3 || col("nEvents") > 20)
+      .filter(col("stalled") || col("doomLoop") ||
+        col("nErrors") > 3 || col("nEvents") > 20)
       .withColumn("attention_reasons", array_compact(array(
         when(col("stalled"), "stall"),
+        when(col("doomLoop"), "doom_loop"),
         when(col("nErrors") > 3, "errors"),
         when(col("nEvents") > 20, "volume"))))
   }

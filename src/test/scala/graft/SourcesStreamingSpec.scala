@@ -119,17 +119,27 @@ class EventStreamSpec extends SparkTestBase {
     val q = updates.writeStream.format("memory")
       .queryName("sess").outputMode("append").start()
     try {
+      // s1: same type 3x, same (empty) args -> stall AND doom loop
+      // s3: same type 3x but args differ -> stall WITHOUT doom loop
+      //     (the args are what distinguishes the two detectors,
+      //     event_loop_node.py:2127-2152)
       input.addData(
         ev("a", "s1", 0), ev("a", "s1", 1), ev("a", "s1", 2),
-        ev("error", "s2", 0))
+        ev("error", "s2", 0),
+        AgentEvent("a", "s3", None, None, new Timestamp(0), Map("q" -> "1")),
+        AgentEvent("a", "s3", None, None, new Timestamp(1), Map("q" -> "2")),
+        AgentEvent("a", "s3", None, None, new Timestamp(2), Map("q" -> "3")))
       q.processAllAvailable()
       val rows = spark.table("sess").as[EventStream.SessionUpdate]
         .collect().map(u => u.streamId -> u).toMap
       assert(rows("s1").nEvents === 3)
       assert(rows("s1").stallStreak === 3)
       assert(rows("s1").stalled) // 3 identical in a row
+      assert(rows("s1").doomLoop) // identical args too
       assert(rows("s2").nErrors === 1)
       assert(!rows("s2").stalled)
+      assert(rows("s3").stalled && !rows("s3").doomLoop)
+      assert(rows("s3").doomStreak === 1)
     } finally q.stop()
   }
 
