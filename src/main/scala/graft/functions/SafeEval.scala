@@ -51,6 +51,9 @@ object SafeEval {
   private val twoCharOps = Seq("**", "//", "==", "!=", "<=", ">=")
   private val oneCharOps = "+-*/%()[],.<>".toSet
 
+  private def isHex(c: Char): Boolean =
+    c.isDigit || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
   private def tokenize(s: String): List[Tok] = {
     val out = scala.collection.mutable.ListBuffer[Tok]()
     var i = 0
@@ -70,20 +73,44 @@ object SafeEval {
       } else if (c == '\'' || c == '"') {
         val q = c; i += 1
         val sb = new StringBuilder
-        // Python string-literal escapes: \' \" \\ \n \t \r; an
-        // unrecognized escape keeps the backslash, as Python does
+        // Python string-literal escapes (the Python lexer set the
+        // reference's ast.parse applies): \n \t \r \a \b \f \v \' \"
+        // \\ \0-\777 octal, \xhh, \uXXXX; an unrecognized escape keeps
+        // the backslash, as Python does
         while (i < s.length && s(i) != q) {
           if (s(i) == '\\' && i + 1 < s.length) {
-            s(i + 1) match {
-              case 'n' => sb += '\n'
-              case 't' => sb += '\t'
-              case 'r' => sb += '\r'
-              case '\'' => sb += '\''
-              case '"' => sb += '"'
-              case '\\' => sb += '\\'
-              case other => sb += '\\'; sb += other
+            val e = s(i + 1)
+            e match {
+              case 'n' => sb += '\n'; i += 2
+              case 't' => sb += '\t'; i += 2
+              case 'r' => sb += '\r'; i += 2
+              case 'a' => sb += 7.toChar; i += 2
+              case 'b' => sb += '\b'; i += 2
+              case 'f' => sb += '\f'; i += 2
+              case 'v' => sb += 11.toChar; i += 2
+              case '\'' => sb += '\''; i += 2
+              case '"' => sb += '"'; i += 2
+              case '\\' => sb += '\\'; i += 2
+              case 'x' =>
+                if (i + 3 >= s.length ||
+                    !s.substring(i + 2, i + 4).forall(isHex))
+                  throw new SafeEvalException("invalid \\x escape")
+                sb += Integer.parseInt(s.substring(i + 2, i + 4), 16).toChar
+                i += 4
+              case 'u' =>
+                if (i + 5 >= s.length ||
+                    !s.substring(i + 2, i + 6).forall(isHex))
+                  throw new SafeEvalException("invalid \\u escape")
+                sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+                i += 6
+              case o if o >= '0' && o <= '7' =>
+                val end = math.min(i + 4, s.length)
+                var j = i + 1
+                while (j < end && s(j) >= '0' && s(j) <= '7') j += 1
+                sb += Integer.parseInt(s.substring(i + 1, j), 8).toChar
+                i = j
+              case other => sb += '\\'; sb += other; i += 2
             }
-            i += 2
           } else { sb += s(i); i += 1 }
         }
         if (i >= s.length) throw new SafeEvalException("unterminated string")

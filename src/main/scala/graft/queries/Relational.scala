@@ -19,12 +19,6 @@ import org.apache.spark.sql.types._
 object Relational {
 
   private val D12_2 = DecimalType(12, 2)
-  private val D4_2 = DecimalType(4, 2)
-
-  /** exact per-row discounted price: ep*(1-disc) in DECIMAL */
-  private def discPrice(ep: Column, disc: Column): Column =
-    (ep.cast(D12_2) * (lit(1).cast(D4_2) - disc.cast(D4_2)))
-      .cast(DecimalType(18, 4))
 
   /** Money/percent in integer cents: floor(x·100 + 0.5) as BIGINT
     * (half-up for these non-negative values). Per-row products then

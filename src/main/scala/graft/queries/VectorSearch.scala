@@ -265,10 +265,12 @@ object VectorSearch {
       |        ORDER BY cosine DESC, neighbor_id) AS rnk FROM p) t
       |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
     val emb = Tables.load(s, dir, "embeddings")
-    val el = emb
+    // el fans out (candidate join + query side): pin so the
+    // scaleVec+norm pass runs once, like the dedup family's gram pin
+    val el = graft.operators.Pin(emb
       .select(col("vec_id"), col("label"),
         Fns.scaleVec(col("embedding")).as("sx"))
-      .withColumn("n", VectorExprs.normSqIntNative(col("sx")))
+      .withColumn("n", VectorExprs.normSqIntNative(col("sx"))))
     // centroids: one groupBy over (label, dim) — #cells×dims output
     val ex = emb.select(col("label"),
       posexplode(col("embedding")).as(Seq("pos0", "x")))

@@ -62,8 +62,10 @@ object DataStore {
     if (!new java.io.File(s"$root/$name").isDirectory)
       return EditOutcome(success = false,
         Some(s"File not found: $name"), 0L, 0)
-    val (df, _) = load(spark, root, name)
-    val content = df.orderBy("line_no").collect()
+    // one scan, already ordered — load() would pay an extra count()
+    // job for a total this path discards
+    val content = spark.read.json(s"$root/$name")
+      .orderBy("line_no").collect()
       .map(_.getAs[String]("value")).mkString("\n")
     // occurrence count with overlap semantics identical to
     // str.count for non-overlapping scans

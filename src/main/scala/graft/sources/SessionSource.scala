@@ -117,6 +117,7 @@ object SessionSource {
           col("timestamps.started_at")).desc,
         col("session_id"))
       .limit(limit)
+      .drop("status_priority") // internal sort key, not contract schema
 
   /** Timestamp inference from the id format
     * `session_YYYYMMDD_HHMMSS_{uuid8}` for documents predating the

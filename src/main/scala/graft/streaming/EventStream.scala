@@ -82,7 +82,9 @@ object EventStream {
     * and renames to the internal contract. */
   def fromJsonl(spark: SparkSession, dir: String): DataFrame =
     normalizeReferenceEvents(
-      spark.readStream.schema(referenceEventSchema).json(dir))
+      spark.readStream.schema(referenceEventSchema)
+        .option("mode", "DROPMALFORMED") // tolerant, like the batch path
+        .json(dir))
 
   /** Batch flavor of [[fromJsonl]] for compaction / replay analytics;
     * corrupt lines drop instead of failing (`runtime_log_store.py:265-289`
@@ -121,10 +123,19 @@ object EventStream {
 
   /** The reference's turn fingerprint — (tool, canonical args json)
     * with sorted keys (`event_loop_node.py:2117-2126`) — over an
-    * [[AgentEvent]]: event type + the data map in key order. */
-  def fingerprint(e: AgentEvent): String =
-    e.eventType + "|" + e.data.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"$k=$v" }.mkString(",")
+    * [[AgentEvent]]: event type + a canonical JSON rendering of the
+    * data map in key order. Quotes/backslashes escape so distinct
+    * maps cannot collide (a bare `k=v,`-join would confuse
+    * `{"a":"1,b=2"}` with `{"a":"1","b":"2"}`); null data (a corrupt
+    * or data-less line) fingerprints as the empty map. */
+  def fingerprint(e: AgentEvent): String = {
+    def js(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val data = Option(e.data).getOrElse(Map.empty[String, String])
+    e.eventType + "|" + data.toSeq.sortBy(_._1)
+      .map { case (k, v) => js(k) + ":" + js(Option(v).getOrElse("")) }
+      .mkString("{", ",", "}")
+  }
 
   /** Per-stream session state: counts, consecutive-identical-event
     * streak (stall detection threshold 3,
@@ -134,7 +145,12 @@ object EventStream {
     * gap-timeout close. One state row per stream key — Spark's state
     * store is the per-key lock. `gapMs <= 0` disables the gap-timeout
     * close (no processing-time timeouts scheduled — deterministic for
-    * batch-style tests). */
+    * batch-style tests).
+    *
+    * State-schema note: [[SessState]] grew `lastFp`/`fpStreak` for the
+    * doom-loop streak — a resuming query must start from a FRESH
+    * checkpoint directory (Spark's state store rejects the old 4-field
+    * layout). */
   def sessionize(events: Dataset[AgentEvent], gapMs: Long)(
       implicit spark: SparkSession): Dataset[SessionUpdate] = {
     import spark.implicits._

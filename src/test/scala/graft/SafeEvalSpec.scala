@@ -92,6 +92,13 @@ class SafeEvalSpec extends SparkTestBase {
     assert(evalRow0("""'a\qb'""") === "a\\qb")
     // an escaped quote must not terminate the literal early
     assert(evalRow0("""len('it\'s')""") === 4)
+    // full Python lexer escape set
+    assert(evalRow0("""'\x41'""") === "A")
+    assert(evalRow0("'" + "\\u0041" + "'") === "A")
+    assert(evalRow0("""'\101'""") === "A") // octal
+    assert(evalRow0("""'\a\v\f'""") ===
+      new String(Array(7.toChar, 11.toChar, '\f')))
+    intercept[SafeEvalException](SafeEval.compile("""'\xZZ'"""))
   }
 
   test("condition(): errors/nulls collapse to false (edge.py:200-204)") {
