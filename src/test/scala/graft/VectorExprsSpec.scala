@@ -51,6 +51,24 @@ class VectorExprsSpec extends SparkTestBase {
     }
   }
 
+  test("property: Shingle3Hash60 ≡ composed path on random docs " +
+      "(seeded, 200 docs)") {
+    val rnd = new scala.util.Random(1234)
+    val vocab = Vector("alpha", "beta", "gamma", "δδ", "x", "", "a b",
+      "longer-token-value", "7", "ümlaut")
+    val docs = (0 until 200).map { i =>
+      val n = rnd.nextInt(12) // 0..11 tokens, covers the <3 edge
+      (i, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))))
+    }
+    val df = docs.toDF("id", "ws")
+    val got = df.select(col("id"),
+      VectorExprs.shingleHash60(col("ws"), distinct = false).as("native"),
+      transform(Fns.shingles3Raw(col("ws")), g => Fns.hash60(g)).as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+      s"doc ${r.getInt(0)}: ${docs(r.getInt(0))._2}"))
+  }
+
   test("interpreted eval path matches (nullSafeEval)") {
     val a = Literal.create(Seq(1L, 2L, 3L), ArrayType(LongType))
     val b = Literal.create(Seq(4L, 5L, 6L), ArrayType(LongType))
