@@ -12,8 +12,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    bit-identical across engines), cast to DOUBLE only at the end;
   *  - divisions happen in IEEE double on exact inputs (deterministic);
   *  - timestamps are compared at epoch-millisecond precision (events.ts
-  *    is ns in parquet; Spark truncates to us, DuckDB keeps ns — ms is
-  *    the shared exact precision);
+  *    is ns in parquet; Spark reads the full ns value via nanosAsLong,
+  *    DuckDB 1.x reads it µs-TRUNCATED — so raw-ts comparisons against
+  *    the oracle are only safe at µs or coarser; ms is the precision
+  *    the inventory standardizes on);
   *  - every ORDER BY ... LIMIT has a unique-key tiebreak so both
   *    engines select the same row set.
   */

@@ -24,6 +24,28 @@ import org.apache.spark.sql.types._
   */
 object Fns {
 
+  /** The cross-engine JSON-payload gate for `events.props`: both
+    * engines' JSON parsers disagree at the margins (DuckDB hard-rejects
+    * payloads Spark's lenient `get_json_object` accepts, and vice versa
+    * for trailing commas; DuckDB CAST also ROUNDS `'1.5'`→2 where Spark
+    * nulls/throws), so BOTH gate on this document-shape regex — inside
+    * the gate the parsers and the integer cast agree. ONE definition:
+    * the regex, its DuckDB extraction, and its Spark twin must never
+    * drift apart or the b-family and e10 stop agreeing about which
+    * payloads are valid. */
+  val propsShape = """^\{"k": -?[0-9]+\}$"""
+
+  /** DuckDB-side gated integer extraction of `props.k`. */
+  val kIntSql: String =
+    s"""CASE WHEN regexp_matches(props, '$propsShape')
+      |    THEN CAST(json_extract_string(props, '$$.k') AS BIGINT) END"""
+      .stripMargin
+
+  /** Spark twin of [[kIntSql]]. */
+  def kInt: Column =
+    when(col("props").rlike(propsShape),
+      get_json_object(col("props"), "$.k")).cast(LongType)
+
   /** Deterministic 60-bit hash of a string column, identical in Spark
     * and DuckDB. DuckDB equivalent: `('0x'||substr(md5(x),1,15))::BIGINT`.
     */

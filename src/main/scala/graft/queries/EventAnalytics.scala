@@ -11,9 +11,11 @@ import org.apache.spark.sql.types._
   * semantics (`runtime_log_schemas.py`, `RUNTIME_LOGGING.md:97-106`).
   *
   * Timestamp parity note: events.ts is nanosecond parquet; Spark reads
-  * µs-truncated, DuckDB keeps ns. All outputs and ordering therefore use
-  * epoch milliseconds (`unix_millis` / `epoch_ms`) or the unique
-  * `event_id` — the shared exact precision.
+  * the FULL ns value (`nanosAsLong`, `Tables.scala`) while DuckDB 1.x
+  * reads it µs-TRUNCATED. Never compare raw ts at ns precision against
+  * the oracle: all outputs and ordering use epoch milliseconds
+  * (`ts div 1000000` / `epoch_ms`) or the unique `event_id`, and range
+  * bounds compare at µs (see e13) — the shared exact precisions.
   */
 object EventAnalytics {
 
@@ -298,14 +300,10 @@ object EventAnalytics {
 
   // e10 — JSON payload extraction (AgentEvent.data map payloads,
   // event_bus.py:139-168; from_json/get_json_object path).
-  // Parity guards: the two JSON parsers disagree at the margins
-  // (DuckDB's json_valid hard-rejects what Spark's lenient
-  // get_json_object accepts, and vice versa for trailing commas), and
-  // DuckDB CAST ROUNDS '1.5'→2 where Spark nulls/throws. Both engines
-  // therefore gate on the SAME document-shape regex — inside the gate
-  // both parsers agree — and regex-validate integerness before the
-  // cast, so any payload shape hashes identically.
-  private val propsShape = """^\{"k": -?[0-9]+\}$"""
+  // Parity guards live in ONE place — [[graft.functions.Fns.propsShape]]
+  // (see its scaladoc for why both engines gate on the same regex);
+  // b01/b03 share the identical gate.
+  private def propsShape = graft.functions.Fns.propsShape
 
   val e10 = Q(
     "e10_json_extract",

@@ -17,23 +17,10 @@ object RunAnalytics {
 
   private val D12_2 = DecimalType(12, 2)
 
-  /** Oracle-side integer extraction of props.k. Both engines gate on
-    * the SAME document-shape regex (their JSON parsers disagree at the
-    * margins — DuckDB hard-rejects payloads Spark reads leniently and
-    * accepts trailing commas Spark nulls; DuckDB CAST also ROUNDS
-    * non-integer text) — inside the gate the parsers agree and the
-    * cast input is integer text on both sides. */
-  private val propsShape = """^\{"k": -?[0-9]+\}$"""
-
-  private val kIntSql =
-    s"""CASE WHEN regexp_matches(props, '$propsShape')
-      |    THEN CAST(json_extract_string(props, '$$.k') AS BIGINT) END"""
-      .stripMargin
-
-  /** Spark twin of [[kIntSql]]. */
-  private def kInt =
-    when(col("props").rlike(propsShape),
-      get_json_object(col("props"), "$.k")).cast(LongType)
+  // the shared cross-engine props gate + extraction — single-sourced
+  // in Fns so b01/b03 and e10 can never disagree about payload validity
+  private def kIntSql = graft.functions.Fns.kIntSql
+  private def kInt = graft.functions.Fns.kInt
 
   // ---------------------------------------------------------------
   // a01 as-of join — for every purchase, the most recent earlier error

@@ -340,12 +340,14 @@ object TextDedup {
       |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
       |  AND (a.c1 = b.c1 OR a.c2 = b.c2)
       |WHERE cosine >= 0.3""".stripMargin) { (s, dir) =>
-    val e = Tables.load(s, dir, "embeddings")
+    // fans out six ways (both sides of two band joins + the two
+    // verification sides): pin so scaleVec+norm+orthant runs once
+    val e = Pin(Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         Fns.scaleVec(col("embedding")).as("sx"))
       .withColumn("nn", VectorExprs.normSqIntNative(col("sx")))
       .withColumn("c1", orthantCol(1))
-      .withColumn("c2", orthantCol(1 + D06CellBits))
+      .withColumn("c2", orthantCol(1 + D06CellBits)))
     // candidate generation: one equi-join per band (the OR in the
     // oracle's join condition would force a non-equi join in Spark;
     // union-distinct of per-band equi-joins is the same set with

@@ -91,6 +91,47 @@ object VectorSearch {
       .select("q_id", "neighbor_id", "rnk", "cosine")
   }
 
+  /** Shared coarse-assignment CTE chain (v02 + v04): per-label
+    * centroid means via exact scaled-integer sums, then per-query
+    * squared distance to every centroid as a sum of rounded 1e12-scale
+    * integer terms — one definition so the two queries can never
+    * drift. Yields CTE `d` = (q_id, label, ds). */
+  private val coarseAssignCtes =
+    """ex AS (SELECT label, generate_subscripts(embedding,1) AS pos,
+      |         unnest(embedding) AS x FROM embeddings),
+      |cen AS (SELECT label, pos,
+      |          CAST(SUM(round(x::DOUBLE*1e9)::BIGINT) AS BIGINT) AS sxs,
+      |          COUNT(*) AS c
+      |        FROM ex GROUP BY label, pos),
+      |cm AS (SELECT label, pos, sxs::DOUBLE / (c * 1e9) AS m FROM cen),
+      |qx AS (SELECT vec_id AS q_id, generate_subscripts(embedding,1) AS pos,
+      |         unnest(embedding) AS x
+      |       FROM embeddings WHERE vec_id % 50 = 0),
+      |d AS (SELECT q_id, cm.label,
+      |        CAST(SUM(round((qx.x::DOUBLE - cm.m)*(qx.x::DOUBLE - cm.m)*1e12)::BIGINT) AS BIGINT) AS ds
+      |      FROM qx JOIN cm ON qx.pos = cm.pos GROUP BY q_id, cm.label)"""
+      .stripMargin
+
+  /** Spark twin of [[coarseAssignCtes]]: (q_id, label, ds). */
+  private def coarseDistances(emb: DataFrame): DataFrame = {
+    val ex = emb.select(col("label"),
+      posexplode(col("embedding")).as(Seq("pos0", "x")))
+    val cm = ex.groupBy("label", "pos0")
+      .agg(sum(round(col("x").cast(DoubleType) * 1e9).cast(LongType))
+        .as("sxs"), count(lit(1)).as("c"))
+      .select(col("label"), col("pos0"),
+        (col("sxs").cast(DoubleType) / (col("c") * lit(1e9))).as("m"))
+    val qx = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"),
+        posexplode(col("embedding")).as(Seq("pos0", "x")))
+    val diff = col("x").cast(DoubleType) - col("m")
+    qx.join(broadcast(cm), "pos0")
+      .select(col("q_id"), col("label"),
+        round(diff * diff * lit(1e12)).cast(LongType).as("term"))
+      .groupBy("q_id", "label")
+      .agg(sum("term").as("ds"))
+  }
+
   // ---------------------------------------------------------------
   // v02 IVF coarse assignment — per-label centroids (the "inverted
   // file" cell list), each query ranked against the 10 centroids.
@@ -99,40 +140,12 @@ object VectorSearch {
   // step before a within-cell v01.
   val v02 = Q(
     "v02_ivf_centroid_assign",
-    """WITH ex AS (SELECT label, generate_subscripts(embedding,1) AS pos,
-      |              unnest(embedding) AS x FROM embeddings),
-      |cen AS (SELECT label, pos,
-      |          CAST(SUM(round(x::DOUBLE*1e9)::BIGINT) AS BIGINT) AS sx,
-      |          COUNT(*) AS c
-      |        FROM ex GROUP BY label, pos),
-      |cm AS (SELECT label, pos, sx::DOUBLE / (c * 1e9) AS m FROM cen),
-      |qx AS (SELECT vec_id AS q_id, generate_subscripts(embedding,1) AS pos,
-      |         unnest(embedding) AS x
-      |       FROM embeddings WHERE vec_id % 50 = 0),
-      |d AS (SELECT q_id, cm.label,
-      |        CAST(SUM(round((qx.x::DOUBLE - cm.m)*(qx.x::DOUBLE - cm.m)*1e12)::BIGINT) AS BIGINT) AS ds
-      |      FROM qx JOIN cm ON qx.pos = cm.pos GROUP BY q_id, cm.label)
+    s"""WITH $coarseAssignCtes
       |SELECT q_id, label, rnk, sqrt(ds::DOUBLE / 1e12) AS dist
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
       |        ORDER BY ds, label) AS rnk FROM d) t
       |WHERE rnk <= 2""".stripMargin) { (s, dir) =>
-    val emb = Tables.load(s, dir, "embeddings")
-    val ex = emb.select(col("label"),
-      posexplode(col("embedding")).as(Seq("pos0", "x")))
-    val cm = ex.groupBy("label", "pos0")
-      .agg(sum(round(col("x").cast(DoubleType) * 1e9).cast(LongType)).as("sx"),
-        count(lit(1)).as("c"))
-      .select(col("label"), col("pos0"),
-        (col("sx").cast(DoubleType) / (col("c") * lit(1e9))).as("m"))
-    val qx = emb.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"),
-        posexplode(col("embedding")).as(Seq("pos0", "x")))
-    val diff = col("x").cast(DoubleType) - col("m")
-    val d = qx.join(broadcast(cm), "pos0")
-      .select(col("q_id"), col("label"),
-        round(diff * diff * lit(1e12)).cast(LongType).as("term"))
-      .groupBy("q_id", "label")
-      .agg(sum("term").as("ds"))
+    val d = coarseDistances(Tables.load(s, dir, "embeddings"))
     val w = Window.partitionBy("q_id").orderBy(col("ds"), col("label"))
     d.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 2)
@@ -234,19 +247,7 @@ object VectorSearch {
       |      list_transform(embedding, x -> round(x::DOUBLE*1e6)::BIGINT),
       |      x -> x*x)) AS BIGINT) AS n
       |  FROM embeddings),
-      |ex AS (SELECT label, generate_subscripts(embedding,1) AS pos,
-      |         unnest(embedding) AS x FROM embeddings),
-      |cen AS (SELECT label, pos,
-      |          CAST(SUM(round(x::DOUBLE*1e9)::BIGINT) AS BIGINT) AS sxs,
-      |          COUNT(*) AS c
-      |        FROM ex GROUP BY label, pos),
-      |cm AS (SELECT label, pos, sxs::DOUBLE / (c * 1e9) AS m FROM cen),
-      |qx AS (SELECT vec_id AS q_id, generate_subscripts(embedding,1) AS pos,
-      |         unnest(embedding) AS x
-      |       FROM embeddings WHERE vec_id % 50 = 0),
-      |d AS (SELECT q_id, cm.label,
-      |        CAST(SUM(round((qx.x::DOUBLE - cm.m)*(qx.x::DOUBLE - cm.m)*1e12)::BIGINT) AS BIGINT) AS ds
-      |      FROM qx JOIN cm ON qx.pos = cm.pos GROUP BY q_id, cm.label),
+      |$coarseAssignCtes,
       |probe AS (SELECT q_id, label
       |          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
       |                  ORDER BY ds, label) AS rnk FROM d) t
@@ -271,24 +272,8 @@ object VectorSearch {
       .select(col("vec_id"), col("label"),
         Fns.scaleVec(col("embedding")).as("sx"))
       .withColumn("n", VectorExprs.normSqIntNative(col("sx"))))
-    // centroids: one groupBy over (label, dim) — #cells×dims output
-    val ex = emb.select(col("label"),
-      posexplode(col("embedding")).as(Seq("pos0", "x")))
-    val cm = ex.groupBy("label", "pos0")
-      .agg(sum(round(col("x").cast(DoubleType) * 1e9).cast(LongType))
-        .as("sxs"), count(lit(1)).as("c"))
-      .select(col("label"), col("pos0"),
-        (col("sxs").cast(DoubleType) / (col("c") * lit(1e9))).as("m"))
-    // coarse assignment: nprobe=2 nearest cells per query
-    val qx = emb.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"),
-        posexplode(col("embedding")).as(Seq("pos0", "x")))
-    val diff = col("x").cast(DoubleType) - col("m")
-    val dAgg = qx.join(broadcast(cm), "pos0")
-      .select(col("q_id"), col("label"),
-        round(diff * diff * lit(1e12)).cast(LongType).as("term"))
-      .groupBy("q_id", "label")
-      .agg(sum("term").as("ds"))
+    // coarse assignment (shared with v02): nprobe=2 nearest cells
+    val dAgg = coarseDistances(emb)
     val wProbe = Window.partitionBy("q_id").orderBy(col("ds"), col("label"))
     val probe = dAgg.withColumn("rnk", row_number().over(wProbe))
       .filter(col("rnk") <= 2)
