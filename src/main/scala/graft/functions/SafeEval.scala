@@ -502,7 +502,12 @@ object SafeEval {
       val vs = args.map(eval(_, schema))
       m match {
         case "get" =>
-          val v = element_at(t.c, vs.head.c)
+          // try_element_at, NOT element_at: dict.get is the one Python
+          // accessor that can never raise, while ANSI element_at
+          // throws MAP_KEY_DOES_NOT_EXIST for an absent key — a
+          // missing-key .get in an edge condition must yield
+          // None/default, never abort the job
+          val v = try_element_at(t.c, vs.head.c)
           val vt = t.dt.collect { case MapType(_, x, _) => x }
           if (vs.size > 1) TV(coalesce(v, vs(1).c), vt) else TV(v, vt)
         case "keys" => TV(map_keys(t.c),
@@ -514,16 +519,20 @@ object SafeEval {
         case "upper" => TV(upper(t.c), Some(StringType))
         case "strip" => TV(trim(t.c), Some(StringType))
         case "split" =>
-          // Python str.split is LITERAL; Spark's split takes a regex —
-          // quote the separator so '.', '|', '+' split on themselves
-          val sepText = args.headOption match {
-            case Some(Str(s)) => s
-            case None => " "
+          // Python str.split with a separator is LITERAL (quote the
+          // regex, keep empty tokens); with NO separator it splits on
+          // whitespace RUNS and discards empties — two genuinely
+          // different behaviors
+          args.headOption match {
+            case Some(Str(s)) =>
+              TV(split(t.c, java.util.regex.Pattern.quote(s)),
+                Some(ArrayType(StringType)))
+            case None =>
+              TV(filter(split(t.c, "\\s+"), x => length(x) > 0),
+                Some(ArrayType(StringType)))
             case _ => throw new SafeEvalException(
               "split() separator must be a string literal")
           }
-          TV(split(t.c, java.util.regex.Pattern.quote(sepText)),
-            Some(ArrayType(StringType)))
         case other =>
           throw new SafeEvalException(s"method '$other' not whitelisted")
       }

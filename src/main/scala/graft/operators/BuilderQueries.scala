@@ -278,8 +278,12 @@ object BuilderQueries {
         col("chosen_option_id").as("choice_b"))
     a.join(b, Seq("idx"), "full_outer")
       .agg(
-        min(when(col("choice_a").isNull || col("choice_b").isNull ||
-          col("choice_a") =!= col("choice_b"), col("idx")))
+        // the reference zips (stops at the shorter run) and compares
+        // with != — a position where BOTH recorded no choice is NOT a
+        // divergence (None != None is False, query.py:480-487);
+        // rows past the shorter run land in the nodes_only lists
+        min(when(col("node_a").isNotNull && col("node_b").isNotNull &&
+          !(col("choice_a") <=> col("choice_b")), col("idx")))
           .as("first_divergence_idx"),
         count(when(col("node_a").isNotNull && col("node_b").isNotNull,
           1)).as("compared_steps"),

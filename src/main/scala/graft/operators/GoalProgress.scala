@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
 object GoalProgress {
 
   private def words(c: org.apache.spark.sql.Column) =
-    // drop the empty tokens doubled/edge spaces produce — Python's
-    // str.split() discards them, and '' must not count as an overlap
-    array_remove(array_distinct(split(lower(c), " ")), "")
+    // Python str.split() (no sep) splits on whitespace RUNS — tabs and
+    // newlines included — and discards the empty tokens doubled/edge
+    // whitespace produces; '' must not count as an overlap
+    array_remove(array_distinct(split(lower(c), "\\s+")), "")
 
   /** Per-criterion progress: success rate over keyword-related
     * decisions (≥2 overlapping words). */

@@ -66,17 +66,26 @@ object GraphRunner {
         .otherwise(col("success")) // llm_decide fallback edge.py:271-274
 
     // compile each distinct CONDITIONAL expr once (driver-scale set).
-    // An expression that fails to PARSE routes False instead of
-    // aborting the run — the reference catches every safe_eval error
-    // (syntax included) and treats the edge as non-traversable
-    // (edge.py:199-204); runtime eval failures already have TRY
-    // semantics inside SafeEval.condition.
+    // An expression that fails to PARSE or to RESOLVE routes False
+    // instead of aborting the run — the reference catches every
+    // safe_eval error (syntax errors and unknown names included) and
+    // treats the edge as non-traversable (edge.py:199-204); runtime
+    // eval failures already have TRY semantics inside
+    // SafeEval.condition. Resolution is probed EAGERLY against the
+    // memory schema on an empty frame: an unresolved name would
+    // otherwise surface as an AnalysisException at the first filter
+    // use and kill all N sessions.
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], memSchema)
     val condExprs = edges.filter(_.condition == "conditional")
       .flatMap(_.conditionExpr).distinct
     val conditionalCol = condExprs.foldLeft(lit(false)) { (acc, e) =>
       val compiled =
-        try graft.functions.SafeEval.condition(e, memSchema)
-        catch { case _: Exception => lit(false) }
+        try {
+          val c = graft.functions.SafeEval.condition(e, memSchema)
+          probe.select(c) // analysis check only; runs no job
+          c
+        } catch { case _: Exception => lit(false) }
       when(col("condition_expr") === e, compiled).otherwise(acc)
     }
     val travCol = when(col("condition") === "conditional", conditionalCol)

@@ -12,15 +12,25 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Salted large-to-small join: the skewed (large) side gets a random
-    * salt in [0, buckets); the small side is replicated `buckets` ways
-    * — the shuffle key becomes (key, salt), splitting each hot key
-    * across `buckets` reducers. Semantics identical to
-    * `large.join(small, keys, "left")` for 1:1 small-side keys. */
+  /** Content-derived salt in [0, buckets): deterministic per ROW
+    * content, so a fetch-failure recompute of some map tasks re-derives
+    * the SAME salt for the same row — `rand()` is only deterministic
+    * per (partition, row order) and double-counts/drops rows when a
+    * retry reorders input (the SPARK-23207 class of bug). Identical
+    * duplicate rows share a salt; spreading depends on row diversity,
+    * which skewed-hot-key inputs have by construction. */
+  private def contentSalt(df: DataFrame, buckets: Int): Column =
+    pmod(hash(df.columns.map(col): _*), lit(buckets))
+
+  /** Salted large-to-small join: the skewed (large) side gets a
+    * content-derived salt in [0, buckets); the small side is
+    * replicated `buckets` ways — the shuffle key becomes (key, salt),
+    * splitting each hot key across `buckets` reducers. Semantics
+    * identical to `large.join(small, keys, "left")` for 1:1
+    * small-side keys. */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       buckets: Int): DataFrame = {
-    val salted = large.withColumn("__salt",
-      (rand(42) * buckets).cast("int"))
+    val salted = large.withColumn("__salt", contentSalt(large, buckets))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "__salt"), "left").drop("__salt")
@@ -33,7 +43,7 @@ object Skew {
   def twoPhaseAgg(df: DataFrame, key: String, buckets: Int,
       valueCol: Column, partialAgg: Column => Column,
       mergeAgg: Column => Column): DataFrame =
-    df.withColumn("__salt", (rand(42) * buckets).cast("int"))
+    df.withColumn("__salt", contentSalt(df, buckets))
       .groupBy(col(key), col("__salt"))
       .agg(partialAgg(valueCol).as("__partial"))
       .groupBy(col(key))

@@ -36,7 +36,11 @@ object CsvSource {
         // explicit key when provided; else stable file order
         val keyed = orderBy match {
           case Some(k) =>
-            val w = Window.orderBy(col(k))
+            // tie-break duplicates of the key on stable file position —
+            // an unstable sort could overlap/drop rows at a page
+            // boundary between two paginate() calls
+            val w = Window.orderBy(col(k), input_file_name(),
+              monotonically_increasing_id())
             df.withColumn("_rn", row_number().over(w))
           case None =>
             // fallback order = (file name, split position): Spark

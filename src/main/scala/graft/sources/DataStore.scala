@@ -59,7 +59,7 @@ object DataStore {
     * semantics. On success the blob is rewritten in place. */
   def edit(spark: SparkSession, root: String, name: String,
       oldText: String, newText: String): EditOutcome = {
-    if (!new java.io.File(s"$root/$name").isDirectory)
+    if (!exists(spark, s"$root/$name"))
       return EditOutcome(success = false,
         Some(s"File not found: $name"), 0L, 0)
     // one scan, already ordered — load() would pay an extra count()
@@ -92,11 +92,24 @@ object DataStore {
     }
   }
 
+  /** Existence through the Hadoop filesystem API, so the store works
+    * against any configured scheme (hdfs://, s3a://, local) — a
+    * java.io.File check silently answers for the driver's local disk
+    * only. */
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** `list_data_files`: names + line counts. */
   def list(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
-    val dirs = Option(new java.io.File(root).listFiles())
-      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName).toSeq
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (!fs.exists(rootPath)) Seq.empty[String]
+      else fs.listStatus(rootPath).filter(_.isDirectory)
+        .map(_.getPath.getName).toSeq
     val counts = dirs.map(n =>
       (n, spark.read.json(s"$root/$n").count()))
     counts.toDF("name", "n_lines")

@@ -100,6 +100,13 @@ object RuntimeLogSource {
     if (files.isEmpty)
       throw new IllegalArgumentException(s"no tool_logs.jsonl under $workDir")
     spark.read
+      // explicit schema: a field absent from EVERY line (error on
+      // all-healthy logs) would vanish under inference and turn
+      // col("error") into an AnalysisException; inference also costs
+      // an extra full pass at scale
+      .schema("node_id STRING, step_index BIGINT, verdict STRING, " +
+        "input_tokens BIGINT, output_tokens BIGINT, " +
+        "latency_ms BIGINT, error STRING")
       .option("mode", "DROPMALFORMED")
       .json(files.map(_.getPath): _*)
       .withColumn("run_id",

@@ -172,8 +172,12 @@ object EventStream {
             Iterator(emit(key, s, closed = true))
           } else {
             var s = state.getOption.getOrElse(zero)
-            // deterministic in-batch order: arrival order within group
-            it.foreach { e =>
+            // flatMapGroupsWithState sorts the batch by GROUP KEY only
+            // — intra-group order is an arbitrary interleave of input
+            // partitions, and streak semantics are order-sensitive. Fold
+            // in event-time order (stable sort: same-ts events keep
+            // their iterator order).
+            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
               val streak =
                 if (e.eventType == s.lastType) s.streak + 1 else 1
               val fp = fingerprint(e)

@@ -136,6 +136,25 @@ class SafeEvalSpec extends SparkTestBase {
       .head().getBoolean(0) === false)
   }
 
+  test("map .get on a missing key yields None under ANSI, never throws " +
+      "(dict.get contract)") {
+    // ANSI element_at would raise MAP_KEY_DOES_NOT_EXIST here; dict.get
+    // must be the accessor that can never raise
+    assert(evalRow0("m.get('definitely_absent')") === null)
+    assert(evalRow0("m.get('definitely_absent', 'dflt')") === "dflt")
+    assert(evalRow0("m.get('definitely_absent') == None") === true)
+  }
+
+  test("no-arg split() = whitespace-run split dropping empties " +
+      "(python str.split())") {
+    val df2 = Seq("a  b", "\ta b\nc ", "only").toDF("s")
+    val got = df2.select(SafeEval.compile("len(s.split())", df2.schema))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got === Seq(2, 3, 1))
+    // explicit separator keeps empties (python parity the other way)
+    assert(evalRow0("len(s.split(' '))") === 2)
+  }
+
   test("split is literal like python str.split, not regex") {
     val df2 = Seq("a.b.c").toDF("s")
     assert(df2.select(SafeEval.compile("len(s.split('.'))", df2.schema))

@@ -640,6 +640,27 @@ class MoreOperatorsSpec extends SparkTestBase {
     assert(noSeq.getAs[String]("checkpoint_id") === "cp_B")
   }
 
+  test("GraphRunner: a condition over names outside the memory schema " +
+      "routes False, not AnalysisException (edge.py:199-204)") {
+    import spark.implicits._
+    import graft.model.Model.EdgeSpec
+    import graft.operators.GraphRunner
+    val edges = Seq(
+      // parses fine but references an unresolvable name — the
+      // reference's safe_eval raises KeyError-ish and routes False
+      EdgeSpec("start", "a", condition = "conditional",
+        conditionExpr = Some("output.get('status') == 'ok'"), priority = 2),
+      EdgeSpec("start", "b", condition = "conditional",
+        conditionExpr = Some("memory.get('mode') == 'fast'"), priority = 1))
+    val init = Seq(("s1", "start", true, Map("mode" -> "fast")))
+      .toDF("state_id", "node", "success", "memory")
+    val out = GraphRunner.run(spark, edges, Set("a", "b"), init,
+      nodeOutputs = Map.empty)
+    val row = out.head()
+    assert(row.getAs[String]("status") === "completed")
+    assert(row.getAs[String]("node") === "b")
+  }
+
   test("GraphRunner: rewriting an existing memory key wins " +
       "(executor.py:860-865 last-write semantics)") {
     import spark.implicits._
