@@ -1,36 +1,19 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC") // match Verify's config
-      .config("spark.ui.enabled", "false")
-      // size-first AQE coalescing (the production-recommended setting):
-      // post-shuffle partitions merge to the advisory size instead of
-      // fanning out to maximum parallelism — at 600 k rows that is 1-2
-      // reduce tasks instead of 32, and at 100 TB it is exactly the
-      // config you'd run with (parallelism comes from data volume)
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        "false")
-      .getOrCreate()
+    val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup, two layers:
-    //  1. touch every table at the bench SF (parquet footers, file
-    //     listing, the vectorized reader's first-touch cost);
-    //  2. run the whole suite once against the smallest SF dir when it
-    //     is present. The Janino codegen cache is keyed on generated
-    //     SOURCE — a pure function of plan shape, not of data — so this
-    //     compiles every plan once, and the timed pass then measures
-    //     steady-state per-query cost (the regime a long-lived session
-    //     or cluster job operates in) instead of one-shot driver-side
-    //     compilation. No bench-SF data is read by the warm pass.
-    try {
-      Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
-    } catch { case _: Throwable => () }
+    // Untimed warmup: touch every table at the bench SF (parquet
+    // footers, file listing, the vectorized reader's first-touch cost).
+    // Per-table try: one missing table must not silently skip the rest.
+    Tables.names.foreach { n =>
+      try Tables.load(spark, sfDir, n).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm $n failed: ${e.getMessage}")
+      }
+    }
     val failed = scala.collection.mutable.ListBuffer[String]()
     // Timed value = the SECOND of two back-to-back executions: the
     // untimed first run pays every one-shot cost (Janino codegen, JIT
@@ -58,17 +41,21 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     // times at ms precision — keeps the detail line short enough that
-    // the driver's output capture never truncates it mid-JSON
-    def ms(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+    // the driver's output capture never truncates it mid-JSON.
+    // Locale.ROOT: an f-interpolator under a comma-decimal locale
+    // would emit invalid JSON.
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => Sessions.jsonEscape(k) + ":" + ms(v) }
       .mkString("{", ",", "}")
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failed.map(Sessions.jsonEscape).mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val sfJson = Sessions.jsonEscape(sfDir)
     // compact suite-total line FIRST (always parseable even if the
     // driver's capture clips the long detail line), then the full
     // contract line with per-query times; both are one-line JSON
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":$sfJson}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":$sfJson}""")
     Console.out.flush()
     spark.stop()
   }

@@ -12,16 +12,11 @@ object BenchProfile {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val only: Option[Set[String]] =
       if (args.nonEmpty) Some(args(0).split(",").toSet) else None
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        sys.env.getOrElse("SPARK_GRAFT_PARFIRST", "false"))
-      .config(graft.operators.Pin.Key,
-        sys.env.getOrElse("SPARK_GRAFT_PIN", "localCheckpoint"))
-      .getOrCreate()
+    val spark = Sessions.local(cpus, Map(
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" ->
+        sys.env.getOrElse("SPARK_GRAFT_PARFIRST", "false"),
+      graft.operators.Pin.Key ->
+        sys.env.getOrElse("SPARK_GRAFT_PIN", "localCheckpoint")))
     spark.sparkContext.setLogLevel("WARN")
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     // optional: untimed pass over the whole suite at a (small) warm

@@ -82,21 +82,30 @@ object Multimodal {
     * index up to `durationMs` — pure metadata arithmetic, no decode;
     * the exploded (media_id, frame_idx) rows drive a later batched
     * decode. */
+  /** Hard ceiling on frames per media row: far below both Spark's
+    * sequence() array-length limit (~Int.MaxValue−15) and any sane
+    * executor memory for an exploded frame list — 100M frames is ~39
+    * days at 30 fps; anything above is corrupt metadata, and emitting
+    * a capped (not aborted) list keeps the scan alive. */
+  private val MaxFramesPerMedia = 100000000L
+
   def sampleFrameIndexes(media: DataFrame, fps: Int,
       stride: Int): DataFrame = {
     require(fps >= 1 && fps <= 1000, s"unreasonable fps: $fps")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     media
       // bound the duration before arithmetic: a corrupt value (e.g.
       // nanoseconds stored as ms) would overflow duration_ms * fps
       // under ANSI and abort the stage; ~10 years of ms is a generous
       // sanity ceiling for any real media. n_frames stays in LONG
-      // integer math and is capped below Int.MaxValue — within the
-      // duration bound, even fps=1000 cannot overflow the Int cast.
+      // integer math, capped at MaxFramesPerMedia (an Int.MaxValue-ish
+      // cap would still exceed sequence()'s max array length and OOM
+      // any executor materializing the exploded list).
       .filter(col("duration_ms").isNotNull &&
         col("duration_ms").between(0L, 315360000000L))
       .withColumn("n_frames",
         least(expr(s"(duration_ms * $fps) div 1000"),
-          lit(Int.MaxValue.toLong - 1)).cast(IntegerType))
+          lit(MaxFramesPerMedia)).cast(IntegerType))
       // media too short for a single complete frame produces no rows
       // (an unguarded sequence(0, greatest(-1, 0)) would emit frame 0)
       .filter(col("n_frames") >= 1)
