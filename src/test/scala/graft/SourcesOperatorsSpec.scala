@@ -349,6 +349,31 @@ class CompactionSpec extends SparkTestBase {
 
 class MoreOperatorsSpec extends SparkTestBase {
 
+  test("d02 hub-shingle cap drops grams with df > 1000 " +
+      "(skew guard fires, not just documented)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("hubsf").toFile.getAbsolutePath
+    // 1200 docs all start with the hub gram "spark hub gram" (df=1200
+    // > 1000 -> capped); docs 1 and 2 share an identical rare tail, so
+    // after the cap they share all 4 surviving grams
+    val docs = (1 to 1200).map { i =>
+      val tail =
+        if (i <= 2) "rare tail match here"
+        else s"unique$i filler$i words$i"
+      (i.toLong, s"spark hub gram $tail")
+    }.toDF("doc_id", "text")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextDedup.d02.run(spark, dir).collect()
+    // without the df cap the hub gram alone would put all 1200 docs in
+    // one candidate block (~719k pairs); with it, only the rare-tail
+    // pair remains
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("doc_a") === 1L && r.getAs[Long]("doc_b") === 2L)
+    assert(r.getAs[Long]("inter") === 4L)
+    assert(r.getAs[Double]("jaccard") === 1.0)
+  }
+
   test("e15 doom loop fires on identical (tool, args) streaks only " +
       "(event_loop_node.py:2108-2152)") {
     import spark.implicits._
