@@ -278,19 +278,23 @@ object VectorSearch {
     val probe = dAgg.withColumn("rnk", row_number().over(wProbe))
       .filter(col("rnk") <= 2)
       .select("q_id", "label")
-    // exact search within probed cells only: equi-join on the cell key
-    // (probe side is #queries×2 rows — broadcast; the corpus side
-    // streams partitioned by cell)
+    // exact search within probed cells only: equi-joins on the cell
+    // key / q_id. Deliberately NOT force-broadcast (v03's rationale):
+    // the query set here is a corpus fraction, so the probe/q sides
+    // GROW with the data — AQE broadcasts them while small and falls
+    // back to shuffle joins on the cell key at scale, where forcing a
+    // broadcast would OOM the driver (the v01 round-2 lesson; v01's
+    // query set is bounded by construction instead)
     val q = el.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("sx").as("q_sx"),
         col("n").as("q_n"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    el.join(broadcast(probe),
+    el.join(probe,
         el("label") === probe("label") && col("vec_id") =!= probe("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"), el("label"),
         col("sx"), col("n"))
-      .join(broadcast(q), "q_id")
+      .join(q, "q_id")
       .select(col("q_id"), col("neighbor_id"), col("label"),
         Fns.cosineFromScaled(
           VectorExprs.dotIntNative(col("q_sx"), col("sx")),
