@@ -319,14 +319,22 @@ object EventAnalytics {
     val k = when(valid, get_json_object(col("props"), "$.k"))
     // materialize the parsed/validated values once per row — inlined
     // into three aggregate expressions the JSON parse + regex would
-    // run three times (no CSE across agg expressions)
+    // run three times (no CSE across agg expressions).
+    // Explicit two-level aggregation instead of countDistinct: the
+    // planner's distinct-agg rewrite Expands every row into two
+    // projections (doubling the shuffle) because sum/max share the
+    // frame; pre-grouping on (event_type, k) collapses to ~|distinct k|
+    // rows in one pass, then the distinct count is a plain COUNT —
+    // the shape you want when rows ≫ distinct keys, i.e. at scale
     Tables.load(s, dir, "events")
       .select(col("event_type"), k.as("k"), k.cast(LongType).as("k_int"))
+      .groupBy("event_type", "k")
+      .agg(count(lit(1)).as("cnt"), first(col("k_int")).as("k_int"))
       .groupBy("event_type")
       .agg(
-        sum(col("k_int")).as("sum_k"),
+        sum(col("k_int") * col("cnt")).as("sum_k"),
         max(col("k_int")).as("max_k"),
-        countDistinct(col("k")).as("n_distinct_k"))
+        count(when(col("k").isNotNull, lit(1))).as("n_distinct_k"))
   }
 
   // e11 — tumbling time buckets (batch analog of the streaming

@@ -110,6 +110,7 @@ object TextDedup {
     (s, dir) =>
       // the hashed gram relation fans out (hot-list agg + anti-join
       // stream side): pin it so the native shingle pass runs once
+      val par = s.sparkContext.defaultParallelism
       val h0 = Pin(gids(s, dir, distinct = true))
       // document-frequency cap: a hub shingle appearing in >1000 docs
       // would square into >500k candidate pairs on ONE shuffle key —
@@ -129,9 +130,15 @@ object TextDedup {
       // n is doc-grain (tiny): two agg passes over pinned h beat the
       // extra materialization barrier a pin would add
       val n = h.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // candidate pairs ≈ unique groups (little map-side reduction), so
+      // the pair aggregation is the widest stage of the query; the same
+      // parallelism floor keeps it off one core when AQE coalesces the
+      // small shuffle (no-op at scale, where the exchange is ≥ the
+      // advisory size on its own)
       val pairs = h.toDF("doc_a", "gid")
         .join(h.toDF("doc_b", "gid"), "gid")
         .filter(col("doc_a") < col("doc_b"))
+        .repartition(par, col("doc_a"), col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("inter"))
       pairs
