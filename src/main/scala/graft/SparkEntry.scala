@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{EventAnalytics, GraphQueries, Relational, RunAnalytics, TextAnalysis, TextDedup, VectorSearch}
+import graft.queries.{EventAnalytics, GraphQueries, Relational, RunAnalytics, SourceQueries, TextAnalysis, TextDedup, VectorSearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
   val registry: Seq[Q] =
     Relational.all ++ EventAnalytics.all ++ RunAnalytics.all ++
       TextDedup.all ++ TextAnalysis.all ++ VectorSearch.all ++
-      GraphQueries.all
+      GraphQueries.all ++ SourceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

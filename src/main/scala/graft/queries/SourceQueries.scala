@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.ContextCompaction
+import graft.sources.TimerSource
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Oracle-checked queries exercising the ingest-side sources and
+  * conversation-lifecycle operators (SURVEY §2.1 / §2.10 rows that
+  * are operators, not connectors). */
+object SourceQueries {
+
+  // ---------------------------------------------------------------
+  // s01 — timer schedule expansion (`agent_runtime.py:532+`,
+  // `_make_timer`): every interval-timer fire instant in a fixed
+  // 4-hour window, specs derived from `nation` (entry point per
+  // nation, period (key mod 7)+1 minutes, immediate when key even).
+  // The undrifted grid at epoch-ms precision — both engines expand
+  // the same inclusive-bounds series.
+  val s01 = Q(
+    "s01_timer_ticks",
+    """SELECT entry_point_id,
+      |  CAST(epoch_ms(fire_at) AS BIGINT) AS fire_at_ms,
+      |  'timer' AS source, 'scheduled' AS reason
+      |FROM (
+      |  SELECT n_name AS entry_point_id,
+      |    unnest(generate_series(
+      |      TIMESTAMP '2025-06-01 00:00:00'
+      |        + (CASE WHEN n_nationkey % 2 = 0 THEN 0
+      |                ELSE (n_nationkey % 7) + 1 END) * INTERVAL 1 MINUTE,
+      |      TIMESTAMP '2025-06-01 04:00:00',
+      |      ((n_nationkey % 7) + 1) * INTERVAL 1 MINUTE)) AS fire_at
+      |  FROM nation)""".stripMargin) {
+    (s, dir) =>
+      val resolved = Tables.load(s, dir, "nation").select(
+        col("n_name").as("entry_point_id"),
+        lit(null).cast("string").as("cron"),
+        ((col("n_nationkey") % 7) + 1).cast(DoubleType)
+          .as("interval_minutes"),
+        (col("n_nationkey") % 2 === 0).as("run_immediately"),
+        lit(false).as("invalid"),
+        lit(null).cast("long").as("m_min"),
+        lit(null).cast("long").as("m_hour"),
+        lit(null).cast("long").as("m_dom"),
+        lit(null).cast("long").as("m_month"),
+        lit(null).cast("long").as("m_dow"),
+        lit(null).cast("boolean").as("dom_restricted"),
+        lit(null).cast("boolean").as("dow_restricted"))
+      TimerSource.ticks(resolved,
+        java.sql.Timestamp.valueOf("2025-06-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2025-06-01 04:00:00"))
+  }
+
+  // ---------------------------------------------------------------
+  // c01 — tier-1 context compaction (`conversation.py:416-508`,
+  // `prune_old_tool_results`): events mapped onto the conversation
+  // contract (user = conversation, click/view/error = tool results,
+  // signup = assistant), reverse-budget prune marks + placeholder
+  // rewrite, cross-checked value-for-value against the same window
+  // algebra in DuckDB.
+  val c01 = Q(
+    "c01_prune_marks",
+    """WITH c AS (
+      |  SELECT user_id AS conv_id, event_id AS seq,
+      |    CASE WHEN event_type IN ('click','view','error') THEN 'tool'
+      |         WHEN event_type = 'signup' THEN 'assistant'
+      |         ELSE 'user' END AS role,
+      |    COALESCE(props, '') AS content,
+      |    event_type = 'error' AS is_error
+      |  FROM events),
+      |e AS (SELECT *,
+      |    role = 'tool' AND NOT is_error
+      |      AND NOT starts_with(content, '[Pruned tool result')
+      |      AS eligible,
+      |    CAST(length(content) // 4 AS BIGINT) AS est
+      |  FROM c),
+      |w AS (SELECT *,
+      |    COALESCE(SUM(CASE WHEN eligible THEN est ELSE 0 END) OVER (
+      |      PARTITION BY conv_id ORDER BY seq DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS recent_est
+      |  FROM e),
+      |p AS (SELECT *, eligible AND recent_est >= 100 AS pruneable
+      |  FROM w),
+      |q AS (SELECT *,
+      |    pruneable AND SUM(CASE WHEN pruneable THEN est ELSE 0 END)
+      |      OVER (PARTITION BY conv_id) >= 50 AS pruned
+      |  FROM p)
+      |SELECT conv_id, seq, pruned,
+      |  CASE WHEN NOT pruned THEN content
+      |    WHEN regexp_extract(content, 'saved to ''([^'']+)''', 1) <> ''
+      |    THEN '[Pruned tool result: '
+      |      || CAST(length(content) AS VARCHAR)
+      |      || ' chars. Full data in '''
+      |      || regexp_extract(content, 'saved to ''([^'']+)''', 1)
+      |      || '''. Use load_data('''
+      |      || regexp_extract(content, 'saved to ''([^'']+)''', 1)
+      |      || ''') to retrieve.]'
+      |    ELSE '[Pruned tool result: '
+      |      || CAST(length(content) AS VARCHAR)
+      |      || ' chars cleared from context.]' END AS content
+      |FROM q""".stripMargin) { (s, dir) =>
+    val convFrame = Tables.load(s, dir, "events").select(
+      col("user_id").as("conv_id"),
+      col("event_id").as("seq"),
+      when(col("event_type").isin("click", "view", "error"), "tool")
+        .when(col("event_type") === "signup", "assistant")
+        .otherwise("user").as("role"),
+      coalesce(col("props"), lit("")).as("content"),
+      (col("event_type") === "error").as("is_error"),
+      lit(null).cast("string").as("phase_id"),
+      lit(false).as("is_transition_marker"))
+    ContextCompaction
+      .pruneOldToolResults(convFrame, protectTokens = 100,
+        minPruneTokens = 50)
+      .select("conv_id", "seq", "pruned", "content")
+  }
+
+  val all: Seq[Q] = Seq(s01, c01)
+}
