@@ -1,0 +1,324 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.ContextCompaction
+import graft.sources.WebhookSource
+import graft.sources.WebhookSource.WebhookRoute
+import graft.streaming.{EventStream, SseSink}
+import graft.streaming.EventStream.{AgentEvent, Subscription}
+import org.apache.spark.sql.functions._
+
+class WebhookSourceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val routes = WebhookSource.routesDf(spark, Seq(
+    WebhookRoute("gh", "/hooks/github", Seq("POST"), Some("s3cret")),
+    WebhookRoute("open", "/hooks/open", Seq("POST", "PUT"), None)))
+
+  private def req(path: String, method: String, body: String,
+      headers: Map[String, String] = Map.empty) =
+    (path, method, headers, Map.empty[String, String], body,
+      Timestamp.valueOf("2025-06-01 12:00:00"))
+
+  private def classify(rows: (String, String, Map[String, String],
+      Map[String, String], String, Timestamp)*) =
+    WebhookSource.ingest(
+      rows.toSeq.toDF("path", "method", "headers", "query_params",
+        "body", "ts"),
+      routes)
+
+  private def hmacHex(secret: String, body: String): String = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(
+      secret.getBytes("UTF-8"), "HmacSHA256"))
+    mac.doFinal(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  test("routing: 404 unknown path, 405 unknown method, 202 accepted " +
+      "(webhook_server.py:105-143)") {
+    val got = classify(
+      req("/nope", "POST", "{}"),
+      req("/hooks/open", "DELETE", "{}"),
+      req("/hooks/open", "PUT", "{}"))
+      .select("path", "method", "status").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got === Set(("/nope", "POST", 404),
+      ("/hooks/open", "DELETE", 405), ("/hooks/open", "PUT", 202)))
+  }
+
+  test("HMAC-SHA256: valid accepted, wrong/missing/malformed → 401; " +
+      "builtin-composed digest matches javax.crypto") {
+    val body = """{"action":"push"}"""
+    val good = Map("X-Hub-Signature-256" -> s"sha256=${hmacHex("s3cret", body)}")
+    val got = classify(
+      req("/hooks/github", "POST", body, good),
+      req("/hooks/github", "POST", body,
+        Map("X-Hub-Signature-256" -> ("sha256=" + "0" * 64))),
+      req("/hooks/github", "POST", body,
+        Map("X-Hub-Signature-256" -> "md5=abc")),
+      req("/hooks/github", "POST", body))
+      .select("headers", "status").collect().map(_.getInt(1)).toSeq
+    assert(got.count(_ == 202) === 1 && got.count(_ == 401) === 3)
+    // key longer than the SHA-256 block is pre-hashed per RFC 2104
+    val longKey = "k" * 100
+    val lr = WebhookSource.routesDf(spark,
+      Seq(WebhookRoute("l", "/l", Seq("POST"), Some(longKey))))
+    val ok = WebhookSource.ingest(
+      Seq(req("/l", "POST", body,
+        Map("X-Hub-Signature-256" -> s"sha256=${hmacHex(longKey, body)}")))
+        .toDF("path", "method", "headers", "query_params", "body", "ts"),
+      lr).select("status").head().getInt(0)
+    assert(ok === 202)
+  }
+
+  test("payload: JSON passthrough, raw_body wrap, empty body → {} " +
+      "(webhook_server.py:127-131)") {
+    val got = classify(
+      req("/hooks/open", "POST", """{"a":1}"""),
+      req("/hooks/open", "POST", "plain text"),
+      req("/hooks/open", "POST", ""))
+      .select("body", "payload").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got("""{"a":1}""") === """{"a":1}""")
+    assert(got("plain text") === """{"raw_body":"plain text"}""")
+    assert(got("") === "{}")
+  }
+
+  test("events: reference layout feeds normalizeReferenceEvents " +
+      "(event_bus.py:926-948)") {
+    val ev = WebhookSource.events(classify(
+      req("/hooks/open", "POST", """{"a":1}""", Map("H" -> "v"))))
+    assert(ev.columns.toSet === Set("type", "stream_id", "node_id",
+      "execution_id", "data", "timestamp", "correlation_id", "graph_id"))
+    val norm = EventStream.normalizeReferenceEvents(ev).head()
+    assert(norm.getAs[String]("eventType") === "webhook_received")
+    assert(norm.getAs[String]("streamId") === "open")
+    assert(norm.getAs[Timestamp]("ts") !== null)
+    val data = norm.getAs[Map[String, String]]("data")
+    assert(data("path") === "/hooks/open" && data("payload") === """{"a":1}""")
+  }
+}
+
+class SseSinkSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ev(t: String, ts: String, stream: String = "s1") =
+    AgentEvent(t, stream, Some("n"), Some("x"),
+      Timestamp.valueOf(ts), Map("k" -> "v"))
+
+  test("frame format: event/data lines + terminator; id only when set " +
+      "(sse.py:53-63)") {
+    val events = Seq(ev("goal_progress", "2025-06-01 10:00:00")).toDS()
+    val f = SseSink.frames(events.toDF(), idCol = None)
+      .select("frame").head().getString(0)
+    assert(f.startsWith("event: goal_progress\ndata: {"))
+    assert(f.endsWith("\n\n"))
+    assert(!f.contains("id: "))
+    val withId = SseSink.frames(
+      events.toDF().withColumn("event_id", lit(7)), idCol = Some("event_id"))
+      .select("frame").head().getString(0)
+    assert(withId.startsWith("id: 7\nevent: goal_progress\n"))
+    assert(SseSink.keepaliveFrame === ": keepalive\n\n")
+  }
+
+  test("parseEventTypes: defaults on empty/unknown, drops unknown names " +
+      "(routes_events.py:_parse_event_types)") {
+    assert(SseSink.parseEventTypes(None) === SseSink.defaultEventTypes)
+    assert(SseSink.parseEventTypes(Some("bogus,unknown"))
+      === SseSink.defaultEventTypes)
+    assert(SseSink.parseEventTypes(Some("goal_progress, bogus"))
+      === Set("goal_progress"))
+  }
+
+  test("clientView: subscription ∩ requested types filter") {
+    val events = Seq(
+      ev("goal_progress", "2025-06-01 10:00:00"),
+      ev("llm_reasoning_delta", "2025-06-01 10:00:01"), // not client-facing
+      ev("goal_progress", "2025-06-01 10:00:02", stream = "other"))
+      .toDS()
+    val got = SseSink.clientView(events,
+      Subscription(streamId = Some("s1")), SseSink.defaultEventTypes)
+      .collect().map(_.ts.toString).sorted
+    assert(got === Array("2025-06-01 10:00:00.0"))
+  }
+
+  test("writer pushes ordered frames per batch; empty batch → keepalive") {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[AgentEvent](spark.sqlContext.sparkSession)
+    mem.addData(ev("goal_progress", "2025-06-01 10:00:02"),
+      ev("tool_call_started", "2025-06-01 10:00:01"))
+    val q = SseSink.writer(mem.toDS(), Subscription(),
+      SseSink.defaultEventTypes, it => buf.synchronized(buf ++= it)).start()
+    q.awaitTermination(30000)
+    assert(buf.map(_.linesIterator.next()).toSeq ===
+      Seq("event: tool_call_started", "event: goal_progress"))
+    val buf2 = scala.collection.mutable.ArrayBuffer.empty[String]
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[AgentEvent](spark.sqlContext.sparkSession)
+    mem2.addData(ev("llm_reasoning_delta", "2025-06-01 10:00:00"))
+    val q2 = SseSink.writer(mem2.toDS(), Subscription(),
+      SseSink.defaultEventTypes, it => buf2.synchronized(buf2 ++= it)).start()
+    q2.awaitTermination(30000)
+    assert(buf2.toSeq === Seq(SseSink.keepaliveFrame))
+  }
+}
+
+class ContextCompactionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // (conv, seq, role, content, is_error, phase, marker)
+  private def conv(rows: (String, Long, String, String, Boolean,
+      Option[String], Boolean)*) =
+    rows.toSeq.toDF("conv_id", "seq", "role", "content", "is_error",
+      "phase_id", "is_transition_marker")
+
+  private val filler = "x" * 400 // est 100 tokens
+
+  test("prune: reverse budget protects recent, skips errors/markers/" +
+      "current phase, honors min gate (conversation.py:416-508)") {
+    val df = conv(
+      ("a", 1, "tool", filler, false, None, false),   // oldest → pruned
+      ("a", 2, "tool", filler, true, None, false),    // error: never
+      ("a", 3, "tool", filler, false, None, true),    // marker: never
+      ("a", 4, "tool", filler, false, None, false),   // pruned
+      ("a", 5, "assistant", filler, false, None, false),
+      ("a", 6, "tool", filler, false, None, false),   // protected (budget)
+      ("a", 7, "tool", filler, false, None, false),   // protected (budget)
+      // conversation b: pruneable total below min gate → untouched
+      ("b", 1, "tool", filler, false, None, false),
+      ("b", 2, "tool", filler, false, None, false),
+      ("b", 3, "tool", filler, false, None, false))
+    val got = ContextCompaction
+      .pruneOldToolResults(df, protectTokens = 200, minPruneTokens = 150)
+      .select("conv_id", "seq", "pruned", "content").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getBoolean(2), r.getString(3))).toMap
+    assert(got(("a", 1))._1 && got(("a", 4))._1)
+    for (s <- Seq(2L, 3L, 5L, 6L, 7L)) assert(!got(("a", s))._1, s)
+    assert(got(("a", 1))._2 ===
+      "[Pruned tool result: 400 chars cleared from context.]")
+    // b: 1 pruneable row of est 100 < minPrune 150 → untouched
+    for (s <- 1L to 3L) assert(!got(("b", s))._1)
+  }
+
+  test("prune: current-phase tool results protected regardless of budget") {
+    val df = conv(
+      ("a", 1, "tool", filler, false, Some("p1"), false),
+      ("a", 2, "tool", filler, false, Some("p1"), false),
+      ("a", 3, "tool", filler, false, Some("p2"), false),
+      ("a", 4, "tool", filler, false, Some("p2"), false))
+    val got = ContextCompaction
+      .pruneOldToolResults(df, protectTokens = 0, minPruneTokens = 0)
+      .select("seq", "pruned").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
+  }
+
+  test("prune: spillover filename survives in the placeholder") {
+    val c = "huge output saved to 'tool_x_abc.txt' for later" + ("y" * 800)
+    val df = conv(
+      ("a", 1, "tool", c, false, None, false),
+      ("a", 2, "tool", filler * 3, false, None, false))
+    val got = ContextCompaction
+      .pruneOldToolResults(df, protectTokens = 100, minPruneTokens = 10)
+      .filter(col("seq") === 1).select("content").head().getString(0)
+    assert(got === s"[Pruned tool result: ${c.length} chars. " +
+      "Full data in 'tool_x_abc.txt'. " +
+      "Use load_data('tool_x_abc.txt') to retrieve.]")
+  }
+
+  test("compact: keep_recent split + orphaned-tool advance + summary row " +
+      "(conversation.py:509-590)") {
+    val df = conv(
+      ("a", 10, "user", "q1", false, None, false),
+      ("a", 11, "assistant", "a1", false, None, false),
+      ("a", 12, "assistant", "a2", false, None, false),
+      ("a", 13, "tool", "t1", false, None, false), // orphan at boundary
+      ("a", 14, "assistant", "a3", false, None, false),
+      ("a", 15, "user", "q2", false, None, false))
+    val summaries = Seq(("a", "the summary")).toDF("conv_id", "summary")
+    val got = ContextCompaction.compact(df, summaries, keepRecent = 3)
+      .orderBy("seq")
+      .select("seq", "role", "content", "is_summary").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getBoolean(3))).toSeq
+    // split lands on seq 13 (tool) → advances to 14; summary seq = 13
+    assert(got === Seq(
+      (13L, "user", "the summary", true),
+      (14L, "assistant", "a3", false),
+      (15L, "user", "q2", false)))
+  }
+
+  test("compact: preserved output keys — all four extraction formats, " +
+      "latest assistant wins, declaration order (conversation.py:135-178)") {
+    val df = conv(
+      ("a", 1, "assistant", """{"res": "old", "n": 1}""", false, None, false),
+      ("a", 2, "assistant", """noise {"res": "new"} trailing""", false,
+        None, false),
+      ("a", 3, "assistant", "score: 42", false, None, false),
+      ("a", 4, "assistant", "mode = fast", false, None, false),
+      ("a", 5, "user", "q", false, None, false),
+      ("a", 6, "user", "q2", false, None, false))
+    val got = ContextCompaction.compact(df,
+      Seq(("a", "S")).toDF("conv_id", "summary"), keepRecent = 2,
+      outputKeys = Seq("res", "score", "mode", "absent"))
+      .filter(col("is_summary")).select("content").head().getString(0)
+    assert(got ===
+      """PRESERVED VALUES (do not lose these):
+        |- res: new
+        |- score: 42
+        |- mode: fast
+        |
+        |CONVERSATION SUMMARY:
+        |S""".stripMargin)
+  }
+
+  test("compact: phase-graduated keeps current+previous phase; " +
+      "<3 phases falls back (conversation.py:592-616)") {
+    val df = conv(
+      ("a", 1, "user", "m1", false, Some("p1"), false),
+      ("a", 2, "user", "m2", false, Some("p1"), false),
+      ("a", 3, "user", "m3", false, Some("p2"), false),
+      ("a", 4, "user", "m4", false, Some("p3"), false),
+      ("a", 5, "user", "m5", false, Some("p3"), false))
+    val summaries = Seq(("a", "S")).toDF("conv_id", "summary")
+    val got = ContextCompaction.compact(df, summaries, keepRecent = 1,
+      phaseGraduated = true).orderBy("seq")
+      .select("seq", "content").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // protected = p2 + p3 → compacts only p1 (seq 1-2); summary seq 2
+    assert(got === Seq((2L, "S"), (3L, "m3"), (4L, "m4"), (5L, "m5")))
+    // two phases only → keep_recent fallback applies
+    val two = conv(
+      ("b", 1, "user", "m1", false, Some("p1"), false),
+      ("b", 2, "user", "m2", false, Some("p2"), false),
+      ("b", 3, "user", "m3", false, Some("p2"), false))
+    val got2 = ContextCompaction.compact(two,
+      Seq(("b", "S")).toDF("conv_id", "summary"), keepRecent = 1,
+      phaseGraduated = true).orderBy("seq")
+      .select("content").collect().map(_.getString(0)).toSeq
+    assert(got2 === Seq("S", "m3"))
+  }
+
+  test("compact: single-message conversation compacts fully, summary " +
+      "seq allocates past the end (clamp-to-falsy branch)") {
+    val df = conv(("a", 5, "user", "only", false, None, false))
+    val got = ContextCompaction.compact(df,
+      Seq(("a", "S")).toDF("conv_id", "summary"), keepRecent = 2)
+      .select("seq", "content", "is_summary").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(got === Seq((6L, "S", true)))
+  }
+
+  test("needsCompaction thresholds on the len/4 estimate") {
+    val df = conv(
+      ("a", 1, "user", "x" * 4000, false, None, false),
+      ("b", 1, "user", "x" * 100, false, None, false))
+    val got = ContextCompaction.needsCompaction(df,
+        maxHistoryTokens = 1000, threshold = 0.8)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got === Map("a" -> true, "b" -> false))
+  }
+}
