@@ -35,16 +35,20 @@ object Fns {
     * payloads are valid. */
   val propsShape = """^\{"k": -?[0-9]+\}$"""
 
+  /** The shape regex captures the integer itself, so gate + extract
+    * collapse into ONE regex pass — no JSON parser on either engine
+    * (the anchored match guarantees the capture IS `$.k`). Both
+    * engines return '' on no match; NULLIF keeps the cast ANSI-safe. */
+  val kExtract = """^\{"k": (-?[0-9]+)\}$"""
+
   /** DuckDB-side gated integer extraction of `props.k`. */
   val kIntSql: String =
-    s"""CASE WHEN regexp_matches(props, '$propsShape')
-      |    THEN CAST(json_extract_string(props, '$$.k') AS BIGINT) END"""
-      .stripMargin
+    s"CAST(NULLIF(regexp_extract(props, '$kExtract', 1), '') AS BIGINT)"
 
   /** Spark twin of [[kIntSql]]. */
   def kInt: Column =
-    when(col("props").rlike(propsShape),
-      get_json_object(col("props"), "$.k")).cast(LongType)
+    nullif(regexp_extract(col("props"), kExtract, 1), lit(""))
+      .cast(LongType)
 
   /** Deterministic 60-bit hash of a string column, identical in Spark
     * and DuckDB. DuckDB equivalent: `('0x'||substr(md5(x),1,15))::BIGINT`.

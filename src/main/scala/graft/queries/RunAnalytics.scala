@@ -64,10 +64,14 @@ object RunAnalytics {
     s"""SELECT event_type AS node_id, COUNT(*) AS total,
       |  CAST(SUM(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS successes,
       |  CAST(SUM(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS success_rate,
-      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_latency,
+      |  CAST(SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_latency,
       |  CAST(SUM($kIntSql) AS BIGINT) AS total_tokens
       |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
     val ok = when(col("value") >= 50, 1).otherwise(0)
+    // latency mean in integer cents (the q01 pattern): a DECIMAL(12,2)
+    // sum's >18-precision accumulator is a non-compact byte-array
+    // buffer per group — floor(x·100+0.5) long sums are exact for
+    // 2-decimal latencies and stay in compact UnsafeRow longs
     Tables.load(s, dir, "events")
       .withColumn("k_int", kInt) // parse+validate once per row
       .groupBy(col("event_type").as("node_id"))
@@ -75,8 +79,8 @@ object RunAnalytics {
         count(lit(1)).as("total"),
         sum(ok).as("successes"),
         (sum(ok).cast(DoubleType) / count(lit(1))).as("success_rate"),
-        (sum(col("value").cast(D12_2)).cast(DoubleType) / count(lit(1)))
-          .as("avg_latency"),
+        (sum(floor(col("value") * 100 + 0.5).cast("long"))
+          .cast(DoubleType) / 100.0 / count(lit(1))).as("avg_latency"),
         sum(col("k_int")).as("total_tokens"))
   }
 
