@@ -66,7 +66,8 @@ object ContextCompaction {
   def pruneOldToolResults(conv: DataFrame, protectTokens: Long = 5000,
       minPruneTokens: Long = 2000): DataFrame = {
     val eligible = col("role") === "tool" && !col("is_error") &&
-      !startswith(col("content"), lit("[Pruned tool result")) &&
+      !startswith(coalesce(col("content"), lit("")),
+        lit("[Pruned tool result")) &&
       !col("is_transition_marker") &&
       !(currentPhase.isNotNull && (col("phase_id") <=> currentPhase))
     val recentEst = coalesce(
@@ -79,8 +80,9 @@ object ContextCompaction {
       Window.partitionBy("conv_id"))
     val pruned = pruneable && clears >= minPruneTokens
 
-    val spill = regexp_extract(col("content"), "saved to '([^']+)'", 1)
-    val orig = length(col("content")).cast("string")
+    val spill = regexp_extract(coalesce(col("content"), lit("")),
+      "saved to '([^']+)'", 1)
+    val orig = length(coalesce(col("content"), lit(""))).cast("string")
     val placeholder = when(spill =!= "",
         concat(lit("[Pruned tool result: "), orig,
           lit(" chars. Full data in '"), spill,
@@ -123,8 +125,10 @@ object ContextCompaction {
     * advance, output-key preservation and message assembly are the
     * deterministic contract. Output = the compacted conversations:
     * one `role='user'` summary row (flagged `is_summary`) followed by
-    * the kept-recent rows; conversations whose split resolves to 0
-    * pass through unchanged. Preserved values keep `outputKeys`
+    * the kept-recent rows. (A split of 0 would pass the conversation
+    * through unchanged — like the reference's `if split == 0` guard
+    * it is defensive: the clamp arithmetic keeps every reachable
+    * split ≥ 1.) Preserved values keep `outputKeys`
     * declaration order (the reference iterates a Python set —
     * per-run-stable but unordered; declaration order is the
     * deterministic choice, documented delta). */
@@ -201,11 +205,14 @@ object ContextCompaction {
     val anyPreserved =
       if (outputKeys.isEmpty) lit(false)
       else outputKeys.map(k => col(s"_k_$k").isNotNull).reduce(_ || _)
+    // a conversation without a summaries row still keeps its
+    // preserved values — NULL summary must not null out the block
+    val summaryText = coalesce(col("summary"), lit(""))
     val summaryContent = when(anyPreserved,
         concat(concat(lit("PRESERVED VALUES (do not lose these):\n") +:
           preservedLines: _*),
-          lit("\nCONVERSATION SUMMARY:\n"), col("summary")))
-      .otherwise(col("summary"))
+          lit("\nCONVERSATION SUMMARY:\n"), summaryText))
+      .otherwise(summaryText)
     val summaryRows = perConv
       .join(summaries, Seq("conv_id"), "left")
       .select(

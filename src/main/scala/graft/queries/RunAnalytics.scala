@@ -15,8 +15,6 @@ import org.apache.spark.sql.types._
   */
 object RunAnalytics {
 
-  private val D12_2 = DecimalType(12, 2)
-
   // the shared cross-engine props gate + extraction — single-sourced
   // in Fns so b01/b03 and e10 can never disagree about payload validity
   private def kIntSql = graft.functions.Fns.kIntSql

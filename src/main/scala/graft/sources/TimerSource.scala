@@ -176,13 +176,16 @@ object TimerSource {
     // minutes) — route it through the seconds arg, which is DECIMAL
     val step = make_dt_interval(lit(0), lit(0), lit(0),
       (col("interval_minutes") * 60).cast("decimal(18,6)"))
+    val firstFire = when(col("run_immediately"), lo).otherwise(lo + step)
+    // sequence() rejects start > stop with a positive step — a spec
+    // whose first fire lands past the window must yield zero rows,
+    // not poison the whole batch (explode drops the null)
     val interval = resolved
       .filter(col("interval_minutes").isNotNull &&
         col("interval_minutes") > 0)
       .select(col("entry_point_id"),
-        explode(sequence(
-          when(col("run_immediately"), lo).otherwise(lo + step),
-          hi, step)).as("fire_at"))
+        explode(when(firstFire <= hi, sequence(firstFire, hi, step)))
+          .as("fire_at"))
 
     cronTicks.unionByName(cronImmediate).unionByName(interval)
       .select(col("entry_point_id"),

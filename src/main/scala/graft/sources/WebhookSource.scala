@@ -74,12 +74,19 @@ object WebhookSource {
   def ingest(requests: DataFrame, routes: DataFrame): DataFrame = {
     val joined = requests.join(broadcast(routes),
       requests("path") === routes("route_path"), "left")
+    // HTTP header names are case-insensitive (and lowercase on the
+    // wire under HTTP/2) — match like the reference's CIMultiDict
+    // does; header maps are tiny, so the per-row HOF scan is cheap
     val sigHeader = coalesce(
-      element_at(col("headers"), "X-Hub-Signature-256"), lit(""))
+      try_element_at(expr(
+        "transform(filter(map_entries(headers), " +
+          "e -> lower(e.key) = 'x-hub-signature-256'), e -> e.value)"),
+        lit(1)), lit(""))
+    // full-string compare: a valid digest with trailing garbage is
+    // still a bad signature (webhook_server.py:152-158)
     val sigOk = col("ikey").isNull ||
-      (startswith(sigHeader, lit("sha256=")) &&
-        substring(sigHeader, 8, 64) ===
-          hmacHex(col("body"), col("ikey"), col("okey")))
+      sigHeader === concat(lit("sha256="),
+        hmacHex(col("body"), col("ikey"), col("okey")))
     val status = when(col("route_path").isNull, lit(404))
       .when(!array_contains(col("route_methods"), col("method")), lit(405))
       .when(!sigOk, lit(401))

@@ -24,6 +24,25 @@ import graft.streaming.EventStream.{AgentEvent, Subscription}
   */
 object SseSink {
 
+  /** Every EventType the bus defines (`event_bus.py:63-135`) — the
+    * validation domain for requested filters, wider than the default
+    * client-facing set below. */
+  val knownEventTypes: Set[String] = Set(
+    "execution_started", "execution_completed", "execution_failed",
+    "execution_paused", "execution_resumed", "state_changed",
+    "state_conflict", "goal_progress", "goal_achieved",
+    "constraint_violation", "stream_started", "stream_stopped",
+    "node_loop_started", "node_loop_iteration", "node_loop_completed",
+    "node_action_plan", "llm_text_delta", "llm_reasoning_delta",
+    "llm_turn_complete", "tool_call_started", "tool_call_completed",
+    "client_output_delta", "client_input_requested",
+    "node_internal_output", "node_input_blocked", "node_stalled",
+    "node_tool_doom_loop", "judge_verdict", "output_key_set",
+    "node_retry", "edge_traversed", "context_compacted",
+    "webhook_received", "custom", "escalation_requested",
+    "worker_escalation_ticket", "queen_intervention_requested",
+    "worker_loaded", "credentials_required")
+
   /** Default client-facing stream filter
     * (`routes_events.py:DEFAULT_EVENT_TYPES`). */
   val defaultEventTypes: Set[String] = Set(
@@ -41,12 +60,14 @@ object SseSink {
 
   /** `?types=a,b` query-param parse with the reference's fallback:
     * empty/unknown-only input → the default set; unknown names are
-    * dropped (`routes_events.py:_parse_event_types`). */
+    * dropped; any KNOWN event type is subscribable, not just the
+    * defaults (`routes_events.py:_parse_event_types` validates
+    * against the EventType enum). */
   def parseEventTypes(param: Option[String]): Set[String] = {
     val known = param.toSeq
       .flatMap(_.split(","))
       .map(_.trim)
-      .filter(defaultEventTypes.contains)
+      .filter(knownEventTypes.contains)
     if (known.isEmpty) defaultEventTypes else known.toSet
   }
 
@@ -90,10 +111,12 @@ object SseSink {
       .writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val rows = batch.orderBy(col("ts")).select(col("frame"))
-        if (rows.isEmpty) push(Iterator(keepaliveFrame))
-        else rows.toLocalIterator()
-          .forEachRemaining(r => push(Iterator(r.getString(0))))
+        // one plan execution per batch: probe the iterator instead of
+        // an isEmpty pre-job that would run the sort twice
+        val it = batch.orderBy(col("ts")).select(col("frame"))
+          .toLocalIterator()
+        if (!it.hasNext) push(Iterator(keepaliveFrame))
+        else it.forEachRemaining(r => push(Iterator(r.getString(0))))
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -72,6 +72,21 @@ class WebhookSourceSpec extends SparkTestBase {
     assert(ok === 202)
   }
 
+  test("HMAC: header name matches case-insensitively (HTTP/2 lowercase); " +
+      "trailing garbage after a valid digest is rejected") {
+    val body = """{"action":"push"}"""
+    val sig = s"sha256=${hmacHex("s3cret", body)}"
+    val got = classify(
+      req("/hooks/github", "POST", body,
+        Map("x-hub-signature-256" -> sig)),
+      req("/hooks/github", "POST", body,
+        Map("X-HUB-SIGNATURE-256" -> sig)),
+      req("/hooks/github", "POST", body,
+        Map("X-Hub-Signature-256" -> (sig + "junk"))))
+      .select("status").collect().map(_.getInt(0)).toSeq
+    assert(got.count(_ == 202) === 2 && got.count(_ == 401) === 1)
+  }
+
   test("payload: JSON passthrough, raw_body wrap, empty body → {} " +
       "(webhook_server.py:127-131)") {
     val got = classify(
@@ -129,6 +144,10 @@ class SseSinkSpec extends SparkTestBase {
       === SseSink.defaultEventTypes)
     assert(SseSink.parseEventTypes(Some("goal_progress, bogus"))
       === Set("goal_progress"))
+    // any KNOWN type is subscribable, not just the client-facing set
+    assert(SseSink.parseEventTypes(Some("llm_reasoning_delta"))
+      === Set("llm_reasoning_delta"))
+    assert(SseSink.defaultEventTypes.subsetOf(SseSink.knownEventTypes))
   }
 
   test("clientView: subscription ∩ requested types filter") {
@@ -273,6 +292,18 @@ class ContextCompactionSpec extends SparkTestBase {
         |
         |CONVERSATION SUMMARY:
         |S""".stripMargin)
+  }
+
+  test("compact: missing summaries row still preserves extracted values") {
+    val df = conv(
+      ("a", 1, "assistant", """{"res": "kept"}""", false, None, false),
+      ("a", 2, "user", "q1", false, None, false),
+      ("a", 3, "user", "q2", false, None, false))
+    val noSummaries = Seq.empty[(String, String)].toDF("conv_id", "summary")
+    val got = ContextCompaction.compact(df, noSummaries, keepRecent = 2,
+      outputKeys = Seq("res"))
+      .filter(col("is_summary")).select("content").head().getString(0)
+    assert(got.contains("- res: kept"))
   }
 
   test("compact: phase-graduated keeps current+previous phase; " +

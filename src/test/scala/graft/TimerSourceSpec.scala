@@ -83,6 +83,16 @@ class TimerSourceSpec extends SparkTestBase {
         "i" -> ms("2025-06-02 00:06:00")))
   }
 
+  test("interval ticks: first fire past the window end yields zero rows, " +
+      "not a sequence error, and leaves other specs intact") {
+    val specs = Seq(
+      TimerSpec("late", None, Some(10), false),  // first fire 12:10 > end
+      TimerSpec("ok", None, Some(2), false))
+    assert(fires(specs, "2025-06-02 12:00:00", "2025-06-02 12:05:00")
+      === Seq("ok" -> ms("2025-06-02 12:02:00"),
+        "ok" -> ms("2025-06-02 12:04:00")))
+  }
+
   test("applyGates marks ticks inside busy intervals (skip-not-queue)") {
     import spark.implicits._
     val t = TimerSource.ticks(
