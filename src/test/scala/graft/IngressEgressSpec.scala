@@ -100,6 +100,15 @@ class WebhookSourceSpec extends SparkTestBase {
     assert(got("") === "{}")
   }
 
+  test("plan shape: route match is a broadcast join (requests never " +
+      "shuffle on path)") {
+    val plan = classify(req("/hooks/open", "POST", "{}"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("events: reference layout feeds normalizeReferenceEvents " +
       "(event_bus.py:926-948)") {
     val ev = WebhookSource.events(classify(

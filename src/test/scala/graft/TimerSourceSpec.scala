@@ -93,6 +93,79 @@ class TimerSourceSpec extends SparkTestBase {
         "ok" -> ms("2025-06-02 12:04:00")))
   }
 
+  test("property: bitmask cron matching agrees with a naive field-by-field " +
+      "matcher over random expressions and minutes") {
+    val rnd = new scala.util.Random(20260812L)
+    def field(lo: Int, hi: Int): String = rnd.nextInt(4) match {
+      case 0 => "*"
+      case 1 => (lo + rnd.nextInt(hi - lo + 1)).toString
+      case 2 =>
+        val a = lo + rnd.nextInt(hi - lo + 1)
+        val b = a + rnd.nextInt(hi - a + 1)
+        s"$a-$b"
+      case 3 => s"*/${1 + rnd.nextInt(9)}"
+    }
+    // independent matcher: expand each field to the allowed value set
+    def naiveSet(spec: String, lo: Int, hi: Int): Set[Int] =
+      spec.split(",").flatMap { part =>
+        val (r, step) = part.split("/") match {
+          case Array(a, s) => (a, s.toInt)
+          case Array(a) => (a, 1)
+        }
+        val (f, t) = r match {
+          case "*" => (lo, hi)
+          case x if x.contains("-") =>
+            val Array(a, b) = x.split("-"); (a.toInt, b.toInt)
+          case x => if (part.contains("/")) (x.toInt, hi)
+            else (x.toInt, x.toInt)
+        }
+        (f to t by step)
+      }.toSet
+    for (_ <- 1 to 200) {
+      val Seq(fm, fh, fdom, fmon, fdow) = Seq(
+        field(0, 59), field(0, 23), field(1, 31), field(1, 12), field(0, 6))
+      val exprStr = s"$fm $fh $fdom $fmon $fdow"
+      val m = TimerSource.parseCron(exprStr).get
+      val base = ts("2025-01-01 00:00:00").getTime
+      for (_ <- 1 to 25) {
+        val t = new Timestamp(base + rnd.nextLong(366L * 86400000L))
+        val cal = java.util.Calendar.getInstance(
+          java.util.TimeZone.getTimeZone("UTC"))
+        cal.setTimeInMillis(t.getTime - t.getTime % 60000)
+        val (mi, h, dom, mon, dow) = (
+          cal.get(java.util.Calendar.MINUTE),
+          cal.get(java.util.Calendar.HOUR_OF_DAY),
+          cal.get(java.util.Calendar.DAY_OF_MONTH),
+          cal.get(java.util.Calendar.MONTH) + 1,
+          cal.get(java.util.Calendar.DAY_OF_WEEK) - 1)
+        val domMatch = naiveSet(fdom, 1, 31)(dom)
+        val dowMatch = naiveSet(fdow, 0, 6)(dow)
+        val expected = naiveSet(fm, 0, 59)(mi) && naiveSet(fh, 0, 23)(h) &&
+          naiveSet(fmon, 1, 12)(mon) &&
+          (if (fdom != "*" && fdow != "*") domMatch || dowMatch
+           else domMatch && dowMatch)
+        def bit(mask: Long, v: Int) = ((mask >> v) & 1L) == 1L
+        val got = bit(m.minute, mi) && bit(m.hour, h) && bit(m.month, mon) &&
+          (if (m.domRestricted && m.dowRestricted)
+            bit(m.dom, dom) || bit(m.dow, dow)
+           else bit(m.dom, dom) && bit(m.dow, dow))
+        assert(got === expected, s"'$exprStr' at $t (UTC min=$mi h=$h " +
+          s"dom=$dom mon=$mon dow=$dow)")
+      }
+    }
+  }
+
+  test("plan shape: tick expansion is shuffle-free (narrow explode over " +
+      "the spec frame — no Exchange at any scale)") {
+    import spark.implicits._
+    val r = TimerSource.resolve(spark, Seq(
+      TimerSpec("c", Some("*/5 * * * *"), None, false),
+      TimerSpec("i", None, Some(3), true)))
+    val plan = TimerSource.ticks(r, ts("2025-06-02 00:00:00"),
+      ts("2025-06-03 00:00:00")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("applyGates marks ticks inside busy intervals (skip-not-queue)") {
     import spark.implicits._
     val t = TimerSource.ticks(
