@@ -32,13 +32,16 @@ object Relational {
     * truncates; floor-of-identical-doubles is exact on both. */
   private def cents(c: Column): Column = floor(c * 100 + 0.5)
 
-  /** Overflow-safe EXACT sum of a long-valued expression: accumulate
-    * as DECIMAL — per-row values stay compact longs, accumulator adds
-    * are long adds until ~9.2e18 and promote to BigDecimal
-    * transparently beyond (the 100 TB safety the raw BIGINT sum lacks
-    * under ANSI). Oracle twin: DuckDB `SUM(BIGINT)` is HUGEINT-exact.
-    * Cast to DOUBLE and de-scale only at the end. */
-  private def sumExact(c: Column): Column = sum(c.cast(DecimalType(18, 0)))
+  /** Overflow-safe EXACT sum of a long-valued expression: the native
+    * 128-bit accumulator ([[graft.functions.Sum128]]) — two compact
+    * long buffer slots, wrapping-add + carry in whole-stage codegen,
+    * DECIMAL(38,0) materialized once per group. Replaces the earlier
+    * `sum(CAST(x AS DECIMAL(18,0)))`, whose >18-precision accumulator
+    * boxed a BigDecimal per update (measured ~2.5× slower at 600 k
+    * rows). Oracle twin: DuckDB `SUM(BIGINT)` is HUGEINT(int128)-exact
+    * — the same arithmetic. Cast to DOUBLE and de-scale at the end. */
+  private def sumExact(c: Column): Column =
+    graft.functions.Sum128.sum128(c.cast("long"))
 
   // ---------------------------------------------------------------
   // q01 pricing summary — full-scan groupBy w/ exact decimal sums
