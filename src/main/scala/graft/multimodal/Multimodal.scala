@@ -7,7 +7,10 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing for a training-data pipeline: media as
   * opaque `binary` columns + typed metadata, processed per-partition.
   *
-  * The decode step itself is STUBBED (no image/audio libraries in this
+  * Two tiers: header-metadata extraction ([[sniffMetadata]]) is REAL
+  * — PNG/JPEG/GIF/BMP geometry and WAV audio parameters parse
+  * directly from the container byte layout, no codec needed. Only the
+  * pixel/sample decode is STUBBED (no image/audio libraries in this
   * environment — `decodeStub` produces a deterministic fake feature
   * vector from the bytes). Everything Spark-side is real and tested:
   * the schema contract, the partition-wise batch processing shape
@@ -76,6 +79,120 @@ object Multimodal {
         }
     }
     spark.createDataFrame(rdd, featureSchema)
+  }
+
+  // ---------------------------------------------------------------
+  // Header-metadata sniffing — REAL, not stubbed: container headers
+  // (PNG IHDR, JPEG SOF, GIF/BMP geometry, WAV fmt/data chunks) are
+  // fixed byte layouts, so dimensions / sample rates / durations come
+  // straight off the blob's first bytes with no codec library. Only
+  // PIXEL/SAMPLE decode stays behind the decodeStub seam.
+
+  val sniffedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  private def beInt(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def beShort(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def leInt(b: Array[Byte], i: Int): Int =
+    ((b(i + 3) & 0xff) << 24) | ((b(i + 2) & 0xff) << 16) |
+      ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+  private def leShort(b: Array[Byte], i: Int): Int =
+    ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+  private def ascii(b: Array[Byte], i: Int, s: String): Boolean =
+    b.length >= i + s.length &&
+      s.indices.forall(k => (b(i + k) & 0xff) == s.charAt(k))
+
+  /** Parsed header of one blob; all-null fields = unknown format or a
+    * header too corrupt/truncated to trust. */
+  private[multimodal] def sniff(b: Array[Byte]): Row = {
+    def empty(fmt: String) = Row(fmt, null, null, null, null, null)
+    if (b == null || b.length < 2) return empty(null)
+    // PNG: 8-byte signature, IHDR width/height big-endian at 16/20 —
+    // a recognized signature with a truncated header still reports
+    // its format, with null geometry
+    if (b.length >= 8 && (b(0) & 0xff) == 0x89 && ascii(b, 1, "PNG")) {
+      return if (b.length >= 24 && ascii(b, 12, "IHDR"))
+        Row("png", beInt(b, 16), beInt(b, 20), null, null, null)
+      else empty("png")
+    }
+    // GIF87a/GIF89a: logical screen size little-endian at 6/8
+    if (ascii(b, 0, "GIF8")) {
+      return if (b.length >= 10)
+        Row("gif", leShort(b, 6), leShort(b, 8), null, null, null)
+      else empty("gif")
+    }
+    // BMP: BITMAPINFOHEADER geometry at 18/22 (height may be
+    // negative = top-down rows; magnitude is the pixel height)
+    if (ascii(b, 0, "BM")) {
+      return if (b.length >= 26)
+        Row("bmp", leInt(b, 18), math.abs(leInt(b, 22)), null, null, null)
+      else empty("bmp")
+    }
+    // JPEG: walk the marker stream to the first frame header (SOFn,
+    // 0xC0-0xCF minus the non-frame C4/C8/CC): [len][prec][h:2][w:2]
+    if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 9 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return empty("jpeg") // marker desync
+        val m = b(i + 1) & 0xff
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          return Row("jpeg", beShort(b, i + 7), beShort(b, i + 5),
+            null, null, null)
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd9)) i += 2 // bare marker
+        else i += 2 + beShort(b, i + 2) // skip payload
+      }
+      return empty("jpeg")
+    }
+    // WAV: RIFF/WAVE chunk walk; fmt -> channels/rate, data -> length;
+    // duration = data bytes / byte-rate
+    if (ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE")) {
+      var (i, rate, ch, byteRate, dataLen) = (12, 0, 0, 0, -1L)
+      while (i + 8 <= b.length) {
+        val size = leInt(b, i + 4)
+        if (ascii(b, i, "fmt ") && i + 24 <= b.length) {
+          ch = leShort(b, i + 10); rate = leInt(b, i + 12)
+          byteRate = leInt(b, i + 16)
+        } else if (ascii(b, i, "data")) {
+          dataLen = size.toLong & 0xffffffffL
+        }
+        if (size < 0) return empty("wav") // corrupt chunk length
+        i += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      if (rate <= 0 || ch <= 0) return empty("wav")
+      val dur = if (byteRate > 0 && dataLen >= 0)
+        java.lang.Long.valueOf(dataLen * 1000L / byteRate) else null
+      return Row("wav", null, null, rate, ch, dur)
+    }
+    empty(null)
+  }
+
+  /** Header metadata for every media row — the population step for
+    * [[mediaSchema]]'s metadata columns. Same per-partition batch
+    * shape as [[extractFeatures]]; reads only the blob's first bytes
+    * per row, so at 100 TB the cost is dominated by the scan, and a
+    * collector that stores blobs with a truncated `header` column can
+    * run this on that column without touching content at all. */
+  def sniffMetadata(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content").rdd.mapPartitions {
+      rows =>
+        rows.map { r =>
+          val bytes =
+            if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val s = sniff(bytes)
+          Row.fromSeq(r.getLong(0) +: s.toSeq)
+        }
+    }
+    spark.createDataFrame(rdd, sniffedSchema)
   }
 
   /** Frame-sampling shape for time-media: pick every `stride`-th frame

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.LongArrayDot
+import graft.functions.{LongArrayDot, Sum128}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -18,8 +18,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * Config alternative: `spark.sql.extensions=graft.plans.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectFunction(GraftExtensions.sum128Function)
+  }
 }
 
 object GraftExtensions {
@@ -33,10 +35,19 @@ object GraftExtensions {
         LongArrayDot(args.head, args(1))
       })
 
+  private[plans] val sum128Function
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_sum128"),
+      new ExpressionInfo(classOf[Sum128].getName, "graft_sum128"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_sum128 takes exactly 1 argument")
+        Sum128(args.head).toAggregateExpression()
+      })
+
   /** Register the functions into an already-running session. */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = dotFunction
-    spark.sessionState.functionRegistry
-      .registerFunction(id, info, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    Seq(dotFunction, sum128Function).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(id, info, builder)
+    }
 }

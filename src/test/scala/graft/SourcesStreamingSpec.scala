@@ -91,6 +91,109 @@ class MultimodalSpec extends SparkTestBase {
       .collect().map(_.getAs[Int]("frame_idx"))
     assert(idx.toSeq === Seq(0, 4, 8)) // 10 frames, every 4th
   }
+
+  // hand-built container headers — byte-exact per the format specs
+  private def png(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(33)
+    bb.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    bb.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
+    bb.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte)
+      .put(0.toByte)
+    bb.array()
+  }
+  private def jpeg(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(2 + 8 + 11)
+    bb.put(0xff.toByte).put(0xd8.toByte)                 // SOI
+    bb.put(0xff.toByte).put(0xe0.toByte).putShort(6)     // APP0, len 6
+    bb.put(Array[Byte]('J', 'F', 'I', 'F'))
+    bb.put(0xff.toByte).put(0xc0.toByte).putShort(9)     // SOF0
+    bb.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+    bb.array()
+  }
+  private def gif(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(13)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GIF89a".getBytes).putShort(w.toShort).putShort(h.toShort)
+    bb.array()
+  }
+  private def bmp(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(30)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("BM".getBytes).putInt(30).putInt(0).putInt(54).putInt(40)
+    bb.putInt(w).putInt(h)
+    bb.array()
+  }
+  private def wav(rate: Int, ch: Int, dataLen: Int): Array[Byte] = {
+    val byteRate = rate * ch * 2
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(ch.toShort)
+    bb.putInt(rate).putInt(byteRate).putShort((ch * 2).toShort)
+      .putShort(16)
+    bb.put("data".getBytes).putInt(dataLen)
+    bb.array()
+  }
+
+  test("sniffMetadata: real header parsing — PNG/JPEG/GIF/BMP geometry, " +
+      "WAV rate/channels/duration; garbage and truncation degrade to " +
+      "nulls") {
+    val rows = java.util.Arrays.asList(
+      Row(1L, "image", null, null, null, png(640, 480)),
+      Row(2L, "image", null, null, null, jpeg(1920, 1080)),
+      Row(3L, "image", null, null, null, gif(320, 200)),
+      Row(4L, "image", null, null, null, bmp(800, 600)),
+      Row(5L, "audio", null, null, null, wav(44100, 2, 176400)),
+      Row(6L, "image", null, null, null,
+        png(9, 9).take(10)),                      // truncated PNG
+      Row(7L, "blob", null, null, null,
+        Array.fill[Byte](64)(0x5a)),              // unknown format
+      Row(8L, "blob", null, null, null, null))    // null content
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val got = Multimodal.sniffMetadata(media).orderBy("media_id")
+      .collect().map(r => (r.getLong(0), r.getAs[String]("format"),
+        r.getAs[Integer]("width"), r.getAs[Integer]("height"),
+        r.getAs[Integer]("sample_rate"), r.getAs[Integer]("channels"),
+        r.getAs[java.lang.Long]("duration_ms")))
+    assert(got(0) === ((1L, "png", 640, 480, null, null, null)))
+    assert(got(1) === ((2L, "jpeg", 1920, 1080, null, null, null)))
+    assert(got(2) === ((3L, "gif", 320, 200, null, null, null)))
+    assert(got(3) === ((4L, "bmp", 800, 600, null, null, null)))
+    // 44100 Hz stereo 16-bit, 176400 data bytes = exactly 1 second
+    assert(got(4) === ((5L, "wav", null, null, 44100, 2, 1000L)))
+    assert(got(5) === ((6L, "png", null, null, null, null, null)))
+    assert(got(6) === ((7L, null, null, null, null, null, null)))
+    assert(got(7) === ((8L, null, null, null, null, null, null)))
+  }
+
+  test("sniffMetadata: top-down BMP (negative height) and a JPEG whose " +
+      "SOF is preceded by several segments") {
+    val bb = java.nio.ByteBuffer.allocate(30)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("BM".getBytes).putInt(30).putInt(0).putInt(54).putInt(40)
+    bb.putInt(64).putInt(-64)
+    val deepJpeg = {
+      val b = java.nio.ByteBuffer.allocate(2 + 8 + 20 + 11)
+      b.put(0xff.toByte).put(0xd8.toByte)
+      b.put(0xff.toByte).put(0xe1.toByte).putShort(6)   // APP1
+      b.put(Array[Byte](1, 2, 3, 4))
+      b.put(0xff.toByte).put(0xdb.toByte).putShort(18)  // DQT
+      b.put(Array.fill[Byte](16)(7))
+      b.put(0xff.toByte).put(0xc2.toByte).putShort(9)   // SOF2 (progressive)
+      b.put(8.toByte).putShort(33).putShort(44)
+      b.array()
+    }
+    val rows = java.util.Arrays.asList(
+      Row(1L, "image", null, null, null, bb.array()),
+      Row(2L, "image", null, null, null, deepJpeg))
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val got = Multimodal.sniffMetadata(media).orderBy("media_id").collect()
+    assert(got(0).getAs[Integer]("width") === 64)
+    assert(got(0).getAs[Integer]("height") === 64) // magnitude
+    assert(got(1).getAs[String]("format") === "jpeg")
+    assert(got(1).getAs[Integer]("width") === 44)
+    assert(got(1).getAs[Integer]("height") === 33)
+  }
 }
 
 class EventStreamSpec extends SparkTestBase {

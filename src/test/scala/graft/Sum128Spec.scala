@@ -54,6 +54,15 @@ class Sum128Spec extends SparkTestBase {
       .agg(Sum128.sum128(col("v"))).head().isNullAt(0))
   }
 
+  test("graft_sum128 registers on the SQL surface (SparkSessionExtensions)") {
+    graft.plans.GraftExtensions.register(spark)
+    Seq(Long.MaxValue, Long.MaxValue).toDF("v")
+      .createOrReplaceTempView("s128_t")
+    val got = spark.sql("SELECT graft_sum128(v) AS s FROM s128_t")
+      .head().getDecimal(0)
+    assert(got.toString === "18446744073709551614")
+  }
+
   test("grouped aggregation under whole-stage codegen (q01 shape)") {
     val df = (1L to 10000L).map(i => (i % 3, i * 1000003L)).toDF("g", "v")
     val got = df.groupBy("g").agg(Sum128.sum128(col("v")).as("s"))
