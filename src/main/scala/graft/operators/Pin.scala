@@ -7,14 +7,19 @@ import org.apache.spark.storage.StorageLevel
   * sides of a self-join, iteration state in BFS loops).
   *
   * Mode knob `spark.graft.pin` (session conf):
-  *  - `localCheckpoint` (default): eager, truncates lineage, stores
-  *    non-replicated executor-local blocks. Right for local[N] and for
-  *    iterative loops where lineage growth would bloat the planner —
-  *    but a lost executor fails the job, so on a real cluster prefer:
-  *  - `persist`: MEMORY_AND_DISK cache with lineage kept — a lost
-  *    block recomputes from the parquet scan instead of failing the
-  *    job. Iterative callers stay correct (plan depth grows per round
-  *    but rounds are bounded by graph diameter).
+  *  - `persist` (default): lazy MEMORY_AND_DISK cache with lineage
+  *    kept — no eager job barrier (measured: the localCheckpoint
+  *    barrier cost 0.15–0.25 s PER PIN at sf0.1; persist cut d03
+  *    0.55→0.30 s, d06 0.47→0.29 s, and won on every pinned query
+  *    including the BFS loops), and on a cluster a lost block
+  *    recomputes from the parquet scan instead of failing the job.
+  *    Callers create pins per query invocation without unpersisting;
+  *    identical plans dedup in the cache manager, so a long-lived
+  *    session holds one entry per distinct pinned subtree.
+  *  - `localCheckpoint`: eager, truncates lineage, non-replicated
+  *    executor-local blocks. The escape hatch for unbounded iterative
+  *    lineage growth (planner bloat) — the engine's own loops are
+  *    diameter-bounded and measure faster under persist.
   *  - `none`: no pin (the subtree recomputes per consumer; useful for
   *    measuring what a pin is worth).
   */
@@ -22,9 +27,9 @@ object Pin {
   val Key = "spark.graft.pin"
 
   def apply(df: DataFrame): DataFrame =
-    df.sparkSession.conf.getOption(Key).getOrElse("localCheckpoint") match {
-      case "persist" => df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.sparkSession.conf.getOption(Key).getOrElse("persist") match {
+      case "localCheckpoint" => df.localCheckpoint(true)
       case "none" => df
-      case _ => df.localCheckpoint(true)
+      case _ => df.persist(StorageLevel.MEMORY_AND_DISK)
     }
 }
