@@ -130,42 +130,55 @@ object Multimodal {
         Row("gif", leShort(b, 6), leShort(b, 8), null, null, null)
       else empty("gif")
     }
-    // BMP: BITMAPINFOHEADER geometry at 18/22 (height may be
-    // negative = top-down rows; magnitude is the pixel height)
+    // BMP: require a BITMAPINFOHEADER-family DIB (size >= 40 at 14) —
+    // the OS/2 BITMAPCOREHEADER packs 16-bit geometry at different
+    // offsets, and misreading it as int32 would emit garbage, worse
+    // than the null degrade this contract promises. Height may be
+    // negative = top-down rows; magnitude is the pixel height.
     if (ascii(b, 0, "BM")) {
-      return if (b.length >= 26)
+      return if (b.length >= 26 && leInt(b, 14) >= 40)
         Row("bmp", leInt(b, 18), math.abs(leInt(b, 22)), null, null, null)
       else empty("bmp")
     }
     // JPEG: walk the marker stream to the first frame header (SOFn,
-    // 0xC0-0xCF minus the non-frame C4/C8/CC): [len][prec][h:2][w:2]
+    // 0xC0-0xCF minus the non-frame C4/C8/CC): [len][prec][h:2][w:2].
+    // T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    // marker code — consume them one at a time.
     if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
       var i = 2
       while (i + 9 < b.length) {
         if ((b(i) & 0xff) != 0xff) return empty("jpeg") // marker desync
         val m = b(i + 1) & 0xff
-        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+        if (m == 0xff) i += 1 // fill byte
+        else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 &&
+            m != 0xcc)
           return Row("jpeg", beShort(b, i + 7), beShort(b, i + 5),
             null, null, null)
-        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd9)) i += 2 // bare marker
+        else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd9)) i += 2 // bare
         else i += 2 + beShort(b, i + 2) // skip payload
       }
       return empty("jpeg")
     }
     // WAV: RIFF/WAVE chunk walk; fmt -> channels/rate, data -> length;
-    // duration = data bytes / byte-rate
+    // duration = data bytes / byte-rate. Chunk sizes are UNSIGNED
+    // 32-bit and the cursor runs in Long — a declared size near 2^32
+    // (valid for >2 GiB data chunks, or crafted) must neither wrap an
+    // Int index nor discard the already-parsed fmt fields; a chunk
+    // running past the blob simply ends the walk.
     if (ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE")) {
-      var (i, rate, ch, byteRate, dataLen) = (12, 0, 0, 0, -1L)
+      var i = 12L
+      var (rate, ch, byteRate) = (0, 0, 0)
+      var dataLen = -1L
       while (i + 8 <= b.length) {
-        val size = leInt(b, i + 4)
-        if (ascii(b, i, "fmt ") && i + 24 <= b.length) {
-          ch = leShort(b, i + 10); rate = leInt(b, i + 12)
-          byteRate = leInt(b, i + 16)
-        } else if (ascii(b, i, "data")) {
-          dataLen = size.toLong & 0xffffffffL
+        val ii = i.toInt
+        val size = leInt(b, ii + 4).toLong & 0xffffffffL
+        if (ascii(b, ii, "fmt ") && i + 24 <= b.length) {
+          ch = leShort(b, ii + 10); rate = leInt(b, ii + 12)
+          byteRate = leInt(b, ii + 16)
+        } else if (ascii(b, ii, "data")) {
+          dataLen = size
         }
-        if (size < 0) return empty("wav") // corrupt chunk length
-        i += 8 + size + (size & 1) // chunks are word-aligned
+        i += 8L + size + (size & 1L) // chunks are word-aligned
       }
       if (rate <= 0 || ch <= 0) return empty("wav")
       val dur = if (byteRate > 0 && dataLen >= 0)

@@ -13,9 +13,12 @@ import scala.util.chaining._
   * Edges are a DataFrame with `src`/`dst` string columns; nodes a
   * DataFrame with an `id` column. The BFS is a driver-side loop of
   * DataFrame joins — iterations are bounded by graph *diameter* (not
-  * size), and each round localCheckpoints to truncate lineage, so the
-  * same code runs on a 5-node routing graph or a billion-edge lineage
-  * graph (where each round is one distributed hash join).
+  * size), and each round pins its state for fan-out reuse (releasing
+  * pins two rounds back via [[Pin.Ledger]]; under the default lazy
+  * persist the plan keeps lineage, and rounds are diameter-bounded so
+  * plan depth stays small), so the same code runs on a 5-node routing
+  * graph or a billion-edge lineage graph (where each round is one
+  * distributed hash join).
   */
 object GraphOps {
 
@@ -28,6 +31,7 @@ object GraphOps {
     var visited = frontier
     var depth = 0
     var done = false
+    val pins = new Pin.Ledger
     while (!done && depth < maxIters) {
       depth += 1
       val next = frontier
@@ -35,12 +39,13 @@ object GraphOps {
         .select(col("dst").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("depth", lit(depth))
-        .pipe(Pin.apply)
-      if (next.isEmpty) done = true
+        .pipe(pins.pin)
+      if (next.isEmpty) { done = true; Pin.release(next) }
       else {
-        visited = Pin(visited.union(next))
+        visited = pins.pin(visited.union(next))
         frontier = next
       }
+      pins.advance()
     }
     visited
   }

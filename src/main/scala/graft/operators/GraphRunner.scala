@@ -97,6 +97,7 @@ object GraphRunner {
       .withColumn("status", lit("active"))
     var iter = 0
     var activeLeft = true
+    val pins = new Pin.Ledger
     while (activeLeft && iter < maxSteps) {
       iter += 1
       val active = states.filter(col("status") === "active")
@@ -140,8 +141,9 @@ object GraphRunner {
         .unionByName(nowTerminal)
         .unionByName(routed.select(finished.columns.map(col): _*))
         .unionByName(stuck)
-        .pipe(Pin.apply)
+        .pipe(pins.pin)
       activeLeft = !states.filter(col("status") === "active").isEmpty
+      pins.advance()
     }
     states.withColumn("status",
       when(col("status") === "active", "max_steps")

@@ -32,4 +32,30 @@ object Pin {
       case "none" => df
       case _ => df.persist(StorageLevel.MEMORY_AND_DISK)
     }
+
+  /** Drop a pin's cache entry (no-op under `localCheckpoint`/`none` —
+    * checkpointed frames never register with the cache manager). */
+  def release(df: DataFrame): Unit = df.unpersist(blocking = false)
+
+  /** Rolling release for iterative loops, which pin a NEW plan every
+    * round — without release a long-lived session would accumulate one
+    * cache entry per round per call. A round's pins may still back
+    * LAZY frames built one round later (e.g. BFS `visited_r =
+    * union(visited_(r-1), next_r)` only materializes during round
+    * r+1's action), so `advance()` — called once per round, AFTER the
+    * round's action — releases the pins from two rounds back: by then
+    * every consumer has materialized. The final ≤3 generations stay
+    * cached (a bounded constant per call) because the loop's return
+    * value is still lazy on them. */
+  final class Ledger {
+    private var cur: List[DataFrame] = Nil
+    private var prev1: List[DataFrame] = Nil
+    private var prev2: List[DataFrame] = Nil
+    def pin(df: DataFrame): DataFrame = {
+      val p = Pin(df); cur = p :: cur; p
+    }
+    def advance(): Unit = {
+      prev2.foreach(release); prev2 = prev1; prev1 = cur; cur = Nil
+    }
+  }
 }

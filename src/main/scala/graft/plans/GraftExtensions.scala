@@ -41,7 +41,9 @@ object GraftExtensions {
       new ExpressionInfo(classOf[Sum128].getName, "graft_sum128"),
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_sum128 takes exactly 1 argument")
-        Sum128(args.head).toAggregateExpression()
+        // return the bare AggregateFunction (the built-in pattern): the
+        // analyzer wraps it itself, so DISTINCT / FILTER clauses work
+        Sum128(args.head)
       })
 
   /** Register the functions into an already-running session. */

@@ -194,6 +194,65 @@ class MultimodalSpec extends SparkTestBase {
     assert(got(1).getAs[Integer]("width") === 44)
     assert(got(1).getAs[Integer]("height") === 33)
   }
+
+  test("sniffMetadata: adversarial headers degrade, never crash — " +
+      "huge WAV chunk sizes, OS/2 BMP, JPEG fill bytes, >2GiB data") {
+    // chunk declaring size 0x7FFFFFF0: Int math would wrap negative
+    val hugeChunk = {
+      val bb = java.nio.ByteBuffer.allocate(24)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(16).put("WAVE".getBytes)
+      bb.put("junk".getBytes).putInt(0x7ffffff0)
+      bb.array()
+    }
+    // valid fmt, then a data chunk declaring 0xB4000000 (~3 GiB) —
+    // unsigned size must survive and produce the declared duration
+    val bigWav = {
+      val bb = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(2)
+      bb.putInt(44100).putInt(176400).putShort(4).putShort(16)
+      bb.put("data".getBytes).putInt(0xb4000000)
+      bb.array()
+    }
+    // OS/2 BITMAPCOREHEADER: DIB size 12 — 16-bit geometry the
+    // BITMAPINFOHEADER offsets would misread as garbage
+    val os2Bmp = {
+      val bb = java.nio.ByteBuffer.allocate(26)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("BM".getBytes).putInt(26).putInt(0).putInt(26).putInt(12)
+      bb.putShort(100).putShort(100).putShort(1).putShort(24)
+      bb.array()
+    }
+    // T.81 fill bytes: FF D8 FF FF FF C0 ...
+    val fillJpeg = {
+      val bb = java.nio.ByteBuffer.allocate(2 + 2 + 11)
+      bb.put(0xff.toByte).put(0xd8.toByte)
+      bb.put(0xff.toByte).put(0xff.toByte)            // fill bytes
+      bb.put(0xff.toByte).put(0xc0.toByte).putShort(9)
+      bb.put(8.toByte).putShort(12).putShort(21)
+      bb.array()
+    }
+    val rows = java.util.Arrays.asList(
+      Row(1L, "audio", null, null, null, hugeChunk),
+      Row(2L, "audio", null, null, null, bigWav),
+      Row(3L, "image", null, null, null, os2Bmp),
+      Row(4L, "image", null, null, null, fillJpeg))
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val got = Multimodal.sniffMetadata(media).orderBy("media_id").collect()
+    // recognized container, unparseable params — and no Int wrap crash
+    assert(got(0).getAs[String]("format") === "wav")
+    assert(got(0).getAs[Integer]("sample_rate") === null)
+    assert(got(1).getAs[String]("format") === "wav")
+    // 0xb4000000 bytes * 1000 / 176400 B/s
+    assert(got(1).getAs[java.lang.Long]("duration_ms") === 17119608L)
+    assert(got(2).getAs[String]("format") === "bmp")
+    assert(got(2).getAs[Integer]("width") === null)      // degrade, not garbage
+    assert(got(3).getAs[String]("format") === "jpeg")
+    assert(got(3).getAs[Integer]("width") === 21)
+    assert(got(3).getAs[Integer]("height") === 12)
+  }
 }
 
 class EventStreamSpec extends SparkTestBase {

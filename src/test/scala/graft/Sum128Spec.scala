@@ -13,12 +13,7 @@ class Sum128Spec extends SparkTestBase {
   }
 
   private def big(vs: Seq[Long]): java.math.BigDecimal =
-    vs.map(v => BigInt(v)).sum.bigInteger
-      .pipe(b => new java.math.BigDecimal(b))
-
-  implicit final class Pipe[A](private val a: A) {
-    def pipe[B](f: A => B): B = f(a)
-  }
+    new java.math.BigDecimal(vs.map(v => BigInt(v)).sum.bigInteger)
 
   test("matches BigInt sums, including values past the long range " +
       "(the accumulator is genuinely 128-bit)") {
@@ -61,6 +56,13 @@ class Sum128Spec extends SparkTestBase {
     val got = spark.sql("SELECT graft_sum128(v) AS s FROM s128_t")
       .head().getDecimal(0)
     assert(got.toString === "18446744073709551614")
+    // the builder returns the bare AggregateFunction, so the analyzer
+    // can wrap DISTINCT / FILTER around it like any built-in aggregate
+    assert(spark.sql("SELECT graft_sum128(DISTINCT v) FROM s128_t")
+      .head().getDecimal(0).toString === Long.MaxValue.toString)
+    assert(spark.sql(
+      "SELECT graft_sum128(v) FILTER (WHERE v > 0) FROM s128_t")
+      .head().getDecimal(0).toString === "18446744073709551614")
   }
 
   test("grouped aggregation under whole-stage codegen (q01 shape)") {
