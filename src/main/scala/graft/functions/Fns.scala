@@ -32,13 +32,11 @@ object Fns {
     * the gate the parsers and the integer cast agree. ONE definition:
     * the regex, its DuckDB extraction, and its Spark twin must never
     * drift apart or the b-family and e10 stop agreeing about which
-    * payloads are valid. */
-  val propsShape = """^\{"k": -?[0-9]+\}$"""
-
-  /** The shape regex captures the integer itself, so gate + extract
-    * collapse into ONE regex pass — no JSON parser on either engine
-    * (the anchored match guarantees the capture IS `$.k`). Both
-    * engines return '' on no match; NULLIF keeps the cast ANSI-safe. */
+    * payloads are valid. The anchored shape captures the integer
+    * itself, so gate + extract collapse into ONE regex pass — no JSON
+    * parser on either engine (the match guarantees the capture IS
+    * `$.k`). Both engines return '' on no match; NULLIF keeps the
+    * cast ANSI-safe. */
   val kExtract = """^\{"k": (-?[0-9]+)\}$"""
 
   /** DuckDB-side gated integer extraction of `props.k`. */

@@ -300,23 +300,20 @@ object EventAnalytics {
 
   // e10 — JSON payload extraction (AgentEvent.data map payloads,
   // event_bus.py:139-168; from_json/get_json_object path).
-  // Parity guards live in ONE place — [[graft.functions.Fns.propsShape]]
-  // (see its scaladoc for why both engines gate on the same regex);
-  // b01/b03 share the identical gate.
-  private def propsShape = graft.functions.Fns.propsShape
+  // Parity guards live in ONE place — [[graft.functions.Fns.kExtract]]
+  // (see its scaladoc: gate + extract collapse into one anchored
+  // capture, no JSON parser per row on either engine); b01/b03 share
+  // the identical extraction.
+  private def kExtract = graft.functions.Fns.kExtract
 
   val e10 = Q(
     "e10_json_extract",
     s"""SELECT event_type,
-      |  CAST(SUM(CASE WHEN regexp_matches(props, '$propsShape')
-      |    THEN CAST(json_extract_string(props, '$$.k') AS BIGINT) END) AS BIGINT) AS sum_k,
-      |  MAX(CASE WHEN regexp_matches(props, '$propsShape')
-      |    THEN CAST(json_extract_string(props, '$$.k') AS BIGINT) END) AS max_k,
-      |  COUNT(DISTINCT CASE WHEN regexp_matches(props, '$propsShape')
-      |    THEN json_extract_string(props, '$$.k') END) AS n_distinct_k
+      |  CAST(SUM(CAST(NULLIF(regexp_extract(props, '$kExtract', 1), '') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MAX(CAST(NULLIF(regexp_extract(props, '$kExtract', 1), '') AS BIGINT)) AS max_k,
+      |  COUNT(DISTINCT NULLIF(regexp_extract(props, '$kExtract', 1), '')) AS n_distinct_k
       |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
-    val valid = col("props").rlike(propsShape)
-    val k = when(valid, get_json_object(col("props"), "$.k"))
+    val k = nullif(regexp_extract(col("props"), kExtract, 1), lit(""))
     // materialize the parsed/validated values once per row — inlined
     // into three aggregate expressions the JSON parse + regex would
     // run three times (no CSE across agg expressions).
