@@ -34,17 +34,24 @@ object Bench {
         val t0 = System.nanoTime()
         // noop sink: computes every output column (count() would let
         // Catalyst prune per-row work), writes nothing
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          // a failing query must be VISIBLE, not a silently-fast entry
-          if (!failed.contains(name)) {
-            failed += name
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        val ok =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            // a failing query must be VISIBLE, not a silently-fast entry
+            if (!failed.contains(name)) {
+              failed += name
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            }
+            false
           }
-        }
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> reps.min
+      // a fast-failing rep must not report as a steady-state time:
+      // min over SUCCESSFUL reps, fail-times only when every rep failed
+      val good = reps.filter(_._2)
+      name -> (if (good.nonEmpty) good else reps).map(_._1).min
     }
     // times at ms precision — keeps the detail line short enough that
     // the driver's output capture never truncates it mid-JSON.

@@ -35,18 +35,28 @@ object Fns {
     * payloads are valid. The anchored shape captures the integer
     * itself, so gate + extract collapse into ONE regex pass — no JSON
     * parser on either engine (the match guarantees the capture IS
-    * `$.k`). Both engines return '' on no match; NULLIF keeps the
-    * cast ANSI-safe. */
-  val kExtract = """^\{"k": (-?[0-9]+)\}$"""
+    * `$.k`). Anchoring details that keep the claim exact: `\z`, not
+    * `$` (Java regex lets `$` match before a final trailing newline,
+    * RE2 does not — a newline-terminated payload would silently
+    * diverge), and the capture is bounded to 18 digits so the BIGINT
+    * cast can never overflow under ANSI on either engine (a longer
+    * run of digits is an invalid payload → NULL, like every other
+    * shape violation). Both engines return '' on no match; NULLIF
+    * turns that into NULL before the cast. */
+  val kExtract = """^\{"k": (-?[0-9]{1,18})\}\z"""
+
+  /** The captured digits as a string — the distinct-count grain. */
+  val kStrSql: String = s"NULLIF(regexp_extract(props, '$kExtract', 1), '')"
 
   /** DuckDB-side gated integer extraction of `props.k`. */
-  val kIntSql: String =
-    s"CAST(NULLIF(regexp_extract(props, '$kExtract', 1), '') AS BIGINT)"
+  val kIntSql: String = s"CAST($kStrSql AS BIGINT)"
+
+  /** Spark twin of [[kStrSql]]. */
+  def kStr: Column =
+    nullif(regexp_extract(col("props"), kExtract, 1), lit(""))
 
   /** Spark twin of [[kIntSql]]. */
-  def kInt: Column =
-    nullif(regexp_extract(col("props"), kExtract, 1), lit(""))
-      .cast(LongType)
+  def kInt: Column = kStr.cast(LongType)
 
   /** Deterministic 60-bit hash of a string column, identical in Spark
     * and DuckDB. DuckDB equivalent: `('0x'||substr(md5(x),1,15))::BIGINT`.

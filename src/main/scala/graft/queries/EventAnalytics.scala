@@ -301,19 +301,20 @@ object EventAnalytics {
   // e10 — JSON payload extraction (AgentEvent.data map payloads,
   // event_bus.py:139-168; from_json/get_json_object path).
   // Parity guards live in ONE place — [[graft.functions.Fns.kExtract]]
-  // (see its scaladoc: gate + extract collapse into one anchored
-  // capture, no JSON parser per row on either engine); b01/b03 share
-  // the identical extraction.
-  private def kExtract = graft.functions.Fns.kExtract
+  // and its kStr/kInt twins (see the scaladoc: gate + extract collapse
+  // into one anchored capture, no JSON parser per row on either
+  // engine); b01/b03 share the identical extraction.
+  private def kStrSql = graft.functions.Fns.kStrSql
+  private def kIntSql = graft.functions.Fns.kIntSql
 
   val e10 = Q(
     "e10_json_extract",
     s"""SELECT event_type,
-      |  CAST(SUM(CAST(NULLIF(regexp_extract(props, '$kExtract', 1), '') AS BIGINT)) AS BIGINT) AS sum_k,
-      |  MAX(CAST(NULLIF(regexp_extract(props, '$kExtract', 1), '') AS BIGINT)) AS max_k,
-      |  COUNT(DISTINCT NULLIF(regexp_extract(props, '$kExtract', 1), '')) AS n_distinct_k
+      |  CAST(SUM($kIntSql) AS BIGINT) AS sum_k,
+      |  MAX($kIntSql) AS max_k,
+      |  COUNT(DISTINCT $kStrSql) AS n_distinct_k
       |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
-    val k = nullif(regexp_extract(col("props"), kExtract, 1), lit(""))
+    val k = graft.functions.Fns.kStr
     // materialize the parsed/validated values once per row — inlined
     // into three aggregate expressions the JSON parse + regex would
     // run three times (no CSE across agg expressions).

@@ -6,6 +6,22 @@ import org.apache.spark.sql.functions._
 class FnsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("kInt: anchored single-regex payload extraction — valid payloads " +
+      "extract, shape violations (incl. trailing newline and >18 digits) " +
+      "are NULL, never an ANSI cast error") {
+    val got = Seq(
+      """{"k": 42}""",          // valid
+      """{"k": -7}""",          // valid negative
+      "{\"k\": 5}\n",           // trailing newline: Java $ would match,
+                                // RE2 would not — \z rejects on both
+      """{"k": 99999999999999999999}""", // 20 digits: BIGINT overflow
+      """{"k": 5, "j": 1}""",   // extra key
+      "not json")
+      .toDF("props").select(Fns.kInt.as("k")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(got === Seq(Some(42L), Some(-7L), None, None, None, None))
+  }
+
   test("hash60 matches the DuckDB construction bit-for-bit") {
     // DuckDB: SELECT ('0x'||substr(md5('hello'),1,15))::BIGINT
     val got = Seq("hello").toDF("s")
