@@ -117,5 +117,48 @@ object SourceQueries {
       .select("conv_id", "seq", "pruned", "content")
   }
 
-  val all: Seq[Q] = Seq(s01, c01)
+  // ---------------------------------------------------------------
+  // s02 — deterministic train/val/test split assignment over the
+  // document corpus (training-pipeline layer): hash-bucket on the
+  // content-stable 60-bit id hash — retry-safe, growth-stable (an
+  // existing doc never changes split as the corpus grows), zero
+  // shuffles, and bit-identical in DuckDB via the same md5 prefix.
+  val s02 = Q(
+    "s02_split_assign",
+    """SELECT doc_id, lang,
+      |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (SELECT doc_id, lang,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |      % 100 AS b
+      |  FROM documents)""".stripMargin) { (s, dir) =>
+    graft.operators.Sampling.assignSplits(
+      Tables.load(s, dir, "documents").select("doc_id", "lang"),
+      col("doc_id"),
+      Seq("train" -> 80, "val" -> 90, "test" -> 100))
+  }
+
+  // ---------------------------------------------------------------
+  // s03 — exact-fraction stratified sample: the first ceil(0.2·n)
+  // docs of every language in (hash, id) order. One window shuffle on
+  // the stratum key; exact per-stratum proportions a bucket filter
+  // only approximates on small strata.
+  val s03 = Q(
+    "s03_stratified_sample",
+    """WITH h AS (SELECT doc_id, lang,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |      AS hv,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+      |        ORDER BY hv, doc_id) AS rn FROM h)
+      |SELECT doc_id, lang FROM r
+      |WHERE rn <= CAST(ceil(0.2 * n) AS BIGINT)""".stripMargin) {
+    (s, dir) =>
+      graft.operators.Sampling.stratifiedSample(
+        Tables.load(s, dir, "documents").select("doc_id", "lang"),
+        col("doc_id"), col("lang"), 0.2)
+  }
+
+  val all: Seq[Q] = Seq(s01, s02, s03, c01)
 }

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(n: Int) =
+    (1 to n).map(i => (i.toLong, if (i % 3 == 0) "fr" else "en"))
+      .toDF("doc_id", "lang")
+
+  test("assignSplits: cumulative bounds, ~80/10/10, validates input") {
+    val got = Sampling.assignSplits(docs(1000), col("doc_id"),
+      Seq("train" -> 80, "val" -> 90, "test" -> 100))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.sum === 1000L)
+    assert(got("train") > 700 && got("train") < 900) // hash-binomial
+    assert(got("val") > 40 && got("test") > 40)
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(docs(10), col("doc_id"), Seq("train" -> 80))
+    }
+  }
+
+  test("assignSplits: growth-stable — existing rows never move split " +
+      "when the corpus doubles (the rand() failure mode)") {
+    val before = Sampling.assignSplits(docs(500), col("doc_id"),
+      Seq("train" -> 80, "test" -> 100))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val after = Sampling.assignSplits(docs(1000), col("doc_id"),
+      Seq("train" -> 80, "test" -> 100))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    for ((id, s) <- before) assert(after(id) === s, id)
+  }
+
+  test("stratifiedSample: exact ceil(frac·n) per stratum, deterministic") {
+    val d = docs(100) // 33 fr, 67 en
+    val got = Sampling.stratifiedSample(d, col("doc_id"), col("lang"), 0.2)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("en" -> 14L, "fr" -> 7L)) // ceil(.2·67), ceil(.2·33)
+    val a = Sampling.stratifiedSample(d, col("doc_id"), col("lang"), 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.stratifiedSample(d, col("doc_id"), col("lang"), 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.toSeq === b.toSeq)
+  }
+}
