@@ -42,6 +42,24 @@ object Sampling {
     df.withColumn("split", ordered)
   }
 
+  /** Train/test contamination check — the decontamination pass every
+    * training pipeline needs: rows in `heldSplit` whose content hash
+    * also appears in `trainSplit` (duplicate documents straddling the
+    * split leak eval data into training). Requires the `split` column
+    * from [[assignSplits]] and a content column. One groupBy + one
+    * equi-join on the 16-byte content hash — the d01 exact-dedup
+    * shuffle shape, never the text. */
+  def contamination(assigned: DataFrame, contentCol: Column,
+      trainSplit: String = "train", heldSplit: String = "test"):
+      DataFrame = {
+    val hashed = assigned.withColumn("_h", md5(contentCol))
+    val train = hashed.filter(col("split") === trainSplit)
+      .groupBy("_h").agg(count(lit(1)).as("n_train_dups"))
+    hashed.filter(col("split") === heldSplit)
+      .join(train, "_h")
+      .drop("_h")
+  }
+
   /** Exact-fraction per-stratum sample: the first `ceil(frac · n)`
     * rows of each stratum in (hash, id) order — deterministic, exact
     * proportions per stratum (a bucket filter only approximates them

@@ -160,5 +160,40 @@ object SourceQueries {
         col("doc_id"), col("lang"), 0.2)
   }
 
-  val all: Seq[Q] = Seq(s01, s02, s03, c01)
+  // ---------------------------------------------------------------
+  // s04 — train/test contamination at the NEAR-dup grain: held-out
+  // docs whose winnowing fingerprint (d05's 1-permutation MinHash)
+  // also appears in the train split — fuzzy duplicates straddling the
+  // s02 assignment leak eval data into training, which is exactly
+  // what real decontamination passes look for (exact-text collisions
+  // are the easy subset; this corpus has none). One fingerprint
+  // groupBy + one equi-join — the d01/d05 shuffle shape. Docs under
+  // 3 tokens have no fingerprint and are out of contamination scope.
+  val s04 = Q(
+    "s04_contamination",
+    s"""${TextDedup.gidsRawCte},
+      |fp AS (SELECT doc_id, MIN(gid) AS fp FROM g GROUP BY doc_id),
+      |a AS (SELECT d.doc_id, d.lang, fp.fp,
+      |    CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+      |           ::BIGINT % 100 < 80 THEN 'train' ELSE 'test' END AS split
+      |  FROM documents d JOIN fp ON d.doc_id = fp.doc_id),
+      |h AS (SELECT doc_id, lang, split,
+      |        md5(CAST(fp AS VARCHAR)) AS hh FROM a),
+      |tr AS (SELECT hh, COUNT(*) AS n_train_dups FROM h
+      |       WHERE split = 'train' GROUP BY hh)
+      |SELECT h.doc_id, h.lang, h.split, tr.n_train_dups
+      |FROM h JOIN tr ON h.hh = tr.hh WHERE h.split = 'test'""".stripMargin) {
+    (s, dir) =>
+      val fp = TextDedup.gids(s, dir, distinct = false)
+        .groupBy("doc_id").agg(min(col("gid")).as("fp"))
+      val docs = Tables.load(s, dir, "documents")
+        .select("doc_id", "lang").join(fp, "doc_id")
+      val assigned = graft.operators.Sampling.assignSplits(
+        docs, col("doc_id"), Seq("train" -> 80, "test" -> 100))
+      graft.operators.Sampling
+        .contamination(assigned, col("fp").cast("string"))
+        .select("doc_id", "lang", "split", "n_train_dups")
+  }
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04, c01)
 }

@@ -36,7 +36,7 @@ object TextDedup {
     * strings never materialize as rows. `distinct` dedups hashes per
     * doc (the post-hash twin of `list_distinct`; MIN-aggregating
     * consumers skip it — duplicate-insensitive). */
-  private def gids(s: SparkSession, dir: String,
+  private[queries] def gids(s: SparkSession, dir: String,
       distinct: Boolean): DataFrame =
     tokenized(s, dir)
       .select(col("doc_id"),
@@ -54,7 +54,7 @@ object TextDedup {
       |      FROM t WHERE len(ws) >= 3)""".stripMargin
 
   /** Oracle twin of [[gids]](distinct = false). */
-  private val gidsRawCte =
+  private[queries] val gidsRawCte =
     """WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
       |g AS (SELECT doc_id,
       |        unnest([('0x'||substr(md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]),1,15))::BIGINT

@@ -34,6 +34,23 @@ class SamplingSpec extends SparkTestBase {
     for ((id, s) <- before) assert(after(id) === s, id)
   }
 
+  test("contamination: held-out rows whose content hash exists in train") {
+    val d = Seq(
+      (1L, "en", "shared text"), (2L, "en", "shared text"),
+      (3L, "en", "unique a"), (4L, "en", "unique b"),
+      (5L, "en", "also shared"), (6L, "en", "also shared"),
+      (7L, "en", "also shared"))
+      .toDF("doc_id", "lang", "text")
+    // force a known split rather than depending on hash luck
+    val assigned = d.withColumn("split",
+      when(col("doc_id") % 2 === 0, "test").otherwise("train"))
+    val got = Sampling.contamination(assigned, col("text"))
+      .select("doc_id", "n_train_dups").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // test docs 2 and 6 share text with train docs (1) and (5, 7)
+    assert(got === Map(2L -> 1L, 6L -> 2L))
+  }
+
   test("stratifiedSample: exact ceil(frac·n) per stratum, deterministic") {
     val d = docs(100) // 33 fr, 67 en
     val got = Sampling.stratifiedSample(d, col("doc_id"), col("lang"), 0.2)
