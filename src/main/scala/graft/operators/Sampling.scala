@@ -33,6 +33,10 @@ object Sampling {
       splits: Seq[(String, Int)]): DataFrame = {
     require(splits.nonEmpty && splits.last._2 == 100,
       "split upper bounds must be cumulative percents ending at 100")
+    require(splits.map(_._2) == splits.map(_._2).sorted &&
+      splits.map(_._2).distinct == splits.map(_._2),
+      "split bounds must be strictly increasing — an out-of-order " +
+        "bound makes a split silently unreachable")
     val b = bucket(idCol)
     // CASE chain in declaration order, so the earliest bound wins —
     // the cumulative-percent contract

@@ -21,6 +21,10 @@ class SamplingSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Sampling.assignSplits(docs(10), col("doc_id"), Seq("train" -> 80))
     }
+    intercept[IllegalArgumentException] { // unreachable middle split
+      Sampling.assignSplits(docs(10), col("doc_id"),
+        Seq("train" -> 90, "val" -> 80, "test" -> 100))
+    }
   }
 
   test("assignSplits: growth-stable — existing rows never move split " +
