@@ -64,6 +64,11 @@ object Fns {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
+  /** Single-sourced DuckDB twin of [[hash60]] over a column
+    * expression — inline copies of this fragment drift. */
+  def hash60Sql(colExpr: String): String =
+    s"('0x' || substr(md5(CAST($colExpr AS VARCHAR)), 1, 15))::BIGINT"
+
   /** Whitespace tokens (csv/safe_eval `split` semantics,
     * reference `safe_eval.py:199-208`). */
   def tokens(text: Column): Column = split(text, " ")

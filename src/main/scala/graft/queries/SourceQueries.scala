@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.functions.Fns
 import graft.operators.ContextCompaction
 import graft.sources.TimerSource
 import org.apache.spark.sql.functions._
@@ -125,12 +126,11 @@ object SourceQueries {
   // shuffles, and bit-identical in DuckDB via the same md5 prefix.
   val s02 = Q(
     "s02_split_assign",
-    """SELECT doc_id, lang,
-      |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+    s"""SELECT doc_id, lang,
+      |  CASE WHEN b IS NULL THEN NULL
+      |       WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
       |       ELSE 'test' END AS split
-      |FROM (SELECT doc_id, lang,
-      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-      |      % 100 AS b
+      |FROM (SELECT doc_id, lang, ${Fns.hash60Sql("doc_id")} % 100 AS b
       |  FROM documents)""".stripMargin) { (s, dir) =>
     graft.operators.Sampling.assignSplits(
       Tables.load(s, dir, "documents").select("doc_id", "lang"),
@@ -145,15 +145,13 @@ object SourceQueries {
   // only approximates on small strata.
   val s03 = Q(
     "s03_stratified_sample",
-    """WITH h AS (SELECT doc_id, lang,
-      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-      |      AS hv,
+    s"""WITH h AS (SELECT doc_id, lang, ${Fns.hash60Sql("doc_id")} AS hv,
       |    COUNT(*) OVER (PARTITION BY lang) AS n
       |  FROM documents),
       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
       |        ORDER BY hv, doc_id) AS rn FROM h)
       |SELECT doc_id, lang FROM r
-      |WHERE rn <= CAST(ceil(0.2 * n) AS BIGINT)""".stripMargin) {
+      |WHERE rn <= CAST(ceil(round(0.2 * n, 6)) AS BIGINT)""".stripMargin) {
     (s, dir) =>
       graft.operators.Sampling.stratifiedSample(
         Tables.load(s, dir, "documents").select("doc_id", "lang"),
@@ -174,15 +172,13 @@ object SourceQueries {
     s"""${TextDedup.gidsRawCte},
       |fp AS (SELECT doc_id, MIN(gid) AS fp FROM g GROUP BY doc_id),
       |a AS (SELECT d.doc_id, d.lang, fp.fp,
-      |    CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
-      |           ::BIGINT % 100 < 80 THEN 'train' ELSE 'test' END AS split
+      |    CASE WHEN ${Fns.hash60Sql("d.doc_id")} % 100 < 80
+      |         THEN 'train' ELSE 'test' END AS split
       |  FROM documents d JOIN fp ON d.doc_id = fp.doc_id),
-      |h AS (SELECT doc_id, lang, split,
-      |        md5(CAST(fp AS VARCHAR)) AS hh FROM a),
-      |tr AS (SELECT hh, COUNT(*) AS n_train_dups FROM h
-      |       WHERE split = 'train' GROUP BY hh)
-      |SELECT h.doc_id, h.lang, h.split, tr.n_train_dups
-      |FROM h JOIN tr ON h.hh = tr.hh WHERE h.split = 'test'""".stripMargin) {
+      |tr AS (SELECT fp, COUNT(*) AS n_train_dups FROM a
+      |       WHERE split = 'train' GROUP BY fp)
+      |SELECT a.doc_id, a.lang, a.split, tr.n_train_dups
+      |FROM a JOIN tr ON a.fp = tr.fp WHERE a.split = 'test'""".stripMargin) {
     (s, dir) =>
       val fp = TextDedup.gids(s, dir, distinct = false)
         .groupBy("doc_id").agg(min(col("gid")).as("fp"))
@@ -191,7 +187,7 @@ object SourceQueries {
       val assigned = graft.operators.Sampling.assignSplits(
         docs, col("doc_id"), Seq("train" -> 80, "test" -> 100))
       graft.operators.Sampling
-        .contamination(assigned, col("fp").cast("string"))
+        .contamination(assigned, col("fp"), hashKey = false)
         .select("doc_id", "lang", "split", "n_train_dups")
   }
 
