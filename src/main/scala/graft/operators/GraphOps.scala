@@ -75,6 +75,57 @@ object GraphOps {
     depth.toSeq.toDF("node", "depth")
   }
 
+  /** Connected components of an undirected graph by min-label
+    * propagation: every node's label converges to the smallest node id
+    * in its component. Each round is ONE distributed join + aggregation
+    * on the symmetrized edge relation, and the round count is bounded
+    * by component diameter (the min label floods one hop per round) —
+    * the scale path for dedup-cluster assignment (canonical-document
+    * election over an LSH candidate graph), where components are
+    * near-dup clusters: small and shallow by construction. A
+    * pathological billion-node component would call for
+    * large-star/small-star rounds (Kiveris et al. 2014), which halve
+    * path lengths instead of walking them; the labels/edges loop below
+    * is the slot where that swaps in.
+    *
+    * `edges` needs `src`/`dst` columns of one orderable type. Returns
+    * `(id, component)` for every node incident to at least one edge,
+    * `component` = min id in the node's component. */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    // symmetrize once: propagation must run both directions
+    val sym = Pin(e.union(e.select(col("dst"), col("src"))))
+    // labels chain on THEMSELVES each round (labels ⋈ f(labels)), so
+    // unlike the BFS loops the logical plan doubles per round — lazy
+    // persist keeps lineage and the planner's tree goes exponential
+    // (measured: a diameter-11 path OOMs plan stringification alone).
+    // This is the unbounded-iterative-lineage case [[Pin]] reserves
+    // eager localCheckpoint for: truncate per round, and the round's
+    // convergence probe doubles as the checkpoint's materializer.
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      it += 1
+      // smallest label visible from each node's neighborhood this round
+      val nbrMin = sym.join(labels, sym("src") === labels("id"))
+        .groupBy(col("dst").as("id"))
+        .agg(min("component").as("nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr"), col("component")))
+            .as("component"),
+          (col("nbr") < col("component")).as("improved"))
+        .localCheckpoint(true)
+      converged = next.filter(col("improved")).isEmpty
+      labels = next.drop("improved")
+    }
+    Pin.release(sym)
+    labels
+  }
+
   /** Out/in degree per node over distinct edges; fan-out = >1 distinct
     * successor (reference counts ON_SUCCESS edges, `edge.py:506-523`). */
   def degrees(nodes: DataFrame, edges: DataFrame): DataFrame = {

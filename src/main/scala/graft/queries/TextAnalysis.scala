@@ -198,5 +198,61 @@ object TextAnalysis {
           count(lit(1))).as("code_ratio"))
   }
 
-  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06)
+  // ---------------------------------------------------------------
+  // t07 repetition signals — the Gopher-style quality filters (Rae et
+  // al. 2021 §A1.1: "fraction of characters in the most common n-gram",
+  // "fraction of characters in duplicate n-grams") at the word-2-gram
+  // grain: per document, the share of gram occurrences taken by the
+  // top gram, by any repeated gram, and the distinct-gram ratio. The
+  // gram explode stays co-partitioned with its document (no shuffle
+  // until the (doc_id, gram) count, which map-side combines to the
+  // per-doc distinct-gram set), so the operator scales with input
+  // splits like the rest of the t-family.
+  val t07 = Q(
+    "t07_repetition",
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, unnest([ws[i]||' '||ws[i+1] FOR i IN range(1, len(ws))]) AS gram
+      |      FROM t WHERE len(ws) >= 2),
+      |c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+      |m AS (SELECT doc_id,
+      |        CAST(SUM(c) AS BIGINT) AS n_grams,
+      |        CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+      |        CAST(MAX(c) AS BIGINT) AS top_gram_count,
+      |        CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_gram_occurrences
+      |      FROM c GROUP BY doc_id)
+      |SELECT doc_id, n_grams, n_distinct_grams, top_gram_count,
+      |  CAST(top_gram_count AS DOUBLE) / n_grams AS top_gram_frac,
+      |  CAST(dup_gram_occurrences AS DOUBLE) / n_grams AS dup_gram_frac,
+      |  CAST(n_distinct_grams AS DOUBLE) / n_grams AS distinct_ratio
+      |FROM m""".stripMargin) { (s, dir) =>
+    // 0-based lambda index i → the successor token is element_at(i+2)
+    // (element_at is 1-based); ws is a materialized attribute per the
+    // HOF CodegenFallback pitfall (see [[TextDedup.tokenized]])
+    val grams = docs(s, dir)
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          (w, i) => concat(w, lit(" "), element_at(col("ws"), i + lit(2)))))
+          .as("gram"))
+    grams
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"),
+        max("c").as("top_gram_count"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L))
+          .as("dup_gram_occurrences"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct_grams"),
+        col("top_gram_count"),
+        (col("top_gram_count").cast(DoubleType) / col("n_grams"))
+          .as("top_gram_frac"),
+        (col("dup_gram_occurrences").cast(DoubleType) / col("n_grams"))
+          .as("dup_gram_frac"),
+        (col("n_distinct_grams").cast(DoubleType) / col("n_grams"))
+          .as("distinct_ratio"))
+  }
+
+  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07)
 }

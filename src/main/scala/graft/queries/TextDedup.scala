@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.operators.Pin
+import graft.operators.{GraphOps, Pin}
 import graft.functions.{Fns, VectorExprs}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -159,8 +159,9 @@ object TextDedup {
   // hashes h_k(x) = (a_k·x + b_k) mod (2³¹−1) over the 31-bit base
   // hash (Broder 1997 §4) — pure BIGINT arithmetic, no 8× row blowup
   // and bit-identical in DuckDB.
-  val d03 = Q(
-    "d03_minhash_lsh",
+  /** Oracle CTE chain ending in `sig` (doc_id + 8 minhash columns) —
+    * shared by d03 (pair estimates) and d07 (cluster assignment). */
+  private val mhSigCte =
     s"""$gidsRawCte,
       |h AS (SELECT doc_id, gid % 2147483647 AS x FROM g),
       |sig AS (SELECT doc_id,
@@ -172,20 +173,19 @@ object TextDedup {
       |  MIN((1224736769*x + 24680) % 2147483647) AS m5,
       |  MIN((1051721729*x + 86420) % 2147483647) AS m6,
       |  MIN((1107296257*x + 11111) % 2147483647) AS m7
-      |  FROM h GROUP BY doc_id)
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  (CASE WHEN a.m0=b.m0 THEN 1 ELSE 0 END + CASE WHEN a.m1=b.m1 THEN 1 ELSE 0 END +
-      |   CASE WHEN a.m2=b.m2 THEN 1 ELSE 0 END + CASE WHEN a.m3=b.m3 THEN 1 ELSE 0 END +
-      |   CASE WHEN a.m4=b.m4 THEN 1 ELSE 0 END + CASE WHEN a.m5=b.m5 THEN 1 ELSE 0 END +
-      |   CASE WHEN a.m6=b.m6 THEN 1 ELSE 0 END + CASE WHEN a.m7=b.m7 THEN 1 ELSE 0 END) AS n_matching_minhashes,
-      |  (CASE WHEN a.m0=b.m0 THEN 1 ELSE 0 END + CASE WHEN a.m1=b.m1 THEN 1 ELSE 0 END +
-      |   CASE WHEN a.m2=b.m2 THEN 1 ELSE 0 END + CASE WHEN a.m3=b.m3 THEN 1 ELSE 0 END +
-      |   CASE WHEN a.m4=b.m4 THEN 1 ELSE 0 END + CASE WHEN a.m5=b.m5 THEN 1 ELSE 0 END +
-      |   CASE WHEN a.m6=b.m6 THEN 1 ELSE 0 END + CASE WHEN a.m7=b.m7 THEN 1 ELSE 0 END) / 8.0 AS est_jaccard
-      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND
-      |  ((a.m0=b.m0 AND a.m1=b.m1) OR (a.m2=b.m2 AND a.m3=b.m3) OR
-      |   (a.m4=b.m4 AND a.m5=b.m5) OR (a.m6=b.m6 AND a.m7=b.m7))""".stripMargin) {
-    (s, dir) =>
+      |  FROM h GROUP BY doc_id)""".stripMargin
+
+  /** `sig a JOIN sig b` match count / band agreement, as SQL text. */
+  private val mhMatchesSql = (0 to 7)
+    .map(k => s"CASE WHEN a.m$k=b.m$k THEN 1 ELSE 0 END")
+    .mkString("(", " + ", ")")
+  private val mhBandsSql = (0 to 3)
+    .map(b => s"(a.m${2 * b}=b.m${2 * b} AND a.m${2 * b + 1}=b.m${2 * b + 1})")
+    .mkString("(", " OR ", ")")
+
+  /** d03's frame: banded candidate pairs + minhash-agreement estimate
+    * (also the edge generator for d07's cluster assignment). */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
       val as = Seq(1000000007L, 998244353L, 754974721L, 469762049L,
         167772161L, 1224736769L, 1051721729L, 1107296257L)
       val bs = Seq(12345L, 54321L, 88883L, 13577L, 97531L, 24680L,
@@ -223,6 +223,56 @@ object TextDedup {
         .select(col("doc_a"), col("doc_b"),
           matches.as("n_matching_minhashes"),
           (matches / lit(8.0)).as("est_jaccard"))
+  }
+
+  val d03 = Q(
+    "d03_minhash_lsh",
+    s"""$mhSigCte
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  $mhMatchesSql AS n_matching_minhashes,
+      |  $mhMatchesSql / 8.0 AS est_jaccard
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND
+      |  $mhBandsSql""".stripMargin)(minhashPairs)
+
+  // ---------------------------------------------------------------
+  // d07 near-dup cluster assignment — the step a real dedup pipeline
+  // runs AFTER candidate generation: verified LSH pairs (est. Jaccard
+  // ≥ 0.5) form an undirected graph; connected components elect one
+  // canonical document per cluster (min doc_id), everything else in
+  // the cluster is droppable. Spark side is
+  // [[graft.operators.GraphOps.connectedComponents]] (min-label
+  // flooding, one join+agg per round, diameter-bounded); the oracle
+  // computes the same fixpoint as a recursive transitive closure —
+  // feasible only because near-dup clusters are tiny, which is also
+  // why the distributed loop converges in a handful of rounds at any
+  // corpus size.
+  val d07 = Q(
+    "d07_components",
+    s"""${mhSigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |          FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND
+      |            $mhBandsSql
+      |          WHERE $mhMatchesSql >= 4),
+      |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |walk(node, lbl) AS (
+      |  SELECT src, src FROM e
+      |  UNION
+      |  SELECT e2.dst, w.lbl FROM walk w JOIN e e2 ON e2.src = w.node),
+      |comp AS (SELECT node AS doc_id, MIN(lbl) AS component_id
+      |         FROM walk GROUP BY node)
+      |SELECT doc_id, component_id,
+      |  COUNT(*) OVER (PARTITION BY component_id) AS component_size,
+      |  doc_id = component_id AS is_canonical
+      |FROM comp""".stripMargin) { (s, dir) =>
+    val edges = minhashPairs(s, dir)
+      .filter(col("n_matching_minhashes") >= 4)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    GraphOps.connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("component").as("component_id"))
+      .withColumn("component_size",
+        count(lit(1)).over(Window.partitionBy("component_id")))
+      .withColumn("is_canonical", col("doc_id") === col("component_id"))
   }
 
   // ---------------------------------------------------------------
@@ -379,5 +429,5 @@ object TextDedup {
       .filter(col("cosine") >= 0.3)
   }
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06)
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07)
 }

@@ -32,6 +32,29 @@ class GraphOpsSpec extends SparkTestBase {
     assert(c.head.getString(0) === "d") // d reachable from both, closest
   }
 
+  test("connectedComponents: min-label, chains/cycles/multi-component") {
+    // component {1,2,3,4} as a 3-hop chain + a cycle back edge,
+    // component {10,11}, and 20-21-22 where only 20-21 and 21-22
+    // connect (transitivity must merge them); node 30 has no edge
+    // and must not appear
+    val e = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 2L),
+      (11L, 10L), (20L, 21L), (22L, 21L))
+      .toDF("src", "dst")
+    val got = GraphOps.connectedComponents(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents: long path needs diameter rounds, converges") {
+    // a 12-node path labelled in REVERSE so the min (1) sits at one
+    // end and must flood 11 hops — exercises the iteration ledger
+    val e = (1L to 11L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = GraphOps.connectedComponents(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to 12L).map(_ -> 1L).toMap)
+  }
+
   test("validate: dangling endpoints + unreachable nodes") {
     val badEdges = edges.union(Seq(("a", "zz")).toDF("src", "dst"))
     val errs = GraphOps.validate(nodes, badEdges, Seq("a"))
