@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import graft.functions.Fns
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -254,5 +255,36 @@ object TextAnalysis {
           .as("distinct_ratio"))
   }
 
-  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07)
+  // ---------------------------------------------------------------
+  // t08 vocabulary heavy hitters — top-20 tokens per source by count
+  // (the Zipf / boilerplate audit a corpus intake runs before
+  // training). Two-phase at scale: the (source, token) count
+  // map-side combines before its shuffle, and the rank window sorts
+  // the VOCABULARY (distinct tokens per source), not the corpus —
+  // vocabulary size grows sub-linearly in corpus size, so the sort
+  // stays small while the explode stays narrow. Ties break on token
+  // text so both engines pick the same top set.
+  val t08 = Q(
+    "t08_top_tokens",
+    """WITH tok AS (SELECT source, unnest(string_split(text,' ')) AS token
+      |             FROM documents),
+      |c AS (SELECT source, token, COUNT(*) AS n
+      |      FROM tok GROUP BY source, token),
+      |r AS (SELECT source, token, n,
+      |        ROW_NUMBER() OVER (PARTITION BY source
+      |                           ORDER BY n DESC, token) AS rank
+      |      FROM c)
+      |SELECT source, token, n, CAST(rank AS INT) AS rank
+      |FROM r WHERE rank <= 20""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("source")
+      .orderBy(col("n").desc, col("token"))
+    docs(s, dir)
+      .select(col("source"), explode(col("ws")).as("token"))
+      .groupBy("source", "token")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 20)
+  }
+
+  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
 }
