@@ -618,6 +618,36 @@ object Relational {
       |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 46)
       |GROUP BY l_linestatus""".stripMargin)
 
+  // ---------------------------------------------------------------
+  // q25 ranking distributions — ntile / percent_rank / cume_dist per
+  // customer (the §2.5 distribution-rank family; quartile bucketing is
+  // the per-group analog of e06's global quantiles). percent_rank and
+  // cume_dist divide exact window integers in IEEE double, so both
+  // engines hash identically; the order key carries the unique
+  // o_orderkey tie-break.
+  val q25 = Q(
+    "q25_rank_distributions",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+      |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY o_totalprice, o_orderkey)""".stripMargin) {
+    (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice").cast(D12_2).cast(DoubleType).as("price"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
+    q25)
 }
