@@ -1,8 +1,9 @@
 package graft
 
+import graft.functions.VectorExprs
 import graft.multimodal.Multimodal
 import graft.sources.CsvSource
-import graft.streaming.EventStream
+import graft.streaming.{EventStream, IngestDedup}
 import graft.streaming.EventStream.{AgentEvent, Subscription}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -355,6 +356,65 @@ class EventStreamSpec extends SparkTestBase {
       val last = spark.table("inj").as[EventStream.SessionUpdate]
         .collect().maxBy(_.nEvents)
       assert(last.nEvents === 2) // both channels reached the state fn
+    } finally q.stop()
+  }
+
+  test("IngestDedup.exact: same-content docs collapse across " +
+      "microbatches, state keyed on md5 within the watermark") {
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val out = IngestDedup.exact(docs, watermark = "10 minutes")
+    val q = out.writeStream.format("memory")
+      .queryName("ingest_exact").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "hello world", new Timestamp(0)),
+        (2L, "hello world", new Timestamp(1000)),
+        (3L, "something else", new Timestamp(2000)))
+      q.processAllAvailable()
+      // batch 2: a repeat of batch 1's content, still inside the
+      // watermark horizon — the cross-batch state must drop it
+      input.addData((4L, "hello world", new Timestamp(3000)))
+      q.processAllAvailable()
+      val rows = spark.table("ingest_exact").collect()
+      assert(rows.length === 2) // one per distinct content
+      val texts = rows.map(_.getAs[String]("text")).toSet
+      assert(texts === Set("hello world", "something else"))
+      assert(!rows.map(_.getAs[Long]("doc_id")).contains(4L))
+    } finally q.stop()
+  }
+
+  test("IngestDedup.nearDup: d05 winnowing grain — a doc equal to " +
+      "another's minimal shingle collapses; short texts fall back") {
+    val text1 = "alpha beta gamma delta epsilon zeta"
+    // recover text1's minimal shingle via the same native pass the
+    // operator uses (shingle i = tokens i..i+2, in order)
+    val ws = text1.split(" ")
+    val minRow = Seq(text1).toDF("text")
+      .select(posexplode(VectorExprs.shingleHash60(
+        split(col("text"), " "), distinct = false)).as(Seq("i", "h")))
+      .orderBy("h").limit(1).head()
+    val minGram = ws.slice(minRow.getInt(0), minRow.getInt(0) + 3)
+      .mkString(" ")
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val out = IngestDedup.nearDup(docs, watermark = "10 minutes")
+    val q = out.writeStream.format("memory")
+      .queryName("ingest_near").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, text1, new Timestamp(0)),
+        (2L, minGram, new Timestamp(1000)), // same min shingle as text1
+        (3L, "unrelated content entirely different", new Timestamp(2000)),
+        (4L, "too short", new Timestamp(3000)), // <3 tokens: md5 path
+        (5L, "too short", new Timestamp(4000))) // exact repeat drops
+      q.processAllAvailable()
+      val got = spark.table("ingest_near").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(got.size === 3) // text1-group, unrelated, short-group
+      assert(got.contains(3L))
+      assert(got.intersect(Set(1L, 2L)).size === 1)
+      assert(got.intersect(Set(4L, 5L)).size === 1)
     } finally q.stop()
   }
 
