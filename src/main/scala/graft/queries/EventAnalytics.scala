@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.operators.Pin
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -477,6 +478,59 @@ object EventAnalytics {
           .as("description"))
   }
 
+  // e16 — conversion funnel view → click → purchase: strictly-ordered
+  // first-touch per user (the §2.5 ordered-sequence shape applied
+  // corpus-wide). Each stage narrows to one (user_id, first_ms) row
+  // BEFORE joining the next stage's pushdown-filtered scan, so at
+  // scale the query is three user_id-keyed shuffles over per-user
+  // single rows; the closing crossJoins combine 1-row aggregates
+  // (driver-scale by construction). Timestamps compare at epoch-ms
+  // per the inventory convention.
+  val e16 = Q(
+    "e16_funnel",
+    """WITH b AS (SELECT user_id, event_type, epoch_ms(ts) AS ms
+      |           FROM events),
+      |v AS (SELECT user_id, MIN(ms) AS t0 FROM b
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT b.user_id, MIN(b.ms) AS t1
+      |      FROM b JOIN v ON b.user_id = v.user_id
+      |      WHERE b.event_type = 'click' AND b.ms > v.t0
+      |      GROUP BY b.user_id),
+      |p AS (SELECT b.user_id, MIN(b.ms) AS t2
+      |      FROM b JOIN c ON b.user_id = c.user_id
+      |      WHERE b.event_type = 'purchase' AND b.ms > c.t1
+      |      GROUP BY b.user_id)
+      |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+      |  (SELECT COUNT(*) FROM c) AS n_view_click,
+      |  (SELECT COUNT(*) FROM p) AS n_view_click_purchase,
+      |  CAST((SELECT COUNT(*) FROM c) AS DOUBLE) /
+      |    (SELECT COUNT(*) FROM v) AS click_rate,
+      |  CAST((SELECT COUNT(*) FROM p) AS DOUBLE) /
+      |    (SELECT COUNT(*) FROM c) AS purchase_rate""".stripMargin) {
+    (s, dir) =>
+      // no pin on b: each stage's scan pushes its own event_type
+      // filter down to parquet instead of materializing the union
+      def stage(t: String) = Tables.load(s, dir, "events")
+        .filter(col("event_type") === t)
+        .select(col("user_id"), expr("ts div 1000000").as("ms"))
+      val v = Pin(stage("view").groupBy("user_id").agg(min("ms").as("t0")))
+      val c = Pin(stage("click")
+        .join(v, "user_id").filter(col("ms") > col("t0"))
+        .groupBy("user_id").agg(min("ms").as("t1")))
+      val p = stage("purchase")
+        .join(c, "user_id").filter(col("ms") > col("t1"))
+        .groupBy("user_id").agg(min("ms").as("t2"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+        .select(col("n_view"), col("n_view_click"),
+          col("n_view_click_purchase"),
+          (col("n_view_click").cast(DoubleType) / col("n_view"))
+            .as("click_rate"),
+          (col("n_view_click_purchase").cast(DoubleType) /
+            col("n_view_click")).as("purchase_rate"))
+  }
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
-    e11, e12, e13, e14, e15)
+    e11, e12, e13, e14, e15, e16)
 }
