@@ -531,6 +531,40 @@ object EventAnalytics {
             col("n_view_click")).as("purchase_rate"))
   }
 
+  // e17 — retention cohorts: users grouped by signup day, activity
+  // counted by days-since-signup (the classic cohort-retention
+  // triangle at day grain — the corpus spans 30 days). The per-user
+  // signup row is tiny relative to the event stream (broadcastable in
+  // practice; a user_id-keyed shuffle join at extreme scale), and the
+  // distinct-count shuffles (cohort, day, user) exactly once. Integer
+  // floor division on epoch-ms keeps both engines bit-identical —
+  // all quantities are non-negative by the join filter.
+  val e17 = Q(
+    "e17_retention",
+    """WITH s AS (SELECT user_id, MIN(epoch_ms(ts)) AS signup_ms
+      |           FROM events WHERE event_type = 'signup'
+      |           GROUP BY user_id),
+      |a AS (SELECT e.user_id,
+      |        s.signup_ms // 86400000 AS cohort_day,
+      |        (epoch_ms(e.ts) - s.signup_ms) // 86400000 AS day_n
+      |      FROM events e JOIN s ON e.user_id = s.user_id
+      |      WHERE epoch_ms(e.ts) >= s.signup_ms)
+      |SELECT cohort_day, day_n, COUNT(DISTINCT user_id) AS n_active
+      |FROM a GROUP BY cohort_day, day_n""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+    val signup = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), expr("ts div 1000000").as("ms"))
+      .groupBy("user_id").agg(min("ms").as("signup_ms"))
+    ev.select(col("user_id"), expr("ts div 1000000").as("ms"))
+      .join(signup, "user_id")
+      .filter(col("ms") >= col("signup_ms"))
+      .select(col("user_id"),
+        expr("signup_ms div 86400000").as("cohort_day"),
+        expr("(ms - signup_ms) div 86400000").as("day_n"))
+      .groupBy("cohort_day", "day_n")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
-    e11, e12, e13, e14, e15, e16)
+    e11, e12, e13, e14, e15, e16, e17)
 }
