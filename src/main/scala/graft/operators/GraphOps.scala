@@ -120,9 +120,21 @@ object GraphOps {
           (col("nbr") < col("component")).as("improved"))
         .localCheckpoint(true)
       converged = next.filter(col("improved")).isEmpty
+      // next is fully materialized (eager checkpoint + the probe), so
+      // the previous round's snapshot has no remaining consumer — free
+      // its executor blocks now instead of waiting for driver GC
+      // (deep graphs would otherwise hold one O(|nodes|) generation
+      // per round)
+      org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(labels)
       labels = next.drop("improved")
     }
     Pin.release(sym)
+    // an unconverged result is WRONG (one component reported as many,
+    // several is_canonical rows per true cluster) — refuse it loudly
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIters rounds: " +
+        "component diameter exceeds maxIters; raise maxIters (or switch " +
+        "this loop to large-star/small-star rounds for deep graphs)")
     labels
   }
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.functions.VectorExprs
+import graft.functions.{Fns, VectorExprs}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -21,29 +21,40 @@ import org.apache.spark.sql.functions._
   * the streaming twin of `d05_fingerprint_groups`.
   *
   * Input frames need `text` plus an event-time column (default `ts`).
-  * The same calls work on batch frames for replay backfills — Spark
-  * treats the watermark as a no-op there and dedups globally.
+  * The same calls accept batch frames for replay backfills — Spark
+  * rejects `dropDuplicatesWithinWatermark` outside streaming, so the
+  * batch path dedups globally on the same fingerprint (a backfill
+  * wants the whole-input answer anyway).
   */
 object IngestDedup {
+
+  /** Horizon-bounded dedup on whatever `fingerprint` was derived. */
+  private def dropDups(docs: DataFrame, watermark: String,
+      tsCol: String): DataFrame =
+    if (docs.isStreaming)
+      docs.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark("fingerprint")
+    else docs.dropDuplicates("fingerprint")
 
   /** Exact-content dedup on md5(text) within the watermark horizon. */
   def exact(docs: DataFrame, watermark: String = "10 minutes",
       tsCol: String = "ts"): DataFrame =
-    docs.withColumn("fingerprint", md5(col("text")))
-      .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("fingerprint")
+    dropDups(docs.withColumn("fingerprint", md5(col("text"))),
+      watermark, tsCol)
 
   /** Near-dup dedup at the winnowing-fingerprint grain (min 3-gram
     * shingle hash, as d05): light token reorderings and small suffix
     * edits that keep the minimal shingle collapse to one row. Texts
-    * too short to shingle (<3 tokens) fall back to exact md5. */
+    * too short to shingle (<3 tokens) fall back to exact md5.
+    * Tokenization is [[Fns.tokens]] — the same pass the batch d-family
+    * uses, so stream and batch grains cannot drift apart. */
   def nearDup(docs: DataFrame, watermark: String = "10 minutes",
       tsCol: String = "ts"): DataFrame =
-    docs.withColumn("fingerprint",
+    dropDups(
+      docs.withColumn("fingerprint",
         coalesce(
           array_min(VectorExprs.shingleHash60(
-            split(col("text"), " "), distinct = false)).cast("string"),
-          md5(col("text"))))
-      .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("fingerprint")
+            Fns.tokens(col("text")), distinct = false)).cast("string"),
+          md5(col("text")))),
+      watermark, tsCol)
 }

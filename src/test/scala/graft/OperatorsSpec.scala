@@ -55,6 +55,14 @@ class GraphOpsSpec extends SparkTestBase {
     assert(got === (1L to 12L).map(_ -> 1L).toMap)
   }
 
+  test("connectedComponents: refuses to return unconverged labels") {
+    // diameter 11 > maxIters 3: silent partial flooding would report
+    // one chain as several components — must throw instead
+    val e = (1L to 11L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalStateException](
+      GraphOps.connectedComponents(e, maxIters = 3))
+  }
+
   test("validate: dangling endpoints + unreachable nodes") {
     val badEdges = edges.union(Seq(("a", "zz")).toDF("src", "dst"))
     val errs = GraphOps.validate(nodes, badEdges, Seq("a"))

@@ -384,6 +384,19 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("IngestDedup.exact on a BATCH frame: replay backfill dedups " +
+      "globally (watermark variant is streaming-only in Spark)") {
+    val batch = Seq(
+      (1L, "same text", new Timestamp(0)),
+      (2L, "same text", new Timestamp(1000)),
+      (3L, "different", new Timestamp(2000)))
+      .toDF("doc_id", "text", "ts")
+    val got = IngestDedup.exact(batch).collect()
+    assert(got.length === 2)
+    assert(got.map(_.getAs[String]("text")).toSet ===
+      Set("same text", "different"))
+  }
+
   test("IngestDedup.nearDup: d05 winnowing grain — a doc equal to " +
       "another's minimal shingle collapses; short texts fall back") {
     val text1 = "alpha beta gamma delta epsilon zeta"
