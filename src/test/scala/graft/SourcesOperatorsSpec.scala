@@ -349,6 +349,23 @@ class CompactionSpec extends SparkTestBase {
 
 class MoreOperatorsSpec extends SparkTestBase {
 
+  test("plan audit: e16 funnel stages push event_type to the parquet " +
+      "scan; t07 grams scan prunes to (doc_id, text)") {
+    val dir = "/root/testdata/sf0.001"
+    val funnel = graft.queries.EventAnalytics.e16.run(spark, dir)
+      .queryExecution.executedPlan.toString
+    // each stage's scan must read only its own event rows at the
+    // source — the 100 TB contract (a scan of ALL events per stage
+    // would dominate the query)
+    Seq("view", "click", "purchase").foreach(t =>
+      assert(funnel.contains(s"EqualTo(event_type,$t)"),
+        s"missing pushdown for '$t'"))
+    val rep = graft.queries.TextAnalysis.t07.run(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(rep.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "t07 should prune the documents scan to doc_id+text")
+  }
+
   test("d02 hub-shingle cap drops grams with df > 1000 " +
       "(skew guard fires, not just documented)") {
     import spark.implicits._
