@@ -1,9 +1,10 @@
 package graft.plans
 
-import graft.functions.{LongArrayDot, Sum128}
+import graft.functions.{LongArrayDot, Shingle3Hash60, Sum128}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.BooleanType
 
 /** SparkSessionExtensions entry point (SURVEY §4.2) registering the
   * engine's native expressions on the SQL surface, so
@@ -21,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.sum128Function)
+    ext.injectFunction(GraftExtensions.shingleFunction)
   }
 }
 
@@ -46,10 +48,25 @@ object GraftExtensions {
         Sum128(args.head)
       })
 
+  private[plans] val shingleFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_shingle60"),
+      new ExpressionInfo(classOf[Shingle3Hash60].getName, "graft_shingle60"),
+      (args: Seq[Expression]) => args match {
+        case Seq(ws) => Shingle3Hash60(ws, distinct = false)
+        // the dedup flag shapes the plan, so it must be a literal —
+        // same restriction the built-ins place on e.g. format strings
+        case Seq(ws, d @ Literal(_, BooleanType)) =>
+          Shingle3Hash60(ws, d.value.asInstanceOf[Boolean])
+        case _ => throw new IllegalArgumentException(
+          "graft_shingle60(tokens array<string>[, distinct boolean literal])")
+      })
+
   /** Register the functions into an already-running session. */
   def register(spark: SparkSession): Unit =
-    Seq(dotFunction, sum128Function).foreach { case (id, info, builder) =>
-      spark.sessionState.functionRegistry
-        .registerFunction(id, info, builder)
-    }
+    Seq(dotFunction, sum128Function, shingleFunction)
+      .foreach { case (id, info, builder) =>
+        spark.sessionState.functionRegistry
+          .registerFunction(id, info, builder)
+      }
 }

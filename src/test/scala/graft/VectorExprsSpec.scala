@@ -94,6 +94,24 @@ class VectorExprsSpec extends SparkTestBase {
     assert(got === 11L)
   }
 
+  test("graft_shingle60 registers on the SQL surface and matches the " +
+      "Column-side native pass") {
+    GraftExtensions.register(spark)
+    Seq("a b c d").toDF("text").createOrReplaceTempView("sh_t")
+    val sql = spark.sql(
+      "SELECT graft_shingle60(split(text, ' ')) AS g FROM sh_t")
+      .head().getSeq[Long](0)
+    val col0 = Seq("a b c d").toDF("text")
+      .select(VectorExprs.shingleHash60(
+        split(col("text"), " "), distinct = false).as("g"))
+      .head().getSeq[Long](0)
+    assert(sql === col0 && sql.length === 2) // shingles: "a b c", "b c d"
+    // distinct flag must be a boolean literal
+    assert(spark.sql(
+      "SELECT graft_shingle60(split(text, ' '), true) AS g FROM sh_t")
+      .head().getSeq[Long](0).length === 2)
+  }
+
   test("normSqIntNative = dot with itself") {
     val df = Seq(Seq(3L, 4L)).toDF("a")
     assert(df.select(VectorExprs.normSqIntNative(col("a")))
