@@ -2,7 +2,11 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default 8: measured suite totals at sf0.1 were 16.9/15.4/15.8/17.2 s
+    // for 4/8/16/32 threads (shuffle.partitions = threads) — at MB-scale
+    // inputs the scheduling+AQE floor grows faster than the parallelism
+    // pays; at 100 TB the knob comes from data volume via this env var
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: touch every table at the bench SF (parquet
