@@ -98,4 +98,28 @@ object Sampling {
         ceil(round(lit(frac) * col("_graft_n"), 6)).cast("long"))
       .drop("_graft_rn", "_graft_n")
   }
+
+  /** Sequence-packing offsets for training: documents concatenate in
+    * (shard, id) order and cut into fixed-`capacity` token sequences
+    * — each row gets the sequence index and intra-sequence offset
+    * where its text starts (simple concat-packing: a document may
+    * straddle a boundary and continue in the next sequence). Shards
+    * are independent window partitions, so packing parallelizes
+    * across executors at any corpus size while staying deterministic;
+    * the one shuffle is the shard-keyed window sort. Output adds
+    * `shard`, `start_pos`, `seq_index`, `seq_offset`. */
+  def packSequences(df: DataFrame, idCol: Column, tokensCol: Column,
+      shards: Int, capacity: Long): DataFrame = {
+    require(shards > 0 && capacity > 0, "shards and capacity must be > 0")
+    requireFree(df, "shard", "start_pos", "seq_index", "seq_offset",
+      "_graft_tok")
+    val w = Window.partitionBy(col("shard")).orderBy(idCol)
+    df.withColumn("shard", pmod(idCol, lit(shards.toLong)))
+      .withColumn("_graft_tok", tokensCol.cast("long"))
+      .withColumn("start_pos",
+        sum(col("_graft_tok")).over(w) - col("_graft_tok"))
+      .withColumn("seq_index", expr(s"start_pos div ${capacity}L"))
+      .withColumn("seq_offset", col("start_pos") % capacity)
+      .drop("_graft_tok")
+  }
 }

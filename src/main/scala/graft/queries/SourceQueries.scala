@@ -5,7 +5,7 @@ import graft.functions.Fns
 import graft.operators.ContextCompaction
 import graft.sources.TimerSource
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Oracle-checked queries exercising the ingest-side sources and
   * conversation-lifecycle operators (SURVEY §2.1 / §2.10 rows that
@@ -191,5 +191,33 @@ object SourceQueries {
         .select("doc_id", "lang", "split", "n_train_dups")
   }
 
-  val all: Seq[Q] = Seq(s01, s02, s03, s04, c01)
+  // ---------------------------------------------------------------
+  // s05 — sequence-packing offsets (training-pipeline layer): docs
+  // concatenate in (shard, doc_id) order and cut into 2048-token
+  // sequences; each doc reports where its text starts (sequence index
+  // + offset — simple concat-packing, a doc may straddle a boundary).
+  // 32 shards = 32 independent window partitions: the packing
+  // parallelizes at any corpus size, and the only shuffle is the
+  // shard-keyed sort.
+  val s05 = Q(
+    "s05_pack_assign",
+    """WITH t AS (SELECT doc_id, doc_id % 32 AS shard,
+      |    len(string_split(text,' ')) AS n_tokens FROM documents),
+      |c AS (SELECT doc_id, shard, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+      |      - n_tokens AS BIGINT) AS start_pos FROM t)
+      |SELECT doc_id, shard, n_tokens, start_pos,
+      |  start_pos // 2048 AS seq_index,
+      |  start_pos % 2048 AS seq_offset
+      |FROM c""".stripMargin) { (s, dir) =>
+    graft.operators.Sampling.packSequences(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(Fns.tokens(col("text"))).cast(LongType).as("n_tokens")),
+      col("doc_id"), col("n_tokens"), shards = 32, capacity = 2048L)
+      .select("doc_id", "shard", "n_tokens", "start_pos",
+        "seq_index", "seq_offset")
+  }
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, c01)
 }

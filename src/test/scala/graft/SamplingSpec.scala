@@ -55,6 +55,25 @@ class SamplingSpec extends SparkTestBase {
     assert(got === Map(2L -> 1L, 6L -> 2L))
   }
 
+  test("packSequences: concat-packing offsets, straddling doc starts " +
+      "in its sequence of origin") {
+    import spark.implicits._
+    // one shard (ids ≡ 0 mod 1): tokens 100, 950, 1200 → starts at
+    // 0, 100, 1050; capacity 1024 ⇒ doc 3 starts in seq 1 at offset
+    // 26 even though doc 2 straddles the boundary
+    val d = Seq((1L, 100L), (2L, 950L), (3L, 1200L))
+      .toDF("doc_id", "n_tokens")
+    val got = Sampling.packSequences(d, col("doc_id"), col("n_tokens"),
+      shards = 1, capacity = 1024L)
+      .select("doc_id", "start_pos", "seq_index", "seq_offset")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      1L -> ((0L, 0L, 0L)),
+      2L -> ((100L, 0L, 100L)),
+      3L -> ((1050L, 1L, 26L))))
+  }
+
   test("stratifiedSample: exact ceil(frac·n) per stratum, deterministic") {
     val d = docs(100) // 33 fr, 67 en
     val got = Sampling.stratifiedSample(d, col("doc_id"), col("lang"), 0.2)
