@@ -15,6 +15,8 @@ object BenchProfile {
     val spark = Sessions.local(cpus, Map(
       "spark.sql.adaptive.coalescePartitions.parallelismFirst" ->
         sys.env.getOrElse("SPARK_GRAFT_PARFIRST", "false"),
+      "spark.sql.adaptive.enabled" ->
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"),
       graft.operators.Pin.Key ->
         sys.env.getOrElse("SPARK_GRAFT_PIN", "localCheckpoint")))
     spark.sparkContext.setLogLevel("WARN")

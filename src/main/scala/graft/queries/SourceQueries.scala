@@ -219,5 +219,106 @@ object SourceQueries {
         "seq_index", "seq_offset")
   }
 
-  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, c01)
+  // ---------------------------------------------------------------
+  // s06 — train/eval decontamination at the SHARED-N-GRAM grain (the
+  // GPT-3/PaLM-style direct-overlap check, complementing s04's
+  // fingerprint grain): for every (eval doc, train doc) pair sharing
+  // ≥3 distinct word-3-gram shingles, the shared-gram count and the
+  // fraction of the eval doc's grams covered. Candidates come from an
+  // inverted-index equi-join on the 60-bit gram hash (never all
+  // pairs), with d02's document-frequency cap (>1000 docs) as the
+  // hub-gram skew guard — the d02 shuffle shape, so it survives the
+  // same 100 TB growth.
+  val s06 = Q(
+    "s06_decontamination",
+    s"""${TextDedup.gidsCte},
+      |h AS (SELECT doc_id, gid FROM g WHERE gid NOT IN
+      |        (SELECT gid FROM g GROUP BY gid HAVING COUNT(*) > 1000)),
+      |a AS (SELECT doc_id, gid,
+      |    CASE WHEN ${Fns.hash60Sql("doc_id")} % 100 < 80
+      |         THEN 'train' ELSE 'eval' END AS split FROM h),
+      |n AS (SELECT doc_id, COUNT(*) AS n_grams FROM a
+      |      WHERE split = 'eval' GROUP BY doc_id),
+      |p AS (SELECT ev.doc_id AS eval_doc_id, tr.doc_id AS train_doc_id,
+      |        CAST(COUNT(*) AS BIGINT) AS shared_grams
+      |      FROM a ev JOIN a tr ON ev.gid = tr.gid
+      |      WHERE ev.split = 'eval' AND tr.split = 'train'
+      |      GROUP BY 1, 2)
+      |SELECT p.eval_doc_id, p.train_doc_id, p.shared_grams,
+      |  n.n_grams AS eval_grams,
+      |  CAST(p.shared_grams AS DOUBLE) / n.n_grams AS overlap_frac
+      |FROM p JOIN n ON p.eval_doc_id = n.doc_id
+      |WHERE p.shared_grams >= 3""".stripMargin) { (s, dir) =>
+    // distinct grams per doc (overlap counts pairs of DISTINCT grams);
+    // df-cap subquery mirrors d02's hub guard
+    val g = TextDedup.gids(s, dir, distinct = true)
+    val hot = g.groupBy("gid").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1000).select("gid")
+    val h = g.join(broadcast(hot), Seq("gid"), "left_anti")
+    val a = h.withColumn("split",
+      when(Fns.hash60(col("doc_id").cast("string")) % 100 < 80, "train")
+        .otherwise("eval"))
+    val ev = a.filter(col("split") === "eval")
+      .select(col("doc_id").as("eval_doc_id"), col("gid"))
+    val tr = a.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc_id"), col("gid"))
+    val n = ev.groupBy("eval_doc_id").agg(count(lit(1)).as("eval_grams"))
+    ev.join(tr, "gid")
+      .groupBy("eval_doc_id", "train_doc_id")
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= 3)
+      .join(n, "eval_doc_id")
+      .select(col("eval_doc_id"), col("train_doc_id"),
+        col("shared_grams"), col("eval_grams"),
+        (col("shared_grams").cast(DoubleType) / col("eval_grams"))
+          .as("overlap_frac"))
+  }
+
+  // ---------------------------------------------------------------
+  // s07 — temperature-resampled language mix (the multilingual
+  // rebalancing step of an mC4/ROOTS-style corpus: upsample tails,
+  // downsample the head): per-language token counts → sampling shares
+  // ∝ n^α with α = 0.5, i.e. sqrt — IEEE-exact and correctly rounded,
+  // so both engines agree bit-for-bit, unlike pow(x, 0.3). The sqrt
+  // weights fold through 1e9-scaled BIGINTs summed as integers
+  // (order-independent); only the final share divisions run in double.
+  // One groupBy on lang — driver-scale output at any corpus size.
+  val s07 = Q(
+    "s07_language_mix",
+    """WITH a AS (SELECT lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY lang),
+      |s AS (SELECT *,
+      |    CAST(round(sqrt(n_tokens::DOUBLE) * 1e9) AS BIGINT) AS sw
+      |  FROM a)
+      |SELECT lang, n_docs, n_tokens,
+      |  n_tokens::DOUBLE / CAST((SELECT SUM(n_tokens) FROM a) AS BIGINT)
+      |    AS natural_share,
+      |  sw::DOUBLE / CAST((SELECT SUM(sw) FROM s) AS BIGINT)
+      |    AS resampled_share,
+      |  (sw::DOUBLE / CAST((SELECT SUM(sw) FROM s) AS BIGINT)) /
+      |    (n_tokens::DOUBLE / CAST((SELECT SUM(n_tokens) FROM a) AS BIGINT))
+      |    AS upsample_factor
+      |FROM s""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val a = Tables.load(s, dir, "documents")
+      .select(col("lang"), size(Fns.tokens(col("text"))).as("nt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt").cast(LongType)).as("n_tokens"))
+      .withColumn("sw",
+        round(sqrt(col("n_tokens").cast(DoubleType)) * lit(1e9))
+          .cast(LongType))
+    // totals via an unpartitioned window: fine here because the input
+    // is ALREADY one row per language (driver-scale cardinality)
+    val w = Window.partitionBy()
+    val natural =
+      col("n_tokens").cast(DoubleType) / sum("n_tokens").over(w)
+    val resampled = col("sw").cast(DoubleType) / sum("sw").over(w)
+    a.select(col("lang"), col("n_docs"), col("n_tokens"),
+      natural.as("natural_share"), resampled.as("resampled_share"),
+      (resampled / natural).as("upsample_factor"))
+  }
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, c01)
 }

@@ -286,5 +286,67 @@ object TextAnalysis {
       .filter(col("rank") <= 20)
   }
 
-  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
+  // ---------------------------------------------------------------
+  // t09 Gopher-style quality-filter verdict — the document-level
+  // filter rules of Rae et al. 2021 §A1.1 composed into per-rule flags
+  // plus the overall keep/drop verdict: word-count bounds, mean-word-
+  // length bounds, symbol-to-char ratio, alphabetic-word fraction, and
+  // the ≥2-stopwords rule (their "English-quality" gate — non-English
+  // documents fail it by design, which is what the rule is for).
+  // Narrow per-row compute, no shuffle at all: the filter runs where
+  // the documents live, at any corpus size.
+  val t09 = Q(
+    "t09_quality_filter",
+    s"""WITH f AS (
+      |  SELECT doc_id, lang,
+      |    len(string_split(text,' ')) AS n_words,
+      |    len(replace(text,' ','')) /
+      |      len(string_split(text,' ')) AS mean_word_len,
+      |    len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) /
+      |      len(text) AS symbol_ratio,
+      |    len(list_filter(string_split(text,' '),
+      |        w -> regexp_matches(w, '[a-z]'))) /
+      |      len(string_split(text,' ')) AS alpha_word_frac,
+      |    len(list_filter(string_split(text,' '),
+      |        x -> list_contains(${sqlList(en)}, x))) AS stop_hits
+      |  FROM documents)
+      |SELECT doc_id, lang, n_words, mean_word_len, symbol_ratio,
+      |  alpha_word_frac, stop_hits,
+      |  n_words >= 50 AND n_words <= 100000 AS word_count_ok,
+      |  mean_word_len >= 3 AND mean_word_len <= 10 AS word_len_ok,
+      |  symbol_ratio <= 0.1 AS symbol_ok,
+      |  alpha_word_frac >= 0.8 AS alpha_ok,
+      |  stop_hits >= 2 AS stopword_ok,
+      |  n_words >= 50 AND n_words <= 100000
+      |    AND mean_word_len >= 3 AND mean_word_len <= 10
+      |    AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
+      |    AND stop_hits >= 2 AS keep
+      |FROM f""".stripMargin) { (s, dir) =>
+    val nWords = size(col("ws"))
+    val meanLen = length(regexp_replace(col("text"), " ", "")) / nWords
+    val symbolRatio =
+      length(regexp_replace(col("text"), "[a-z0-9 ]", "")) /
+        length(col("text"))
+    val alphaFrac = size(filter(col("ws"), w => w.rlike("[a-z]"))) / nWords
+    val stopHits = hits(en)
+    val base = docs(s, dir).select(
+      col("doc_id"), col("lang"),
+      nWords.as("n_words"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), alphaFrac.as("alpha_word_frac"),
+      stopHits.as("stop_hits"))
+    val wordCountOk = col("n_words") >= 50 && col("n_words") <= 100000
+    val wordLenOk =
+      col("mean_word_len") >= 3 && col("mean_word_len") <= 10
+    val symbolOk = col("symbol_ratio") <= 0.1
+    val alphaOk = col("alpha_word_frac") >= 0.8
+    val stopwordOk = col("stop_hits") >= 2
+    base.select(col("*"),
+      wordCountOk.as("word_count_ok"), wordLenOk.as("word_len_ok"),
+      symbolOk.as("symbol_ok"), alphaOk.as("alpha_ok"),
+      stopwordOk.as("stopword_ok"),
+      (wordCountOk && wordLenOk && symbolOk && alphaOk && stopwordOk)
+        .as("keep"))
+  }
+
+  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09)
 }

@@ -45,7 +45,7 @@ object TextDedup {
   /** Oracle twin of [[gids]](distinct = true): hash first, dedup the
     * hashes — identical to Spark's order so any 60-bit collision
     * collapses on both engines. */
-  private val gidsCte =
+  private[queries] val gidsCte =
     """WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
       |g AS (SELECT doc_id,
       |        unnest(list_distinct(

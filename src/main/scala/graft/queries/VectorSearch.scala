@@ -304,5 +304,67 @@ object VectorSearch {
       .select("q_id", "neighbor_id", "label", "rnk", "cosine")
   }
 
-  val all: Seq[Q] = Seq(v01, v02, v03, v04)
+  // ---------------------------------------------------------------
+  // v05 int8 scalar quantization — the index-compression step of a
+  // vector store (FAISS SQ8 shape): per vector, symmetric-range int8
+  // codes q_i = round(x_i·127/max|x|) plus the reconstruction-quality
+  // report (MSE, saturated and zeroed code counts). 64 bytes/vector
+  // instead of 256 — the difference between an index that fits
+  // executor memory at 100 TB and one that doesn't. Pure per-row
+  // narrow compute, no shuffle. All arithmetic runs on the 1e6-scaled
+  // integer vectors: max|sx| is exact, q_i rounds an exact-in-double
+  // ratio, and the squared errors fold to BIGINTs (order-independent)
+  // — bit-identical cross-engine.
+  val v05 = Q(
+    "v05_scalar_quant",
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> round(x::DOUBLE*1e6)::BIGINT) AS sx
+      |  FROM embeddings),
+      |m AS (SELECT vec_id, label, sx,
+      |    CAST(list_max(list_transform(sx, x -> abs(x))) AS BIGINT) AS mx
+      |  FROM e WHERE CAST(list_max(list_transform(sx, x -> abs(x))) AS BIGINT) > 0),
+      |q AS (SELECT vec_id, label, sx, mx,
+      |    list_transform(sx, x -> CAST(round(x * 127.0 / mx) AS BIGINT)) AS qv
+      |  FROM m)
+      |SELECT vec_id, label, mx AS scale,
+      |  CAST(list_sum(list_transform(list_zip(sx, qv),
+      |    p -> CAST(round((p[1]::DOUBLE - p[2]::DOUBLE * mx / 127.0)
+      |            * (p[1]::DOUBLE - p[2]::DOUBLE * mx / 127.0)) AS BIGINT)))
+      |    AS BIGINT) AS sq_err_scaled,
+      |  CAST(list_sum(list_transform(list_zip(sx, qv),
+      |    p -> CAST(round((p[1]::DOUBLE - p[2]::DOUBLE * mx / 127.0)
+      |            * (p[1]::DOUBLE - p[2]::DOUBLE * mx / 127.0)) AS BIGINT)))
+      |    AS BIGINT)::DOUBLE / (64 * 1e12) AS mse,
+      |  len(list_filter(qv, x -> x = 0)) AS n_zero,
+      |  len(list_filter(qv, x -> abs(x) = 127)) AS n_sat
+      |FROM q""".stripMargin) { (s, dir) =>
+    // every HOF input is a materialized column (sx, qv, mx) — the
+    // CodegenFallback re-evaluation pitfall (see file header)
+    val sxd = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        Fns.scaleVec(col("embedding")).as("sx"))
+      .withColumn("mx",
+        array_max(transform(col("sx"), x => abs(x))).cast(LongType))
+      .filter(col("mx") > 0)
+      .withColumn("qv", transform(col("sx"), x =>
+        round(x * lit(127.0) / col("mx")).cast(LongType)))
+    val err = aggregate(
+      zip_with(col("sx"), col("qv"), (sx, qc) => {
+        val d = sx.cast(DoubleType) -
+          qc.cast(DoubleType) * col("mx") / lit(127.0)
+        round(d * d).cast(LongType)
+      }),
+      lit(0L), (acc, v) => acc + v)
+    sxd
+      .withColumn("sq_err_scaled", err)
+      .select(col("vec_id"), col("label"), col("mx").as("scale"),
+        col("sq_err_scaled"),
+        (col("sq_err_scaled").cast(DoubleType) / (lit(64) * lit(1e12)))
+          .as("mse"),
+        size(filter(col("qv"), x => x === 0L)).as("n_zero"),
+        size(filter(col("qv"), x => abs(x) === 127L)).as("n_sat"))
+  }
+
+  val all: Seq[Q] = Seq(v01, v02, v03, v04, v05)
 }

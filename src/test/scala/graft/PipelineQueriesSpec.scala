@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Behavioral specs for the round-4 training-pipeline queries (the
+  * oracle proves cross-engine parity on the real tables; these prove
+  * the SEMANTICS on adversarial fixtures the synthetic corpus never
+  * hits: per-rule filter failures, cross-split-only overlap, share
+  * normalization, quantization edge codes). */
+class PipelineQueriesSpec extends SparkTestBase {
+
+  private def docsDir(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pq").toFile.getAbsolutePath
+    rows.toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("t09: each Gopher rule fails independently and gates keep " +
+      "(Rae et al. 2021 A1.1)") {
+    val good = (Seq("the", "and") ++ Seq.fill(58)("word")).mkString(" ")
+    val short = (Seq("the", "and") ++ Seq.fill(8)("word")).mkString(" ")
+    val symbols =
+      (Seq("the", "and") ++ Seq.fill(58)("!!!!word")).mkString(" ")
+    val numeric = (Seq("the", "and") ++ Seq.fill(58)("12345")).mkString(" ")
+    val tiny = (Seq("a", "a") ++ Seq.fill(58)("b")).mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, good, "en"), (2L, short, "en"), (3L, symbols, "en"),
+      (4L, numeric, "en"), (5L, tiny, "en")))
+    val out = queries.TextAnalysis.t09.run(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("word_count_ok") &&
+      !out(2L).getAs[Boolean]("keep"))
+    assert(!out(3L).getAs[Boolean]("symbol_ok") &&
+      !out(3L).getAs[Boolean]("keep"))
+    assert(!out(4L).getAs[Boolean]("alpha_ok") &&
+      !out(4L).getAs[Boolean]("keep"))
+    assert(!out(5L).getAs[Boolean]("word_len_ok") &&
+      !out(5L).getAs[Boolean]("keep"))
+    // the stopword gate: 60 alpha words, zero en stopwords
+    val noStops = Seq.fill(60)("wort").mkString(" ")
+    val dir2 = docsDir(Seq((9L, noStops, "de")))
+    val r9 = queries.TextAnalysis.t09.run(spark, dir2).collect().head
+    assert(!r9.getAs[Boolean]("stopword_ok") && !r9.getAs[Boolean]("keep"))
+  }
+
+  test("s06: overlap pairs cross splits only, never within a split; " +
+      "overlap_frac is shared/eval grams") {
+    import spark.implicits._
+    // find ids on each side of the 80% hash boundary (s02's split)
+    val buckets = spark.range(1, 200)
+      .select(col("id"),
+        (functions.Fns.hash60(col("id").cast("string")) % 100).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainIds = buckets.filter(_._2 < 80).keys.toSeq.sorted
+    val evalIds = buckets.filter(_._2 >= 80).keys.toSeq.sorted
+    assert(trainIds.size >= 2 && evalIds.size >= 2)
+    val shared = "alpha beta gamma delta epsilon zeta" // 4 shared 3-grams
+    val dir = docsDir(Seq(
+      (trainIds(0), shared + " trainone tail words", "en"),
+      (trainIds(1), "totally different text body here", "en"),
+      (evalIds(0), shared + " evalone other ending", "en"),
+      (evalIds(1), shared + " evaltwo other ending", "en")))
+    val out = queries.SourceQueries.s06.run(spark, dir).collect()
+    // eval0/eval1 share 6 grams with EACH OTHER but are both eval —
+    // only (eval, train) pairs may appear
+    assert(out.nonEmpty)
+    assert(out.forall(r =>
+      evalIds.contains(r.getAs[Long]("eval_doc_id")) &&
+        trainIds.contains(r.getAs[Long]("train_doc_id"))))
+    out.foreach { r =>
+      assert(r.getAs[Long]("shared_grams") === 4L)
+      assert(r.getAs[Double]("overlap_frac") ===
+        4.0 / r.getAs[Long]("eval_grams"))
+    }
+  }
+
+  test("s07: resampled shares sum to 1 and flatten the distribution " +
+      "(tail upsampled, head downsampled)") {
+    val mk = (n: Int, lang: String) =>
+      (1 to n).map(i => (i.toLong, "w1 w2 w3 w4", lang))
+    val dir = docsDir(mk(90, "en") ++ mk(10, "yo"))
+    val out = queries.SourceQueries.s07.run(spark, dir)
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    val sumShares =
+      out.values.map(_.getAs[Double]("resampled_share")).sum
+    assert(math.abs(sumShares - 1.0) < 1e-9)
+    assert(out("yo").getAs[Double]("upsample_factor") > 1.0)
+    assert(out("en").getAs[Double]("upsample_factor") < 1.0)
+    assert(out("yo").getAs[Double]("resampled_share") >
+      out("yo").getAs[Double]("natural_share"))
+  }
+
+  test("v05: max element saturates to ±127, zeros stay zero, " +
+      "zero vectors are out of scope, mse bounded by step size") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pq").toFile.getAbsolutePath
+    Seq(
+      (1L, Array(1.0f, -0.5f, 0.0f, 0.25f), 0),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f), 1) // all-zero: filtered
+    ).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = queries.VectorSearch.v05.run(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSet === Set(1L))
+    val r = out.head
+    assert(r.getAs[Long]("scale") === 1000000L)
+    assert(r.getAs[Long]("n_sat") === 1L) // only the 1.0 element
+    assert(r.getAs[Long]("n_zero") === 1L) // only the true zero
+    // per-element error ≤ half a quantization step = scale/254;
+    // mse (over the v05 64-dim contract denominator) must sit under
+    // dims_used·(step/2)²/(64·1e12)
+    val step = 1000000.0 / 127.0
+    assert(r.getAs[Double]("mse") <= 4 * (step / 2) * (step / 2) / (64 * 1e12))
+  }
+}
