@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 
 /** Native Catalyst expression for the integer dot product — the hot
   * inner loop of the similarity-search family (SURVEY §4.2c; the
@@ -151,6 +152,74 @@ object Shingle3Hash60 {
       java.security.MessageDigest.getInstance("MD5"))
 }
 
+/** Word-2-gram repetition statistics in ONE native pass per document
+  * (t07's inner loop): given the token array, returns
+  * struct(n_grams, n_distinct, top, dup) where `top` is the count of
+  * the most frequent 2-gram and `dup` the total occurrences of grams
+  * appearing ≥2 times (Gopher §A1.1 shapes).
+  *
+  * The composed alternatives both lose at scale: explode →
+  * groupBy(doc, gram) → groupBy(doc) shuffles the corpus × gram-count
+  * rows twice for a per-row statistic; an `aggregate` fold over
+  * `array_sort` keeps it narrow but pays interpreted per-element
+  * struct construction (HOFs are CodegenFallback). Here the gram
+  * frequency map is one JVM HashMap per row — no Catalyst per-element
+  * dispatch, no shuffle.
+  */
+case class Gram2Stats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got $t")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top", LongType, nullable = false),
+    StructField("dup", LongType, nullable = false)))
+
+  override def prettyName: String = "graft_gram2_stats"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val ws = input.asInstanceOf[ArrayData]
+    val n = ws.numElements()
+    if (n < 2)
+      return new GenericInternalRow(Array[Any](0L, 0L, 0L, 0L))
+    // count each adjacent token pair; UTF8String.toString is cheap
+    // relative to a Catalyst per-element lambda dispatch
+    val counts = new java.util.HashMap[String, Long]((n - 1) * 2)
+    var i = 0
+    var prev: String = {
+      val t = ws.getUTF8String(0)
+      if (t == null) "" else t.toString
+    }
+    while (i < n - 1) {
+      val t = ws.getUTF8String(i + 1)
+      val cur = if (t == null) "" else t.toString
+      val gram = prev + " " + cur
+      counts.merge(gram, 1L, (a, b) => a + b)
+      prev = cur
+      i += 1
+    }
+    var top = 0L
+    var dup = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      if (c > top) top = c
+      if (c >= 2) dup += c
+    }
+    new GenericInternalRow(
+      Array[Any]((n - 1).toLong, counts.size().toLong, top, dup))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 object VectorExprs {
 
   /** Column wrapper: native integer dot product. */
@@ -165,4 +234,9 @@ object VectorExprs {
   def shingleHash60(ws: Column, distinct: Boolean): Column =
     GraftColumnBridge.column(Shingle3Hash60(
       GraftColumnBridge.expression(ws), distinct))
+
+  /** Column wrapper: native word-2-gram repetition statistics. */
+  def gram2Stats(ws: Column): Column =
+    GraftColumnBridge.column(Gram2Stats(
+      GraftColumnBridge.expression(ws)))
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.functions.Fns
+import graft.functions.{Fns, VectorExprs}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -204,11 +204,10 @@ object TextAnalysis {
   // al. 2021 §A1.1: "fraction of characters in the most common n-gram",
   // "fraction of characters in duplicate n-grams") at the word-2-gram
   // grain: per document, the share of gram occurrences taken by the
-  // top gram, by any repeated gram, and the distinct-gram ratio. The
-  // gram explode stays co-partitioned with its document (no shuffle
-  // until the (doc_id, gram) count, which map-side combines to the
-  // per-doc distinct-gram set), so the operator scales with input
-  // splits like the rest of the t-family.
+  // top gram, by any repeated gram, and the distinct-gram ratio —
+  // computed as a run-length fold over the sorted per-row gram array,
+  // zero shuffles (see the impl note below), so the operator scales
+  // with input splits like the rest of the t-family.
   val t07 = Q(
     "t07_repetition",
     """WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
@@ -226,32 +225,24 @@ object TextAnalysis {
       |  CAST(dup_gram_occurrences AS DOUBLE) / n_grams AS dup_gram_frac,
       |  CAST(n_distinct_grams AS DOUBLE) / n_grams AS distinct_ratio
       |FROM m""".stripMargin) { (s, dir) =>
-    // 0-based lambda index i → the successor token is element_at(i+2)
-    // (element_at is 1-based); ws is a materialized attribute per the
-    // HOF CodegenFallback pitfall (see [[TextDedup.tokenized]])
-    val grams = docs(s, dir)
+    // One native pass per document ([[graft.functions.Gram2Stats]]):
+    // the gram frequency map never leaves the row, so the operator is
+    // pure narrow compute — zero shuffles. The previous explode →
+    // groupBy(doc_id, gram) → groupBy(doc_id) shape shuffled the
+    // whole gram multiset twice for what is a per-row statistic; at
+    // 100 TB that is corpus × ~gram-count rows through two exchanges.
+    docs(s, dir)
       .filter(size(col("ws")) >= 2)
+      .withColumn("f", VectorExprs.gram2Stats(col("ws")))
       .select(col("doc_id"),
-        explode(transform(
-          slice(col("ws"), lit(1), size(col("ws")) - 1),
-          (w, i) => concat(w, lit(" "), element_at(col("ws"), i + lit(2)))))
-          .as("gram"))
-    grams
-      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(
-        sum("c").as("n_grams"),
-        count(lit(1)).as("n_distinct_grams"),
-        max("c").as("top_gram_count"),
-        sum(when(col("c") >= 2, col("c")).otherwise(0L))
-          .as("dup_gram_occurrences"))
-      .select(col("doc_id"), col("n_grams"), col("n_distinct_grams"),
-        col("top_gram_count"),
-        (col("top_gram_count").cast(DoubleType) / col("n_grams"))
+        col("f.n_grams").as("n_grams"),
+        col("f.n_distinct").as("n_distinct_grams"),
+        col("f.top").as("top_gram_count"),
+        (col("f.top").cast(DoubleType) / col("f.n_grams"))
           .as("top_gram_frac"),
-        (col("dup_gram_occurrences").cast(DoubleType) / col("n_grams"))
+        (col("f.dup").cast(DoubleType) / col("f.n_grams"))
           .as("dup_gram_frac"),
-        (col("n_distinct_grams").cast(DoubleType) / col("n_grams"))
+        (col("f.n_distinct").cast(DoubleType) / col("f.n_grams"))
           .as("distinct_ratio"))
   }
 

@@ -117,4 +117,33 @@ class VectorExprsSpec extends SparkTestBase {
     assert(df.select(VectorExprs.normSqIntNative(col("a")))
       .head().getLong(0) === 25L)
   }
+
+  test("property: Gram2Stats ≡ plain gram-frequency reference on " +
+      "random docs (seeded)") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "bb", "ccc", "a", "dd") // dup "a": collisions
+    val docsSeq = (1 to 50).map { _ =>
+      (0 until (rnd.nextInt(12))).map(_ => vocab(rnd.nextInt(vocab.size)))
+    } :+ Seq.empty :+ Seq("solo") :+ Seq("x", "x", "x", "x")
+    val df = docsSeq.zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws) }
+      .toDF("id", "ws")
+      .select(col("id"), VectorExprs.gram2Stats(col("ws")).as("f"))
+      .select(col("id"), col("f.n_grams"), col("f.n_distinct"),
+        col("f.top"), col("f.dup"))
+    val got = df.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    docsSeq.zipWithIndex.foreach { case (ws, i) =>
+      val grams = ws.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toSeq
+      val freq = grams.groupBy(identity).map { case (_, v) => v.size.toLong }
+      val expect = (
+        grams.size.toLong,
+        freq.size.toLong,
+        if (freq.isEmpty) 0L else freq.max,
+        freq.filter(_ >= 2).sum)
+      assert(got(i.toLong) === expect, s"doc $i tokens=$ws")
+    }
+  }
 }
