@@ -250,11 +250,16 @@ object SourceQueries {
       |FROM p JOIN n ON p.eval_doc_id = n.doc_id
       |WHERE p.shared_grams >= 3""".stripMargin) { (s, dir) =>
     // distinct grams per doc (overlap counts pairs of DISTINCT grams);
-    // df-cap subquery mirrors d02's hub guard
-    val g = TextDedup.gids(s, dir, distinct = true)
+    // df-cap subquery mirrors d02's hub guard. Both the raw and the
+    // capped gid relations fan out (hot-list agg + anti-join; then
+    // ev/tr split + the eval-size agg) — pin them like d02 so the
+    // native shingle pass and the cap run ONCE, not three times
+    // (the unpinned plan audit showed 3× the documents scan).
+    val g = graft.operators.Pin(TextDedup.gids(s, dir, distinct = true))
     val hot = g.groupBy("gid").agg(count(lit(1)).as("df"))
       .filter(col("df") > 1000).select("gid")
-    val h = g.join(broadcast(hot), Seq("gid"), "left_anti")
+    val h = graft.operators.Pin(
+      g.join(broadcast(hot), Seq("gid"), "left_anti"))
     val a = h.withColumn("split",
       when(Fns.hash60(col("doc_id").cast("string")) % 100 < 80, "train")
         .otherwise("eval"))
