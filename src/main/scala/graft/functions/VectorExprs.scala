@@ -220,6 +220,77 @@ case class Gram2Stats(child: Expression)
       : Expression = copy(child = newChild)
 }
 
+/** Int8 scalar-quantization report in ONE native pass per vector
+  * (v05's inner loop): given the 1e6-scaled integer vector
+  * ([[Fns.scaleVec]]), returns struct(scale, sq_err, n_zero, n_sat)
+  * where scale = max|sx| (the symmetric range), sq_err = Σ round(e_i²)
+  * of the scaled reconstruction errors, and n_zero/n_sat count q=0 /
+  * |q|=127 codes. A zero vector reports scale=0 (callers filter it —
+  * quantization is undefined there).
+  *
+  * Arithmetic reproduces the composed Column path EXACTLY (same
+  * operation order, half-away-from-zero rounding like Spark's round()
+  * and DuckDB's round()), so swapping it under v05 cannot move the
+  * oracle hash. The composed path pays five interpreted HOF passes
+  * per row (CodegenFallback) — measured ~13× DuckDB; this is one JVM
+  * loop.
+  */
+case class Quant8Stats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got $t")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", LongType, nullable = false),
+    StructField("sq_err", LongType, nullable = false),
+    StructField("n_zero", LongType, nullable = false),
+    StructField("n_sat", LongType, nullable = false)))
+
+  override def prettyName: String = "graft_quant8_stats"
+
+  // round() semantics (Spark HALF_UP on doubles ≡ DuckDB round):
+  // half away from zero — Math.round would round -63.5 UP to -63
+  private def roundAway(x: Double): Long =
+    (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val sx = input.asInstanceOf[ArrayData]
+    val n = sx.numElements()
+    var mx = 0L
+    var i = 0
+    while (i < n) {
+      val v = math.abs(sx.getLong(i))
+      if (v > mx) mx = v
+      i += 1
+    }
+    if (mx == 0L)
+      return new GenericInternalRow(Array[Any](0L, 0L, n.toLong, 0L))
+    var sqErr = 0L
+    var nZero = 0L
+    var nSat = 0L
+    i = 0
+    while (i < n) {
+      val s = sx.getLong(i)
+      // identical op order to the Column path: (s·127.0)/mx, then
+      // e = s − (q·mx)/127.0
+      val q = roundAway(s.toDouble * 127.0 / mx)
+      if (q == 0L) nZero += 1
+      if (q == 127L || q == -127L) nSat += 1
+      val e = s.toDouble - q.toDouble * mx.toDouble / 127.0
+      sqErr += roundAway(e * e)
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](mx, sqErr, nZero, nSat))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 object VectorExprs {
 
   /** Column wrapper: native integer dot product. */
@@ -239,4 +310,9 @@ object VectorExprs {
   def gram2Stats(ws: Column): Column =
     GraftColumnBridge.column(Gram2Stats(
       GraftColumnBridge.expression(ws)))
+
+  /** Column wrapper: native int8 scalar-quantization report. */
+  def quant8Stats(sx: Column): Column =
+    GraftColumnBridge.column(Quant8Stats(
+      GraftColumnBridge.expression(sx)))
 }
