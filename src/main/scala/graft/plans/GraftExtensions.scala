@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{LongArrayDot, Shingle3Hash60, Sum128}
+import graft.functions.{Gram2Stats, LongArrayDot, Quant8Stats, Shingle3Hash60, Sum128}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.sum128Function)
     ext.injectFunction(GraftExtensions.shingleFunction)
+    ext.injectFunction(GraftExtensions.gram2Function)
+    ext.injectFunction(GraftExtensions.quant8Function)
   }
 }
 
@@ -62,9 +64,28 @@ object GraftExtensions {
           "graft_shingle60(tokens array<string>[, distinct boolean literal])")
       })
 
+  private[plans] val gram2Function
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_gram2_stats"),
+      new ExpressionInfo(classOf[Gram2Stats].getName, "graft_gram2_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_gram2_stats takes exactly 1 argument")
+        Gram2Stats(args.head)
+      })
+
+  private[plans] val quant8Function
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_quant8_stats"),
+      new ExpressionInfo(classOf[Quant8Stats].getName, "graft_quant8_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_quant8_stats takes exactly 1 argument")
+        Quant8Stats(args.head)
+      })
+
   /** Register the functions into an already-running session. */
   def register(spark: SparkSession): Unit =
-    Seq(dotFunction, sum128Function, shingleFunction)
+    Seq(dotFunction, sum128Function, shingleFunction, gram2Function,
+      quant8Function)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry
           .registerFunction(id, info, builder)

@@ -95,6 +95,44 @@ class PipelineQueriesSpec extends SparkTestBase {
       out("yo").getAs[Double]("natural_share"))
   }
 
+  test("plan shapes: t09 and v05 are shuffle-free narrow compute with " +
+      "pruned scans; s07 output is driver-scale (two small exchanges)") {
+    val dir = "/root/testdata/sf0.001"
+    val t09p = queries.TextAnalysis.t09.run(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!t09p.contains("Exchange"),
+      "t09 is a per-row filter verdict — any exchange is a bug")
+    assert(t09p.contains(
+      "ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
+      "t09 should prune the documents scan to doc_id+text+lang")
+    val v05p = queries.VectorSearch.v05.run(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!v05p.contains("Exchange"),
+      "v05 quantizes per row — any exchange is a bug")
+    val s07p = queries.SourceQueries.s07.run(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(s07p.linesIterator.count(_.trim.startsWith("Exchange")) <= 2,
+      "s07 is one lang groupBy + one driver-scale window")
+  }
+
+  test("graft_gram2_stats / graft_quant8_stats register on the SQL " +
+      "surface and match the Column wrappers") {
+    import spark.implicits._
+    plans.GraftExtensions.register(spark)
+    Seq(("a b a b")).toDF("text").createOrReplaceTempView("pq_t")
+    val g = spark.sql(
+      "SELECT graft_gram2_stats(split(text,' ')) AS f FROM pq_t")
+      .select("f.n_grams", "f.n_distinct", "f.top", "f.dup")
+      .head()
+    assert((g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3)) ===
+      ((3L, 2L, 2L, 2L))) // grams: "a b"×2, "b a"×1 → top=2, dup=2
+    Seq(Seq(1000000L, -500000L)).toDF("sx").createOrReplaceTempView("pq_v")
+    val q = spark.sql(
+      "SELECT graft_quant8_stats(sx) AS f FROM pq_v")
+      .select("f.scale", "f.n_sat").head()
+    assert(q.getLong(0) === 1000000L && q.getLong(1) === 1L)
+  }
+
   test("v05: max element saturates to ±127, zeros stay zero, " +
       "zero vectors are out of scope, mse bounded by step size") {
     import spark.implicits._
