@@ -65,19 +65,27 @@ object ContextCompaction {
     * reference's placeholder (spillover-filename preserving). */
   def pruneOldToolResults(conv: DataFrame, protectTokens: Long = 5000,
       minPruneTokens: Long = 2000): DataFrame = {
+    // Every window below shares ONE ascending (conv_id, seq) sort:
+    // the reference's backward walk (tokens of eligible rows MORE
+    // recent than this one) is total − inclusive forward cumsum —
+    // identical for unique per-conversation seq (the conversation
+    // contract: seq is the message index). The direct desc-ordered
+    // formulation cost a second sort, and re-deriving `eligible`
+    // (whose current-phase guard is itself a window) in a later
+    // stage cost two more — four sorts of the corpus for a
+    // three-column verdict. The plan-shape spec pins the single sort.
     val eligible = col("role") === "tool" && !col("is_error") &&
       !startswith(coalesce(col("content"), lit("")),
         lit("[Pruned tool result")) &&
       !col("is_transition_marker") &&
       !(currentPhase.isNotNull && (col("phase_id") <=> currentPhase))
-    val recentEst = coalesce(
-      sum(when(eligible, est).otherwise(lit(0L))).over(
-        Window.partitionBy("conv_id").orderBy(col("seq").desc)
-          .rowsBetween(Window.unboundedPreceding, -1)),
-      lit(0L))
+    val estEligible = when(eligible, est).otherwise(lit(0L))
+    val cumInclusive = sum(estEligible).over(
+      bySeq.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val totalEligible = sum(estEligible).over(whole)
+    val recentEst = coalesce(totalEligible - cumInclusive, lit(0L))
     val pruneable = eligible && recentEst >= protectTokens
-    val clears = sum(when(pruneable, est).otherwise(lit(0L))).over(
-      Window.partitionBy("conv_id"))
+    val clears = sum(when(pruneable, est).otherwise(lit(0L))).over(whole)
     val pruned = pruneable && clears >= minPruneTokens
 
     val spill = regexp_extract(coalesce(col("content"), lit("")),

@@ -361,4 +361,16 @@ class ContextCompactionSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
     assert(got === Map("a" -> true, "b" -> false))
   }
+
+  test("pruneOldToolResults plan: ONE sort serves every window " +
+      "(shared ascending (conv_id, seq) order)") {
+    val df = conv(
+      ("a", 1, "tool", "x" * 400, false, None, false),
+      ("a", 2, "tool", "y" * 400, false, None, false))
+    val plan = ContextCompaction.pruneOldToolResults(df, 10, 10)
+      .queryExecution.executedPlan.toString
+    val sorts = plan.linesIterator.count(_.trim.startsWith("+- Sort"))
+    assert(sorts <= 1,
+      s"expected a single shared window sort, got $sorts:\n$plan")
+  }
 }
