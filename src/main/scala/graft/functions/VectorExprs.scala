@@ -252,10 +252,18 @@ case class Quant8Stats(child: Expression)
 
   override def prettyName: String = "graft_quant8_stats"
 
-  // round() semantics (Spark HALF_UP on doubles ≡ DuckDB round):
-  // half away from zero — Math.round would round -63.5 UP to -63
+  // round() semantics (Spark HALF_UP on doubles ≡ DuckDB std::round,
+  // both decided on the EXACT double value): Math.round would round
+  // -63.5 up to -63, and floor(x+0.5) misrounds doubles one ulp below
+  // a half boundary (0.49999999999999994 + 0.5 == 1.0 in IEEE → 1,
+  // where both engines return 0). BigDecimal.valueOf preserves the
+  // shortest decimal form of the exact double, so HALF_UP here equals
+  // Spark's own Round expression bit-for-bit; the integral fast path
+  // keeps the common case off the BigDecimal allocation.
   private def roundAway(x: Double): Long =
-    (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+    if (x == math.floor(x)) x.toLong
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
 
   override protected def nullSafeEval(input: Any): Any = {
     val sx = input.asInstanceOf[ArrayData]

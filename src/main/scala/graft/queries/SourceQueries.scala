@@ -260,9 +260,11 @@ object SourceQueries {
       .filter(col("df") > 1000).select("gid")
     val h = graft.operators.Pin(
       g.join(broadcast(hot), Seq("gid"), "left_anti"))
-    val a = h.withColumn("split",
-      when(Fns.hash60(col("doc_id").cast("string")) % 100 < 80, "train")
-        .otherwise("eval"))
+    // the split rule is s02/s04's assignSplits — ONE definition of the
+    // 80/20 hash bucket, so contamination queries can never drift from
+    // the split they are supposed to audit
+    val a = graft.operators.Sampling.assignSplits(
+      h, col("doc_id"), Seq("train" -> 80, "eval" -> 100))
     val ev = a.filter(col("split") === "eval")
       .select(col("doc_id").as("eval_doc_id"), col("gid"))
     val tr = a.filter(col("split") === "train")

@@ -205,9 +205,9 @@ object TextAnalysis {
   // "fraction of characters in duplicate n-grams") at the word-2-gram
   // grain: per document, the share of gram occurrences taken by the
   // top gram, by any repeated gram, and the distinct-gram ratio —
-  // computed as a run-length fold over the sorted per-row gram array,
-  // zero shuffles (see the impl note below), so the operator scales
-  // with input splits like the rest of the t-family.
+  // one native gram-frequency pass per row, zero shuffles (see the
+  // impl note below), so the operator scales with input splits like
+  // the rest of the t-family.
   val t07 = Q(
     "t07_repetition",
     """WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
@@ -315,9 +315,13 @@ object TextAnalysis {
       |FROM f""".stripMargin) { (s, dir) =>
     val nWords = size(col("ws"))
     val meanLen = length(regexp_replace(col("text"), " ", "")) / nWords
-    val symbolRatio =
+    // empty-text guard: a 0-length document must yield NULL (DuckDB's
+    // x/0 result), not an ANSI DIVIDE_BY_ZERO abort — the only
+    // division in the t-family whose denominator can be 0 (token
+    // arrays are never empty: split('') = [''])
+    val symbolRatio = when(length(col("text")) > 0,
       length(regexp_replace(col("text"), "[a-z0-9 ]", "")) /
-        length(col("text"))
+        length(col("text")))
     val alphaFrac = size(filter(col("ws"), w => w.rlike("[a-z]"))) / nWords
     val stopHits = hits(en)
     val base = docs(s, dir).select(
