@@ -99,6 +99,30 @@ object Sampling {
       .drop("_graft_rn", "_graft_n")
   }
 
+  /** Token-budget quota sampling — the data-mixing step that caps each
+    * stratum (source, language, domain) at a weight budget: rows are
+    * taken in deterministic (hash, id) order until the stratum's
+    * cumulative weight would stay within `budget` (the first row
+    * crossing the budget is dropped along with everything after it).
+    * Content-hash order makes the take a representative sample rather
+    * than a prefix of ingestion order; one window shuffle on the
+    * stratum key. NOT growth-stable (a new doc can hash into the kept
+    * range and push the tail out) — quota sampling is inherently a
+    * snapshot decision; pin the corpus version for reproducibility.
+    * Output keeps the surviving rows plus `cum_weight` (the stratum's
+    * running total INCLUDING this row). */
+  def takeWeightBudget(df: DataFrame, idCol: Column, stratumCol: Column,
+      weightCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    requireFree(df, "cum_weight")
+    val hv = Fns.hash60(idCol.cast("string"))
+    val w = Window.partitionBy(stratumCol).orderBy(hv, idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_weight",
+        sum(weightCol.cast("long")).over(w))
+      .filter(col("cum_weight") <= budget)
+  }
+
   /** Sequence-packing offsets for training: documents concatenate in
     * (shard, id) order and cut into fixed-`capacity` token sequences
     * — each row gets the sequence index and intra-sequence offset

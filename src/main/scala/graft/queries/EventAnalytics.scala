@@ -565,6 +565,57 @@ object EventAnalytics {
       .agg(countDistinct(col("user_id")).as("n_active"))
   }
 
+  // ---------------------------------------------------------------
+  // e18 event-transition matrix with lift — the Markov-chain view of
+  // the event stream (which event follows which, and how much more
+  // often than chance): per (prev, next) type pair, the transition
+  // count and lift = p(ab)/(p(a→)·p(→b)). Lift is PMI without the
+  // log — the log's libm implementations differ across engines by
+  // ulps, while lift is one division of exact integer products
+  // (n_ab·n and n_from·n_to both < 2^53, so the doubles are exact).
+  // One lag window on the user partition + a groupBy to ~|types|²
+  // rows; the lift denominators are windows over that driver-scale
+  // aggregate, not the corpus.
+  val e18 = Q(
+    "e18_transition_lift",
+    """WITH t AS (SELECT user_id, event_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |                          ORDER BY event_id) AS prev_type
+      |  FROM events),
+      |p AS (SELECT prev_type, event_type AS next_type,
+      |        CAST(COUNT(*) AS BIGINT) AS n_ab
+      |      FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |w AS (SELECT *,
+      |        CAST(SUM(n_ab) OVER (PARTITION BY prev_type) AS BIGINT)
+      |          AS n_from,
+      |        CAST(SUM(n_ab) OVER (PARTITION BY next_type) AS BIGINT)
+      |          AS n_to,
+      |        CAST(SUM(n_ab) OVER () AS BIGINT) AS n
+      |      FROM p)
+      |SELECT prev_type, next_type, n_ab, n_from, n_to,
+      |  CAST(n_ab AS DOUBLE) / n AS p_ab,
+      |  CAST(n_ab * n AS DOUBLE) / (n_from * n_to) AS lift
+      |FROM w""".stripMargin) { (s, dir) =>
+    val byUser = Window.partitionBy("user_id").orderBy("event_id")
+    val p = Tables.load(s, dir, "events")
+      .select(col("event_type").as("next_type"),
+        lag("event_type", 1).over(byUser).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n_ab"))
+    val wFrom = Window.partitionBy("prev_type")
+    val wTo = Window.partitionBy("next_type")
+    val wAll = Window.partitionBy()
+    p.withColumn("n_from", sum("n_ab").over(wFrom))
+      .withColumn("n_to", sum("n_ab").over(wTo))
+      .withColumn("n", sum("n_ab").over(wAll))
+      .select(col("prev_type"), col("next_type"), col("n_ab"),
+        col("n_from"), col("n_to"),
+        (col("n_ab").cast(DoubleType) / col("n")).as("p_ab"),
+        ((col("n_ab") * col("n")).cast(DoubleType) /
+          (col("n_from") * col("n_to"))).as("lift"))
+  }
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
-    e11, e12, e13, e14, e15, e16, e17)
+    e11, e12, e13, e14, e15, e16, e17, e18)
 }

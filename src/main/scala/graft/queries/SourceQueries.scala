@@ -327,5 +327,34 @@ object SourceQueries {
       (resampled / natural).as("upsample_factor"))
   }
 
-  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, c01)
+  // ---------------------------------------------------------------
+  // s08 — token-budget quota sampling (the data-mixing cap: at most
+  // 2000 tokens of each source make the mix): docs taken in
+  // deterministic (hash, id) order until the source's cumulative
+  // token count crosses the budget. One window shuffle on the source
+  // key; the hash order makes the take a sample, not an ingestion
+  // prefix.
+  val s08 = Q(
+    "s08_token_budget",
+    s"""WITH h AS (SELECT doc_id, source,
+      |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+      |    ${Fns.hash60Sql("doc_id")} AS hv
+      |  FROM documents),
+      |c AS (SELECT doc_id, source, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+      |      ORDER BY hv, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_weight
+      |  FROM h)
+      |SELECT doc_id, source, n_tokens, cum_weight
+      |FROM c WHERE cum_weight <= 2000""".stripMargin) { (s, dir) =>
+    graft.operators.Sampling.takeWeightBudget(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(Fns.tokens(col("text"))).cast(LongType).as("n_tokens")),
+      col("doc_id"), col("source"), col("n_tokens"), budget = 2000L)
+      .select("doc_id", "source", "n_tokens", "cum_weight")
+  }
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, c01)
 }

@@ -276,6 +276,56 @@ object TextDedup {
   }
 
   // ---------------------------------------------------------------
+  // d08 cross-source duplication matrix — the provenance report a
+  // corpus curation pass runs on d05's fingerprints: for every ordered
+  // source pair (a, b), how many of a's documents have a fingerprint
+  // that also appears in b (mirror sites, syndicated feeds, scraped
+  // re-posts), as a count and a share of a's fingerprinted docs. One
+  // fingerprint groupBy + an equi-join on the 8-byte fp; the join
+  // fan-out per doc is bounded by the number of SOURCES (not corpus
+  // size), and the matrix itself is |sources|² — driver-scale at any
+  // corpus size.
+  val d08 = Q(
+    "d08_cross_source_dups",
+    s"""$gidsRawCte,
+      |fp AS (SELECT doc_id, MIN(gid) AS fp FROM g GROUP BY doc_id),
+      |d AS (SELECT f.doc_id, doc.source, f.fp
+      |      FROM fp f JOIN documents doc ON f.doc_id = doc.doc_id),
+      |b AS (SELECT DISTINCT fp, source FROM d),
+      |na AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |       FROM d GROUP BY source)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_dup_docs,
+      |  na.n_docs AS n_docs_a,
+      |  CAST(COUNT(*) AS DOUBLE) / na.n_docs AS dup_share
+      |FROM d a
+      |JOIN b ON a.fp = b.fp AND a.source <> b.source
+      |JOIN na ON na.source = a.source
+      |GROUP BY a.source, b.source, na.n_docs""".stripMargin) { (s, dir) =>
+    // fp per doc = d05's 1-permutation MinHash (MIN over raw gram
+    // hashes); join back for source, then count (doc, other-source)
+    // hits — ≤1 row per doc per other source by the DISTINCT
+    val fp = gids(s, dir, distinct = false)
+      .groupBy("doc_id").agg(min(col("gid")).as("fp"))
+    val d = fp.join(
+      Tables.load(s, dir, "documents").select("doc_id", "source"),
+      "doc_id")
+    val dp = graft.operators.Pin(d)
+    val b = dp.select(col("fp"), col("source").as("source_b")).distinct()
+    val na = dp.groupBy("source").agg(count(lit(1)).as("n_docs_a"))
+    dp.select(col("source").as("source_a"), col("fp").as("fp_a"))
+      .join(b, col("fp_a") === col("fp") &&
+        col("source_a") =!= col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_dup_docs"))
+      .join(na.withColumnRenamed("source", "source_a"), "source_a")
+      .select(col("source_a"), col("source_b"), col("n_dup_docs"),
+        col("n_docs_a"),
+        (col("n_dup_docs").cast(DoubleType) / col("n_docs_a"))
+          .as("dup_share"))
+  }
+
+  // ---------------------------------------------------------------
   // d04 SimHash — 32-bit Charikar fingerprint over shingle hashes;
   // candidates by pigeonhole on 4×8-bit pieces (hamming ≤ 3 ⇒ at least
   // one piece equal), verified with bit_count(xor) ≤ 3. The 32 bit
@@ -429,5 +479,5 @@ object TextDedup {
       .filter(col("cosine") >= 0.3)
   }
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07)
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08)
 }

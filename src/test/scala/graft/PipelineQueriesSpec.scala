@@ -11,11 +11,15 @@ import org.apache.spark.sql.functions._
   * normalization, quantization edge codes). */
 class PipelineQueriesSpec extends SparkTestBase {
 
-  private def docsDir(rows: Seq[(Long, String, String)]): String = {
+  private def docsDir(rows: Seq[(Long, String, String)],
+      sources: Seq[String] = Seq.empty): String = {
     import spark.implicits._
     val dir = Files.createTempDirectory("pq").toFile.getAbsolutePath
-    rows.toDF("doc_id", "text", "lang")
-      .write.parquet(s"$dir/documents.parquet")
+    val df =
+      if (sources.isEmpty) rows.toDF("doc_id", "text", "lang")
+      else rows.zip(sources).map { case ((id, t, l), src) => (id, t, l, src) }
+        .toDF("doc_id", "text", "lang", "source")
+    df.write.parquet(s"$dir/documents.parquet")
     dir
   }
 
@@ -131,6 +135,76 @@ class PipelineQueriesSpec extends SparkTestBase {
       "SELECT graft_quant8_stats(sx) AS f FROM pq_v")
       .select("f.scale", "f.n_sat").head()
     assert(q.getLong(0) === 1000000L && q.getLong(1) === 1L)
+  }
+
+  test("e18: transition counts and lift from a hand-built stream " +
+      "(lift > 1 for the forced pattern, < 1 for the avoided one)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pq").toFile.getAbsolutePath
+    // user 1: a→b a→b a→b ; user 2: b→a — "a then b" is forced,
+    // "a then a" never happens
+    val rows = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (1L, 5L, "a"), (1L, 6L, "b"), (2L, 7L, "b"), (2L, 8L, "a"))
+    rows.toDF("user_id", "event_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val out = queries.EventAnalytics.e18.run(spark, dir).collect()
+      .map(r => (r.getAs[String]("prev_type"),
+        r.getAs[String]("next_type")) -> r).toMap
+    // u1 (a b a b a b) → a→b ×3, b→a ×2; u2 (b a) → b→a ×1 — six
+    // transitions, no self-loops
+    assert(out(("a", "b")).getAs[Long]("n_ab") === 3L)
+    assert(out(("b", "a")).getAs[Long]("n_ab") === 3L)
+    assert(!out.contains(("a", "a")) && !out.contains(("b", "b")))
+    val ab = out(("a", "b"))
+    // n=6, n_from(a)=3, n_to(b)=3 → lift = 3·6/(3·3) = 2.0
+    assert(ab.getAs[Long]("n_from") === 3L)
+    assert(ab.getAs[Long]("n_to") === 3L)
+    assert(ab.getAs[Double]("lift") === 2.0)
+    assert(ab.getAs[Double]("p_ab") === 0.5)
+  }
+
+  test("d08: counts docs of source a duplicated in source b; " +
+      "same-source duplication never appears") {
+    val sharedText = "alpha beta gamma delta epsilon"
+    val dir = docsDir(Seq(
+      (1L, sharedText, "en"), (2L, sharedText, "en"),
+      (3L, sharedText, "en"), (4L, "totally different words here now", "en"),
+      (5L, "another unrelated body of text", "en")),
+      sources = Seq("srcA", "srcA", "srcB", "srcA", "srcB"))
+    val out = queries.TextDedup.d08.run(spark, dir).collect()
+      .map(r => (r.getAs[String]("source_a"),
+        r.getAs[String]("source_b")) -> r).toMap
+    // docs 1,2 (srcA) and 3 (srcB) share the fingerprint; 4/5 don't
+    assert(out(("srcA", "srcB")).getAs[Long]("n_dup_docs") === 2L)
+    assert(out(("srcB", "srcA")).getAs[Long]("n_dup_docs") === 1L)
+    assert(out(("srcA", "srcB")).getAs[Long]("n_docs_a") === 3L)
+    assert(out(("srcA", "srcB")).getAs[Double]("dup_share") === 2.0 / 3.0)
+    assert(out.keys.forall { case (a, b) => a != b })
+  }
+
+  test("s08: rows are taken in (hash, id) order until the stratum " +
+      "budget; the crossing row and its tail drop") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "s1", 40L), (2L, "s1", 40L), (3L, "s1", 40L),
+      (4L, "s2", 90L), (5L, "s2", 90L))
+      .toDF("doc_id", "source", "n_tokens")
+    val out = operators.Sampling.takeWeightBudget(
+        df, col("doc_id"), col("source"), col("n_tokens"), budget = 100L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("cum_weight")).toMap
+    // s1: two 40s fit (cum 40, 80), the third (cum 120) crosses and
+    // drops; s2: one 90 fits, the second (180) drops
+    assert(out.size === 3)
+    assert(out.values.forall(_ <= 100L))
+    val s1Kept = out.keys.filter(id => id <= 3L)
+    assert(s1Kept.size === 2)
+    assert(out.keys.count(_ >= 4L) === 1)
+    intercept[IllegalArgumentException] {
+      operators.Sampling.takeWeightBudget(
+        df, col("doc_id"), col("source"), col("n_tokens"), budget = 0L)
+    }
   }
 
   test("v05: max element saturates to ±127, zeros stay zero, " +
