@@ -276,6 +276,64 @@ object TextDedup {
   }
 
   // ---------------------------------------------------------------
+  // d09 LSH quality report — the evaluation a dedup pipeline runs
+  // before trusting its index: d03's banded candidates scored against
+  // d02's exact-Jaccard ground truth (the ≥0.5 pairs under the same
+  // df cap). One row: candidate/truth/hit counts, recall (what the
+  // bands missed) and precision (how much verification work the bands
+  // force). Both sides are the EXISTING operators' plans — the oracle
+  // splices the single-sourced gram/signature fragments, so the
+  // report can never drift from what d02/d03 actually compute; the
+  // three count aggregates cross-join as 1-row frames (the audited
+  // g02 pattern).
+  val d09 = Q(
+    "d09_lsh_quality",
+    s"""${mhSigCte},
+      |gd AS (SELECT DISTINCT doc_id, gid FROM g),
+      |hh AS (SELECT doc_id, gid FROM gd WHERE gid NOT IN
+      |        (SELECT gid FROM gd GROUP BY gid HAVING COUNT(*) > 1000)),
+      |nn AS (SELECT doc_id, COUNT(*) AS n FROM hh GROUP BY doc_id),
+      |pp AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |        CAST(COUNT(*) AS BIGINT) AS inter
+      |      FROM hh x JOIN hh y ON x.gid = y.gid AND x.doc_id < y.doc_id
+      |      GROUP BY 1, 2),
+      |truth AS (SELECT doc_a, doc_b
+      |      FROM pp JOIN nn na ON pp.doc_a = na.doc_id
+      |              JOIN nn nb ON pp.doc_b = nb.doc_id
+      |      WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5),
+      |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |      FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND
+      |        $mhBandsSql),
+      |hits AS (SELECT t.doc_a FROM truth t
+      |      JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+      |SELECT
+      |  CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_pairs,
+      |  CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidate_pairs,
+      |  CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_hits,
+      |  CASE WHEN (SELECT COUNT(*) FROM truth) > 0 THEN
+      |    (SELECT COUNT(*) FROM hits)::DOUBLE /
+      |      (SELECT COUNT(*) FROM truth) END AS lsh_recall,
+      |  CASE WHEN (SELECT COUNT(*) FROM cand) > 0 THEN
+      |    (SELECT COUNT(*) FROM hits)::DOUBLE /
+      |      (SELECT COUNT(*) FROM cand) END AS lsh_precision""".stripMargin) {
+    (s, dir) =>
+      val truth = d02.run(s, dir).select("doc_a", "doc_b")
+      val cand = minhashPairs(s, dir).select("doc_a", "doc_b")
+      val hits = truth.join(cand, Seq("doc_a", "doc_b"))
+      truth.agg(count(lit(1)).as("n_true_pairs"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidate_pairs")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(col("n_true_pairs"), col("n_candidate_pairs"),
+          col("n_hits"),
+          when(col("n_true_pairs") > 0,
+            col("n_hits").cast(DoubleType) / col("n_true_pairs"))
+            .as("lsh_recall"),
+          when(col("n_candidate_pairs") > 0,
+            col("n_hits").cast(DoubleType) / col("n_candidate_pairs"))
+            .as("lsh_precision"))
+  }
+
+  // ---------------------------------------------------------------
   // d08 cross-source duplication matrix — the provenance report a
   // corpus curation pass runs on d05's fingerprints: for every ordered
   // source pair (a, b), how many of a's documents have a fingerprint
@@ -479,5 +537,5 @@ object TextDedup {
       .filter(col("cosine") >= 0.3)
   }
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08)
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09)
 }

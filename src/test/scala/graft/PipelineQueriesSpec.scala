@@ -183,6 +183,24 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(out.keys.forall { case (a, b) => a != b })
   }
 
+  test("d09: identical docs are truth pairs the bands must recall; " +
+      "report counts are consistent") {
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = docsDir(Seq(
+      (1L, dup, "en"), (2L, dup, "en"),
+      (3L, "completely different words in this one body", "en"),
+      (4L, "and a fourth unrelated document text here", "en")))
+    val r = queries.TextDedup.d09.run(spark, dir).collect().head
+    // docs 1/2 share every gram → Jaccard 1.0 truth pair AND all 8
+    // minhashes equal → every band agrees: the pair must be recalled
+    assert(r.getAs[Long]("n_true_pairs") === 1L)
+    assert(r.getAs[Long]("n_hits") === 1L)
+    assert(r.getAs[Double]("lsh_recall") === 1.0)
+    val cand = r.getAs[Long]("n_candidate_pairs")
+    assert(cand >= 1L)
+    assert(r.getAs[Double]("lsh_precision") === 1.0 / cand)
+  }
+
   test("s08: rows are taken in (hash, id) order until the stratum " +
       "budget; the crossing row and its tail drop") {
     import spark.implicits._
