@@ -91,6 +91,24 @@ object VectorSearch {
       .select("q_id", "neighbor_id", "rnk", "cosine")
   }
 
+  /** Oracle CTE `el` = (vec_id, label, scaled vector, squared norm) —
+    * the labeled twin of [[normCte]]'s `e`, shared by v04 + v06. */
+  private val elCte =
+    """el AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> round(x::DOUBLE*1e6)::BIGINT) AS sx,
+      |    CAST(list_sum(list_transform(
+      |      list_transform(embedding, x -> round(x::DOUBLE*1e6)::BIGINT),
+      |      x -> x*x)) AS BIGINT) AS n
+      |  FROM embeddings)""".stripMargin
+
+  /** Spark twin of [[elCte]], pinned (it always fans out). */
+  private def elFrame(emb: DataFrame): DataFrame =
+    graft.operators.Pin(emb
+      .select(col("vec_id"), col("label"),
+        Fns.scaleVec(col("embedding")).as("sx"))
+      .withColumn("n", VectorExprs.normSqIntNative(col("sx"))))
+
   /** Shared coarse-assignment CTE chain (v02 + v04): per-label
     * centroid means via exact scaled-integer sums, then per-query
     * squared distance to every centroid as a sum of rounded 1e12-scale
@@ -240,13 +258,7 @@ object VectorSearch {
   // dot so every number is bit-identical cross-engine.
   val v04 = Q(
     "v04_ivf_probe_search",
-    s"""WITH el AS (
-      |  SELECT vec_id, label,
-      |    list_transform(embedding, x -> round(x::DOUBLE*1e6)::BIGINT) AS sx,
-      |    CAST(list_sum(list_transform(
-      |      list_transform(embedding, x -> round(x::DOUBLE*1e6)::BIGINT),
-      |      x -> x*x)) AS BIGINT) AS n
-      |  FROM embeddings),
+    s"""WITH $elCte,
       |$coarseAssignCtes,
       |probe AS (SELECT q_id, label
       |          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
@@ -268,10 +280,7 @@ object VectorSearch {
     val emb = Tables.load(s, dir, "embeddings")
     // el fans out (candidate join + query side): pin so the
     // scaleVec+norm pass runs once, like the dedup family's gram pin
-    val el = graft.operators.Pin(emb
-      .select(col("vec_id"), col("label"),
-        Fns.scaleVec(col("embedding")).as("sx"))
-      .withColumn("n", VectorExprs.normSqIntNative(col("sx"))))
+    val el = elFrame(emb)
     // coarse assignment (shared with v02): nprobe=2 nearest cells
     val dAgg = coarseDistances(emb)
     val wProbe = Window.partitionBy("q_id").orderBy(col("ds"), col("label"))
@@ -356,5 +365,94 @@ object VectorSearch {
         col("f.n_zero").as("n_zero"), col("f.n_sat").as("n_sat"))
   }
 
-  val all: Seq[Q] = Seq(v01, v02, v03, v04, v05)
+  // ---------------------------------------------------------------
+  // v06 ANN recall@5 — the evaluation an ANN deployment runs before
+  // trusting its index (the vector twin of d09): v04's IVF probe
+  // results scored against v01's exact brute-force top-5 over the
+  // same bounded query set. Per query: hits and recall@5 — recall <
+  // 1 means the true neighbor lived outside the nprobe=2 probed
+  // cells, the signal to raise nprobe or refine cells. Both sides
+  // are the EXISTING operators' plans via the shared el/coarse
+  // fragments, so the report can't drift from what v01/v04 compute.
+  val v06 = Q(
+    "v06_ann_recall",
+    s"""WITH $elCte,
+      |$coarseAssignCtes,
+      |e AS (SELECT vec_id, sx, n FROM el),
+      |q AS (SELECT vec_id AS q_id, sx AS q_sx, n AS q_n
+      |      FROM e WHERE vec_id % 50 = 0
+      |      ORDER BY vec_id LIMIT $V01Queries),
+      |truth AS (SELECT q_id, neighbor_id FROM (
+      |    SELECT q.q_id, e.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+      |        $dotSql::DOUBLE / (sqrt(q.q_n::DOUBLE) * sqrt(e.n::DOUBLE))
+      |          DESC, e.vec_id) AS rnk
+      |    FROM q JOIN e ON e.vec_id <> q.q_id) t
+      |  WHERE rnk <= 5),
+      |probe AS (SELECT q_id, label
+      |          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+      |                  ORDER BY ds, label) AS rnk FROM d) t
+      |          WHERE rnk <= 2),
+      |approx AS (SELECT q.q_id, e.vec_id AS neighbor_id,
+      |      $dotSql::DOUBLE / (sqrt(q.q_n::DOUBLE) * sqrt(e.n::DOUBLE))
+      |        AS cosine
+      |    FROM probe
+      |    JOIN el e ON e.label = probe.label AND e.vec_id <> probe.q_id
+      |    JOIN q ON q.q_id = probe.q_id),
+      |ar AS (SELECT q_id, neighbor_id FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY cosine DESC, neighbor_id) AS rnk FROM approx) t
+      |  WHERE rnk <= 5),
+      |hits AS (SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS c
+      |    FROM truth t JOIN ar ON t.q_id = ar.q_id
+      |      AND t.neighbor_id = ar.neighbor_id
+      |    GROUP BY t.q_id)
+      |SELECT q.q_id, CAST(COALESCE(hits.c, 0) AS BIGINT) AS n_hits,
+      |  COALESCE(hits.c, 0)::DOUBLE / 5.0 AS recall_at_5
+      |FROM q LEFT JOIN hits ON q.q_id = hits.q_id""".stripMargin) {
+    (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val el = elFrame(emb)
+      val q = el.filter(col("vec_id") % 50 === 0)
+        .orderBy("vec_id").limit(V01Queries)
+        .select(col("vec_id").as("q_id"), col("sx").as("q_sx"),
+          col("n").as("q_n"))
+      val wTop = Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      val truth = el.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          Fns.cosineFromScaled(
+            VectorExprs.dotIntNative(col("q_sx"), col("sx")),
+            col("q_n"), col("n")).as("cosine"))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 5)
+        .select("q_id", "neighbor_id")
+      val wProbe = Window.partitionBy("q_id")
+        .orderBy(col("ds"), col("label"))
+      val probe = coarseDistances(emb)
+        .withColumn("rnk", row_number().over(wProbe))
+        .filter(col("rnk") <= 2)
+        .select("q_id", "label")
+      val approx = el.join(probe,
+          el("label") === probe("label") && col("vec_id") =!= probe("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          col("sx"), col("n"))
+        .join(q, "q_id")
+        .select(col("q_id"), col("neighbor_id"),
+          Fns.cosineFromScaled(
+            VectorExprs.dotIntNative(col("q_sx"), col("sx")),
+            col("q_n"), col("n")).as("cosine"))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 5)
+        .select("q_id", "neighbor_id")
+      val hits = truth.join(approx, Seq("q_id", "neighbor_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("c"))
+      q.select("q_id").join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("c"), lit(0L)).as("n_hits"),
+          (coalesce(col("c"), lit(0L)).cast(DoubleType) / lit(5.0))
+            .as("recall_at_5"))
+  }
+
+  val all: Seq[Q] = Seq(v01, v02, v03, v04, v05, v06)
 }

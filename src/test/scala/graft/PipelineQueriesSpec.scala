@@ -225,6 +225,30 @@ class PipelineQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("v06: clustered corpus where true neighbors share the query's " +
+      "cell → probe search recalls everything") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pq").toFile.getAbsolutePath
+    // 3 tight clusters on axes e0/e1/e2; query vec_id=0 sits in
+    // cluster 0, so its true top-5 are label-0 vectors and nprobe=2
+    // must include cell 0 → recall@5 = 1.0
+    val vecs = (0 until 60).map { i =>
+      val label = i % 3
+      val base = Array.fill(4)(0.0f)
+      base(label) = 1.0f
+      base(3) = (i * 0.001f) // tiny distinct perturbation
+      (i.toLong, base, label)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = queries.VectorSearch.v06.run(spark, dir).collect()
+    // bounded query set: only vec_id 0 (and 50) satisfy %50==0
+    assert(out.length === 2)
+    val r0 = out.find(_.getAs[Long]("q_id") === 0L).get
+    assert(r0.getAs[Long]("n_hits") === 5L)
+    assert(r0.getAs[Double]("recall_at_5") === 1.0)
+  }
+
   test("v05: max element saturates to ±127, zeros stay zero, " +
       "zero vectors are out of scope, mse bounded by step size") {
     import spark.implicits._
