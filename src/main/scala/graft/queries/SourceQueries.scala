@@ -233,7 +233,7 @@ object SourceQueries {
     "s06_decontamination",
     s"""${TextDedup.gidsCte},
       |h AS (SELECT doc_id, gid FROM g WHERE gid NOT IN
-      |        (SELECT gid FROM g GROUP BY gid HAVING COUNT(*) > 1000)),
+      |        (SELECT gid FROM g GROUP BY gid HAVING COUNT(*) > ${TextDedup.DfCap})),
       |a AS (SELECT doc_id, gid,
       |    CASE WHEN ${Fns.hash60Sql("doc_id")} % 100 < 80
       |         THEN 'train' ELSE 'eval' END AS split FROM h),
@@ -257,7 +257,7 @@ object SourceQueries {
     // (the unpinned plan audit showed 3× the documents scan).
     val g = graft.operators.Pin(TextDedup.gids(s, dir, distinct = true))
     val hot = g.groupBy("gid").agg(count(lit(1)).as("df"))
-      .filter(col("df") > 1000).select("gid")
+      .filter(col("df") > TextDedup.DfCap).select("gid")
     val h = graft.operators.Pin(
       g.join(broadcast(hot), Seq("gid"), "left_anti"))
     // the split rule is s02/s04's assignSplits — ONE definition of the

@@ -61,6 +61,14 @@ object TextDedup {
       |                FOR i IN range(1, len(ws)-1)]) AS gid
       |      FROM t WHERE len(ws) >= 3)""".stripMargin
 
+  /** Hub-shingle document-frequency cap and exact-Jaccard threshold —
+    * ONE definition each, interpolated into every oracle string and
+    * Spark plan that uses them (d02, s06, d09): a change propagates to
+    * the ground truth AND its evaluators together instead of leaving a
+    * stale copy behind. */
+  private[queries] val DfCap = 1000
+  private[queries] val JaccardMin = 0.5
+
   // ---------------------------------------------------------------
   // d01 exact dedup — hash-groupBy canonicalization: every doc mapped
   // to the smallest doc_id sharing its md5(text). One shuffle on the
@@ -95,7 +103,7 @@ object TextDedup {
     "d02_ngram_jaccard",
     s"""$gidsCte,
       |h AS (SELECT doc_id, gid FROM g WHERE gid NOT IN
-      |        (SELECT gid FROM g GROUP BY gid HAVING COUNT(*) > 1000)),
+      |        (SELECT gid FROM g GROUP BY gid HAVING COUNT(*) > $DfCap)),
       |n AS (SELECT doc_id, COUNT(*) AS n FROM h GROUP BY doc_id),
       |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
       |        CAST(COUNT(*) AS BIGINT) AS inter
@@ -106,7 +114,7 @@ object TextDedup {
       |  CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
       |FROM p JOIN n na ON p.doc_a = na.doc_id
       |       JOIN n nb ON p.doc_b = nb.doc_id
-      |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5""".stripMargin) {
+      |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= $JaccardMin""".stripMargin) {
     (s, dir) =>
       // the hashed gram relation fans out (hot-list agg + anti-join
       // stream side): pin it so the native shingle pass runs once
@@ -119,7 +127,7 @@ object TextDedup {
       // scale (it is the skew, by definition) → broadcast anti-join,
       // which preserves the streamed side's gid partitioning.
       val hot = h0.groupBy("gid").agg(count(lit(1)).as("df"))
-        .filter(col("df") > 1000).select("gid")
+        .filter(col("df") > DfCap).select("gid")
       // pin the capped relation too: it fans out FOUR ways (both
       // self-join sides + the two doc-size joins); unpinned, each
       // consumer re-runs the hot-list aggregation and the anti-join —
@@ -147,7 +155,7 @@ object TextDedup {
         .withColumn("union_size", col("na") + col("nb") - col("inter"))
         .withColumn("jaccard",
           col("inter").cast(DoubleType) / col("union_size"))
-        .filter(col("jaccard") >= 0.5)
+        .filter(col("jaccard") >= JaccardMin)
         .select("doc_a", "doc_b", "inter", "union_size", "jaccard")
   }
 
@@ -291,7 +299,7 @@ object TextDedup {
     s"""${mhSigCte},
       |gd AS (SELECT DISTINCT doc_id, gid FROM g),
       |hh AS (SELECT doc_id, gid FROM gd WHERE gid NOT IN
-      |        (SELECT gid FROM gd GROUP BY gid HAVING COUNT(*) > 1000)),
+      |        (SELECT gid FROM gd GROUP BY gid HAVING COUNT(*) > $DfCap)),
       |nn AS (SELECT doc_id, COUNT(*) AS n FROM hh GROUP BY doc_id),
       |pp AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
       |        CAST(COUNT(*) AS BIGINT) AS inter
@@ -300,7 +308,7 @@ object TextDedup {
       |truth AS (SELECT doc_a, doc_b
       |      FROM pp JOIN nn na ON pp.doc_a = na.doc_id
       |              JOIN nn nb ON pp.doc_b = nb.doc_id
-      |      WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5),
+      |      WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= $JaccardMin),
       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       |      FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND
       |        $mhBandsSql),
@@ -317,8 +325,10 @@ object TextDedup {
       |    (SELECT COUNT(*) FROM hits)::DOUBLE /
       |      (SELECT COUNT(*) FROM cand) END AS lsh_precision""".stripMargin) {
     (s, dir) =>
-      val truth = d02.run(s, dir).select("doc_a", "doc_b")
-      val cand = minhashPairs(s, dir).select("doc_a", "doc_b")
+      // both frames feed two consumers (their count + the hit join):
+      // pin so d02's pair aggregation and d03's band join run once
+      val truth = Pin(d02.run(s, dir).select("doc_a", "doc_b"))
+      val cand = Pin(minhashPairs(s, dir).select("doc_a", "doc_b"))
       val hits = truth.join(cand, Seq("doc_a", "doc_b"))
       truth.agg(count(lit(1)).as("n_true_pairs"))
         .crossJoin(cand.agg(count(lit(1)).as("n_candidate_pairs")))

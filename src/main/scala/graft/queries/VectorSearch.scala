@@ -371,9 +371,10 @@ object VectorSearch {
   // results scored against v01's exact brute-force top-5 over the
   // same bounded query set. Per query: hits and recall@5 — recall <
   // 1 means the true neighbor lived outside the nprobe=2 probed
-  // cells, the signal to raise nprobe or refine cells. Both sides
-  // are the EXISTING operators' plans via the shared el/coarse
-  // fragments, so the report can't drift from what v01/v04 compute.
+  // cells, the signal to raise nprobe or refine cells. The Spark
+  // side literally runs v01 and v04 and joins their outputs, so the
+  // report scores exactly what those operators compute; the oracle
+  // re-derives the same algebra from the shared el/coarse fragments.
   val v06 = Q(
     "v06_ann_recall",
     s"""WITH $elCte,
@@ -411,43 +412,22 @@ object VectorSearch {
       |  COALESCE(hits.c, 0)::DOUBLE / 5.0 AS recall_at_5
       |FROM q LEFT JOIN hits ON q.q_id = hits.q_id""".stripMargin) {
     (s, dir) =>
-      val emb = Tables.load(s, dir, "embeddings")
-      val el = elFrame(emb)
-      val q = el.filter(col("vec_id") % 50 === 0)
-        .orderBy("vec_id").limit(V01Queries)
-        .select(col("vec_id").as("q_id"), col("sx").as("q_sx"),
-          col("n").as("q_n"))
-      val wTop = Window.partitionBy("q_id")
-        .orderBy(col("cosine").desc, col("neighbor_id"))
-      val truth = el.join(broadcast(q), col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          Fns.cosineFromScaled(
-            VectorExprs.dotIntNative(col("q_sx"), col("sx")),
-            col("q_n"), col("n")).as("cosine"))
-        .withColumn("rnk", row_number().over(wTop))
-        .filter(col("rnk") <= 5)
-        .select("q_id", "neighbor_id")
-      val wProbe = Window.partitionBy("q_id")
-        .orderBy(col("ds"), col("label"))
-      val probe = coarseDistances(emb)
-        .withColumn("rnk", row_number().over(wProbe))
-        .filter(col("rnk") <= 2)
-        .select("q_id", "label")
-      val approx = el.join(probe,
-          el("label") === probe("label") && col("vec_id") =!= probe("q_id"))
-        .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          col("sx"), col("n"))
-        .join(q, "q_id")
-        .select(col("q_id"), col("neighbor_id"),
-          Fns.cosineFromScaled(
-            VectorExprs.dotIntNative(col("q_sx"), col("sx")),
-            col("q_n"), col("n")).as("cosine"))
-        .withColumn("rnk", row_number().over(wTop))
-        .filter(col("rnk") <= 5)
-        .select("q_id", "neighbor_id")
-      val hits = truth.join(approx, Seq("q_id", "neighbor_id"))
+      // Spark side scores the operators' OWN plans verbatim: truth is
+      // v01's output, the approx side is v04's output restricted to
+      // the bounded query set (per-q_id ranking makes restricting
+      // before or after the top-5 identical). Re-authoring either
+      // plan here would let v06 drift from what it claims to score —
+      // the oracle mirrors the same algebra from the shared el/coarse
+      // fragments. Truth is pinned: it feeds the query-id set, the
+      // hit join, and the report spine.
+      val truth = graft.operators.Pin(
+        v01.run(s, dir).select("q_id", "neighbor_id"))
+      val qIds = truth.select("q_id").distinct()
+      val ar = v04.run(s, dir).select("q_id", "neighbor_id")
+        .join(broadcast(qIds), "q_id")
+      val hits = truth.join(ar, Seq("q_id", "neighbor_id"))
         .groupBy("q_id").agg(count(lit(1)).as("c"))
-      q.select("q_id").join(hits, Seq("q_id"), "left")
+      qIds.join(hits, Seq("q_id"), "left")
         .select(col("q_id"),
           coalesce(col("c"), lit(0L)).as("n_hits"),
           (coalesce(col("c"), lit(0L)).cast(DoubleType) / lit(5.0))
