@@ -225,6 +225,36 @@ class PipelineQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("round-4 queries tolerate empty inputs (no ANSI aborts, " +
+      "sane degenerate outputs)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pq").toFile.getAbsolutePath
+    Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    Seq.empty[(Long, Long, String)]
+      .toDF("user_id", "event_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    // per-row / filtered queries: empty in, empty out
+    Seq(queries.TextAnalysis.t09, queries.SourceQueries.s06,
+      queries.SourceQueries.s07, queries.SourceQueries.s08,
+      queries.TextDedup.d08, queries.VectorSearch.v05,
+      queries.VectorSearch.v06, queries.EventAnalytics.e18)
+      .foreach { q =>
+        assert(q.run(spark, dir).count() === 0L, s"${q.name} not empty")
+      }
+    // d09 is a one-row report — zero counts, NULL ratios (the
+    // division guards), never a divide-by-zero abort
+    val r = queries.TextDedup.d09.run(spark, dir).collect().head
+    assert(r.getAs[Long]("n_true_pairs") === 0L)
+    assert(r.getAs[Long]("n_hits") === 0L)
+    assert(r.isNullAt(r.fieldIndex("lsh_recall")))
+    assert(r.isNullAt(r.fieldIndex("lsh_precision")))
+  }
+
   test("v06: clustered corpus where true neighbors share the query's " +
       "cell → probe search recalls everything") {
     import spark.implicits._
