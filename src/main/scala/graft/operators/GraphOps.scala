@@ -82,15 +82,21 @@ object GraphOps {
     * by component diameter (the min label floods one hop per round) —
     * the scale path for dedup-cluster assignment (canonical-document
     * election over an LSH candidate graph), where components are
-    * near-dup clusters: small and shallow by construction. A
-    * pathological billion-node component would call for
-    * large-star/small-star rounds (Kiveris et al. 2014), which halve
-    * path lengths instead of walking them; the labels/edges loop below
-    * is the slot where that swaps in.
+    * near-dup clusters: small and shallow by construction — but each
+    * round also POINTER-JUMPS (label ← label of its label, the path
+    * halving of Shiloach–Vishkin / hash-to-min), so label chains halve
+    * per round and a diameter-d component converges in O(log d) rounds
+    * instead of d. A 10⁶-long chain — where plain flooding would need
+    * 10⁶ rounds — finishes in ~20. The jump is one extra join on the
+    * LABELS frame (node-grain, small next to the edge join), a cost
+    * shallow graphs barely notice.
     *
     * `edges` needs `src`/`dst` columns of one orderable type. Returns
     * `(id, component)` for every node incident to at least one edge,
     * `component` = min id in the node's component. */
+  /** Flood rounds before pointer jumping activates (see loop note). */
+  private val JumpAfter = 3
+
   def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     // symmetrize once: propagation must run both directions
@@ -113,11 +119,36 @@ object GraphOps {
       val nbrMin = sym.join(labels, sym("src") === labels("id"))
         .groupBy(col("dst").as("id"))
         .agg(min("component").as("nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+      val hopped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("component").as("old"),
           least(col("component"), coalesce(col("nbr"), col("component")))
-            .as("component"),
-          (col("nbr") < col("component")).as("improved"))
+            .as("component"))
+      // pointer jump: a label is always some node in the same
+      // component (invariant: it only ever copies another node's
+      // label, monotonically decreasing), so following component →
+      // label(component) stays inside the component while halving
+      // label-chain length. Fixpoint unchanged: no neighbor OR parent
+      // improvement ⇔ labels constant across every edge ⇔ min-label
+      // assignment. ADAPTIVE: the jump join only switches on once the
+      // graph has proven deep (still unconverged after `JumpAfter`
+      // flood rounds) — near-dup clusters converge before it ever
+      // activates and pay nothing, while a chain of any depth still
+      // finishes in O(log d) rounds after the switch.
+      val jumped =
+        if (it <= JumpAfter) hopped
+        else {
+          val parent = labels
+            .select(col("id").as("p_id"), col("component").as("p_comp"))
+          hopped.join(parent, hopped("component") === col("p_id"), "left")
+            .select(col("id"),
+              least(col("component"),
+                coalesce(col("p_comp"), col("component")))
+                .as("component"),
+              col("old"))
+        }
+      val next = jumped
+        .withColumn("improved", col("component") < col("old"))
+        .drop("old")
         .localCheckpoint(true)
       converged = next.filter(col("improved")).isEmpty
       // next is fully materialized (eager checkpoint + the probe), so
@@ -133,8 +164,9 @@ object GraphOps {
     // several is_canonical rows per true cluster) — refuse it loudly
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxIters rounds: " +
-        "component diameter exceeds maxIters; raise maxIters (or switch " +
-        "this loop to large-star/small-star rounds for deep graphs)")
+        "with pointer jumping this needs a component of diameter " +
+        "~2^maxIters — check the input for label-type mismatches, or " +
+        "raise maxIters")
     labels
   }
 

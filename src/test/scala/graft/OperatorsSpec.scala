@@ -56,11 +56,52 @@ class GraphOpsSpec extends SparkTestBase {
   }
 
   test("connectedComponents: refuses to return unconverged labels") {
-    // diameter 11 > maxIters 3: silent partial flooding would report
-    // one chain as several components — must throw instead
-    val e = (1L to 11L).map(i => (i, i + 1)).toDF("src", "dst")
+    // diameter 199 >> 2^3: even with pointer jumping, 3 rounds cannot
+    // finish — silent partial labels would report one chain as many
+    // components, so it must throw instead
+    val e = (1L to 199L).map(i => (i, i + 1)).toDF("src", "dst")
     intercept[IllegalStateException](
       GraphOps.connectedComponents(e, maxIters = 3))
+  }
+
+  test("connectedComponents: pointer jumping converges a 300-node " +
+      "path in far fewer rounds than its diameter") {
+    // plain flooding needs 299 rounds (> default maxIters 50); path
+    // halving needs ~O(log d) — the default budget must suffice
+    val e = (1L to 299L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = GraphOps.connectedComponents(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to 300L).map(_ -> 1L).toMap)
+  }
+
+  test("connectedComponents: seeded random graphs match a union-find " +
+      "reference") {
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { trial =>
+      val n = 60
+      val edges = (1 to 70).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // expected component = min node id in each union-find class,
+      // restricted to nodes that touch an edge (the operator contract)
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expect = touched.map { v =>
+        val root = find(v.toInt)
+        val minId = touched.filter(u => find(u.toInt) == root).min
+        v -> minId
+      }.toMap
+      val got = GraphOps
+        .connectedComponents(edges.toDF("src", "dst")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expect, s"trial $trial")
+    }
   }
 
   test("validate: dangling endpoints + unreachable nodes") {
