@@ -144,6 +144,17 @@ class LogRollupsSpec extends SparkTestBase {
     assert(l1.getAs[Long]("total_steps") === 28L)
   }
 
+  test("L3→L2→L1 plan: exactly two exchanges (the BASELINE.md " +
+      "single-pass rollup contract)") {
+    // (run, node) agg then (run) agg — each is one shuffle; anything
+    // more means the rollup re-reads or re-shuffles the step log
+    val plan = LogRollups.l2ToL1(LogRollups.l3ToL2(steps))
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator
+      .count(_.trim.stripPrefix("+- ").startsWith("Exchange"))
+    assert(exchanges === 2, s"expected 2 exchanges, got $exchanges:\n$plan")
+  }
+
   test("steps since last accept (worker_monitoring_tools.py:158-163)") {
     val d = LogRollups.stepsSinceLastAccept(
       Seq(("r", "n", 1, "accept"), ("r", "n", 2, "continue"),
