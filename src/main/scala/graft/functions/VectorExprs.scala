@@ -150,6 +150,9 @@ object Shingle3Hash60 {
   private val md5: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() =>
       java.security.MessageDigest.getInstance("MD5"))
+
+  /** Shared thread-local digest for the hashing natives. */
+  private[functions] def digest(): java.security.MessageDigest = md5.get()
 }
 
 /** Word-2-gram repetition statistics in ONE native pass per document
@@ -299,6 +302,57 @@ case class Quant8Stats(child: Expression)
       : Expression = copy(child = newChild)
 }
 
+/** t05's rolling document fingerprint in ONE native pass: the
+  * order-sensitive Karp–Rabin fold h ← (h·31 + hash60(wᵢ) mod 1000003)
+  * mod 1000003, seeded with the first token's hash. The composed path
+  * (md5-per-token transform + HOF aggregate) is inherently interpreted
+  * — an order-sensitive fold can't codegen — and pays per-element
+  * Catalyst dispatch on top; here both the hashing and the fold run in
+  * one JVM loop. Arithmetic is identical (60-bit md5 prefix, same
+  * modulus), so the oracle hash cannot move. Returns null for an empty
+  * token array (no tokens → no fingerprint).
+  */
+case class RollingFp60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got $t")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_rolling_fp60"
+
+  private val Mod = 1000003L
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val ws = input.asInstanceOf[ArrayData]
+    val n = ws.numElements()
+    if (n == 0) return null
+    val md = Shingle3Hash60.digest()
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      val t = ws.getUTF8String(i)
+      md.reset()
+      md.update(if (t == null) Array.emptyByteArray else t.getBytes)
+      val d = md.digest()
+      var v = 0L
+      var j = 0
+      while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      val hv = (v >>> 4) % Mod // first 15 hex nibbles = top 60 bits
+      h = if (i == 0) hv else (h * 31 + hv) % Mod
+      i += 1
+    }
+    h
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 object VectorExprs {
 
   /** Column wrapper: native integer dot product. */
@@ -323,4 +377,9 @@ object VectorExprs {
   def quant8Stats(sx: Column): Column =
     GraftColumnBridge.column(Quant8Stats(
       GraftColumnBridge.expression(sx)))
+
+  /** Column wrapper: native rolling 60-bit document fingerprint. */
+  def rollingFp60(ws: Column): Column =
+    GraftColumnBridge.column(RollingFp60(
+      GraftColumnBridge.expression(ws)))
 }

@@ -161,15 +161,15 @@ object TextAnalysis {
       |    (acc, h) -> (acc * 31 + h) % 1000003) AS fingerprint,
       |  len(string_split(text, ' ')) AS n_tokens
       |FROM documents""".stripMargin) { (s, dir) =>
-    val hs = transform(col("ws"), w => Fns.hash60(w) % 1000003L)
+    // one native pass ([[graft.functions.RollingFp60]]): per-token md5
+    // + the order-sensitive fold in a single JVM loop — the composed
+    // transform+aggregate path is inherently interpreted (an
+    // order-sensitive fold can't codegen) and paid per-element
+    // Catalyst dispatch on top
     docs(s, dir)
-      .withColumn("hs", hs)
       .select(
         col("doc_id"),
-        aggregate(
-          slice(col("hs"), lit(2), greatest(size(col("hs")) - 1, lit(0))),
-          element_at(col("hs"), 1),
-          (acc, h) => (acc * 31 + h) % 1000003L).as("fingerprint"),
+        VectorExprs.rollingFp60(col("ws")).as("fingerprint"),
         size(col("ws")).as("n_tokens"))
   }
 

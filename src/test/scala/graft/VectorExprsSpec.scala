@@ -166,6 +166,33 @@ class VectorExprsSpec extends SparkTestBase {
     assert(native(99L)._4 === 1L) // one saturated code (the max)
   }
 
+  test("property: RollingFp60 ≡ composed transform+aggregate fold on " +
+      "random docs (seeded); empty tokens → null") {
+    val rnd = new scala.util.Random(3)
+    val vocab = Vector("a", "bb", "ccc", "dddd", "ee")
+    val docsSeq = (1 to 40).map { _ =>
+      (1 to (1 + rnd.nextInt(10)))
+        .map(_ => vocab(rnd.nextInt(vocab.size)))
+    }
+    val df = docsSeq.zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws) }.toDF("id", "ws")
+    val native = df
+      .select(col("id"), VectorExprs.rollingFp60(col("ws")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hs = transform(col("ws"), w => Fns.hash60(w) % 1000003L)
+    val composed = df.withColumn("hs", hs)
+      .select(col("id"),
+        aggregate(
+          slice(col("hs"), lit(2), greatest(size(col("hs")) - 1, lit(0))),
+          element_at(col("hs"), 1),
+          (acc, h) => (acc * 31 + h) % 1000003L).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === composed)
+    val empty = Seq((0L, Seq.empty[String])).toDF("id", "ws")
+      .select(VectorExprs.rollingFp60(col("ws"))).head()
+    assert(empty.isNullAt(0))
+  }
+
   test("property: Gram2Stats ≡ plain gram-frequency reference on " +
       "random docs (seeded)") {
     val rnd = new scala.util.Random(42)
