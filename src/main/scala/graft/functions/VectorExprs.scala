@@ -121,11 +121,7 @@ case class Shingle3Hash60(child: Expression, distinct: Boolean)
       md.update(toks(i)); md.update(' '.toByte)
       md.update(toks(i + 1)); md.update(' '.toByte)
       md.update(toks(i + 2))
-      val d = md.digest()
-      var v = 0L
-      var j = 0
-      while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
-      out(i) = v >>> 4 // first 15 hex nibbles = top 60 bits
+      out(i) = Shingle3Hash60.top60(md.digest())
       i += 1
     }
     if (!distinct) new GenericArrayData(out)
@@ -153,6 +149,15 @@ object Shingle3Hash60 {
 
   /** Shared thread-local digest for the hashing natives. */
   private[functions] def digest(): java.security.MessageDigest = md5.get()
+
+  /** First 15 hex nibbles of an md5 digest as a 60-bit long — the
+    * hash60 read, shared so the hashing natives can never drift. */
+  private[functions] def top60(d: Array[Byte]): Long = {
+    var v = 0L
+    var j = 0
+    while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+    v >>> 4
+  }
 }
 
 /** Word-2-gram repetition statistics in ONE native pass per document
@@ -336,13 +341,12 @@ case class RollingFp60(child: Expression)
     var i = 0
     while (i < n) {
       val t = ws.getUTF8String(i)
+      // composed-path parity: md5(NULL) is NULL and the fold
+      // propagates it — a null token nulls the whole fingerprint
+      if (t == null) return null
       md.reset()
-      md.update(if (t == null) Array.emptyByteArray else t.getBytes)
-      val d = md.digest()
-      var v = 0L
-      var j = 0
-      while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
-      val hv = (v >>> 4) % Mod // first 15 hex nibbles = top 60 bits
+      md.update(t.getBytes)
+      val hv = Shingle3Hash60.top60(md.digest()) % Mod
       h = if (i == 0) hv else (h * 31 + hv) % Mod
       i += 1
     }

@@ -94,7 +94,7 @@ object GraphOps {
     * `edges` needs `src`/`dst` columns of one orderable type. Returns
     * `(id, component)` for every node incident to at least one edge,
     * `component` = min id in the node's component. */
-  /** Flood rounds before pointer jumping activates (see loop note). */
+  // flood rounds before pointer jumping activates (see loop note)
   private val JumpAfter = 3
 
   def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
@@ -163,10 +163,11 @@ object GraphOps {
     // an unconverged result is WRONG (one component reported as many,
     // several is_canonical rows per true cluster) — refuse it loudly
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge within $maxIters rounds: " +
-        "with pointer jumping this needs a component of diameter " +
-        "~2^maxIters — check the input for label-type mismatches, or " +
-        "raise maxIters")
+      s"connectedComponents did not converge within $maxIters rounds " +
+        s"(reachable diameter ≈ $JumpAfter flood rounds then doubling " +
+        s"per jump round — ~2^(maxIters-$JumpAfter) past the flood " +
+        "prefix); raise maxIters, or check the input for label-type " +
+        "mismatches")
     labels
   }
 

@@ -150,8 +150,10 @@ class LogRollupsSpec extends SparkTestBase {
     // more means the rollup re-reads or re-shuffles the step log
     val plan = LogRollups.l2ToL1(LogRollups.l3ToL2(steps))
       .queryExecution.executedPlan.toString
-    val exchanges = plan.linesIterator
-      .count(_.trim.stripPrefix("+- ").startsWith("Exchange"))
+    // \bExchange: matches the shuffle operator wherever it sits in the
+    // tree (incl. ':-' branch rails a line-prefix check misses) but
+    // not BroadcastExchange/ReusedExchange (no word boundary there)
+    val exchanges = raw"\bExchange".r.findAllIn(plan).size
     assert(exchanges === 2, s"expected 2 exchanges, got $exchanges:\n$plan")
   }
 

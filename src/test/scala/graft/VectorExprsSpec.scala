@@ -191,6 +191,11 @@ class VectorExprsSpec extends SparkTestBase {
     val empty = Seq((0L, Seq.empty[String])).toDF("id", "ws")
       .select(VectorExprs.rollingFp60(col("ws"))).head()
     assert(empty.isNullAt(0))
+    // null token → null fingerprint, matching the composed path
+    // (md5(NULL) is NULL and the fold propagates it)
+    val withNull = Seq((0L, Seq("a", null, "b"))).toDF("id", "ws")
+      .select(VectorExprs.rollingFp60(col("ws"))).head()
+    assert(withNull.isNullAt(0))
   }
 
   test("property: Gram2Stats ≡ plain gram-frequency reference on " +
