@@ -356,5 +356,46 @@ object SourceQueries {
       .select("doc_id", "source", "n_tokens", "cum_weight")
   }
 
-  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, c01)
+  // ---------------------------------------------------------------
+  // s09 — train/eval contamination at the SEMANTIC grain, completing
+  // the decontamination triple (s04 fingerprint, s06 shared-n-gram,
+  // s09 embedding cosine): cross-split pairs among d06's verified
+  // near-duplicates, oriented as (eval vec, train vec). Both sides
+  // literally reuse d06 — the Spark side runs its plan, the oracle
+  // nests its SQL as a CTE — so the semantic-duplicate definition
+  // (blocking cells, cosine threshold) can never drift from the dedup
+  // operator users already trust. Split rule = s02's hash bucket via
+  // the same single-sourced fragments.
+  val s09 = Q(
+    "s09_semantic_contamination",
+    s"""WITH base AS (${TextDedup.d06.oracle.get}),
+      |sp AS (SELECT vec_a, vec_b, label, cosine,
+      |  CASE WHEN ${Fns.hash60Sql("vec_a")} % 100 < 80
+      |       THEN 'train' ELSE 'eval' END AS split_a,
+      |  CASE WHEN ${Fns.hash60Sql("vec_b")} % 100 < 80
+      |       THEN 'train' ELSE 'eval' END AS split_b
+      |  FROM base)
+      |SELECT CASE WHEN split_a = 'eval' THEN vec_a ELSE vec_b END
+      |    AS eval_vec_id,
+      |  CASE WHEN split_a = 'eval' THEN vec_b ELSE vec_a END
+      |    AS train_vec_id,
+      |  label, cosine
+      |FROM sp WHERE split_a <> split_b""".stripMargin) { (s, dir) =>
+    val base = TextDedup.d06.run(s, dir)
+    val sA = graft.operators.Sampling
+      .assignSplits(base, col("vec_a"), Seq("train" -> 80, "eval" -> 100))
+      .withColumnRenamed("split", "split_a")
+    val sB = graft.operators.Sampling
+      .assignSplits(sA, col("vec_b"), Seq("train" -> 80, "eval" -> 100))
+      .withColumnRenamed("split", "split_b")
+    sB.filter(col("split_a") =!= col("split_b"))
+      .select(
+        when(col("split_a") === "eval", col("vec_a")).otherwise(col("vec_b"))
+          .as("eval_vec_id"),
+        when(col("split_a") === "eval", col("vec_b")).otherwise(col("vec_a"))
+          .as("train_vec_id"),
+        col("label"), col("cosine"))
+  }
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, c01)
 }

@@ -225,6 +225,38 @@ class PipelineQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("s09: only cross-split near-dup pairs appear, oriented " +
+      "(eval_vec, train_vec); same-split duplicates are excluded") {
+    import spark.implicits._
+    val buckets = spark.range(1, 200)
+      .select(col("id"),
+        (functions.Fns.hash60(col("id").cast("string")) % 100).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainIds = buckets.filter(_._2 < 80).keys.toSeq.sorted
+    val evalIds = buckets.filter(_._2 >= 80).keys.toSeq.sorted
+    val dir = Files.createTempDirectory("pq").toFile.getAbsolutePath
+    val v = Array(1.0f, 0.9f, 0.8f, 0.7f, 0.6f, 0.5f, 0.4f, 0.3f)
+    val far = Array(-1.0f, 0.9f, -0.8f, 0.7f, -0.6f, 0.5f, -0.4f, 0.3f)
+    Seq(
+      (trainIds(0), v, 0), // near-dup with the eval vector (cos = 1)
+      (evalIds(0), v, 0), // ...cross-split → must be reported
+      (trainIds(1), v, 0), // same vector, but train/train → excluded
+      (trainIds(2), far, 0)) // dissimilar → not a near-dup at all
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = queries.SourceQueries.s09.run(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("eval_vec_id") === evalIds(0))
+      assert(trainIds.contains(r.getAs[Long]("train_vec_id")))
+      assert(r.getAs[Double]("cosine") >= 0.3)
+    }
+    // both cross-split train twins pair with the eval vector; the
+    // train/train duplicate pair must NOT surface
+    assert(out.map(_.getAs[Long]("train_vec_id")).toSet ===
+      Set(trainIds(0), trainIds(1)))
+  }
+
   test("round-4 queries tolerate empty inputs (no ANSI aborts, " +
       "sane degenerate outputs)") {
     import spark.implicits._
@@ -241,8 +273,9 @@ class PipelineQueriesSpec extends SparkTestBase {
     // per-row / filtered queries: empty in, empty out
     Seq(queries.TextAnalysis.t09, queries.SourceQueries.s06,
       queries.SourceQueries.s07, queries.SourceQueries.s08,
-      queries.TextDedup.d08, queries.VectorSearch.v05,
-      queries.VectorSearch.v06, queries.EventAnalytics.e18)
+      queries.SourceQueries.s09, queries.TextDedup.d08,
+      queries.VectorSearch.v05, queries.VectorSearch.v06,
+      queries.EventAnalytics.e18)
       .foreach { q =>
         assert(q.run(spark, dir).count() === 0L, s"${q.name} not empty")
       }
