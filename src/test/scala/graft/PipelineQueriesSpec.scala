@@ -312,6 +312,67 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(r0.getAs[Double]("recall_at_5") === 1.0)
   }
 
+  test("property: takeWeightBudget ≡ per-stratum prefix scan of the " +
+      "(hash, id)-sorted rows (seeded random strata/weights)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val rows = (1 to 120).map { i =>
+      (i.toLong, s"s${rnd.nextInt(5)}", (1 + rnd.nextInt(50)).toLong)
+    }
+    val budget = 120L
+    val df = rows.toDF("doc_id", "source", "n_tokens")
+    val got = operators.Sampling.takeWeightBudget(
+        df, col("doc_id"), col("source"), col("n_tokens"), budget)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("cum_weight")).toMap
+    // reference: sort each stratum by (hash60(id), id), take while the
+    // running total stays within budget
+    val hv = df.select(col("doc_id"),
+        functions.Fns.hash60(col("doc_id").cast("string")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = rows.groupBy(_._2).values.flatMap { stratum =>
+      var cum = 0L
+      stratum.sortBy { case (id, _, _) => (hv(id), id) }.flatMap {
+        case (id, _, w) =>
+          cum += w
+          if (cum <= budget) Some(id -> cum) else None
+      }.takeWhile { case (_, c) => c <= budget }
+    }.toMap
+    assert(got === expect)
+  }
+
+  test("property: e18 ≡ plain Scala transition counter on random " +
+      "event streams (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val types = Vector("a", "b", "c")
+    val rows = (1 to 300).map { i =>
+      (rnd.nextInt(12).toLong, i.toLong, types(rnd.nextInt(types.size)))
+    }
+    val dir = Files.createTempDirectory("pq").toFile.getAbsolutePath
+    rows.toDF("user_id", "event_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val got = queries.EventAnalytics.e18.run(spark, dir).collect()
+      .map(r => (r.getAs[String]("prev_type"),
+        r.getAs[String]("next_type")) ->
+        (r.getAs[Long]("n_ab"), r.getAs[Long]("n_from"),
+          r.getAs[Long]("n_to"), r.getAs[Double]("lift"))).toMap
+    val trans = rows.groupBy(_._1).values.flatMap { evs =>
+      evs.sortBy(_._2).map(_._3).sliding(2).filter(_.size == 2)
+        .map(p => (p(0), p(1)))
+    }.toSeq
+    val nAb = trans.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n = trans.size.toLong
+    nAb.foreach { case ((a, b), c) =>
+      val nFrom = trans.count(_._1 == a).toLong
+      val nTo = trans.count(_._2 == b).toLong
+      val (gAb, gFrom, gTo, gLift) = got((a, b))
+      assert(gAb === c && gFrom === nFrom && gTo === nTo, s"($a,$b)")
+      assert(gLift === (c * n).toDouble / (nFrom * nTo).toDouble)
+    }
+    assert(got.size === nAb.size)
+  }
+
   test("v05: max element saturates to ±127, zeros stay zero, " +
       "zero vectors are out of scope, mse bounded by step size") {
     import spark.implicits._
