@@ -14,6 +14,8 @@ import org.apache.spark.sql.SparkSession
   * compact-sessions <root> <outDir>  small-files → partitioned parquet
   * catalog [table]                   list tables / describe one
   * explain <sfDir> <query>           formatted physical plan
+  * queries                           list the registered query names
+  * run-query <sfDir> <name> [limit]  run a registered query by name
   * }}}
   */
 object Cli {
@@ -40,7 +42,9 @@ object Cli {
       |  sessions <root> [status] [limit]
       |  compact-sessions <root> <outDir>
       |  catalog [table]
-      |  explain <sfDir> <query>""".stripMargin
+      |  explain <sfDir> <query>
+      |  queries
+      |  run-query <sfDir> <name> [limit]""".stripMargin
 
   private[graft] def run(spark: SparkSession, args: List[String]): Unit =
     args match {
@@ -66,6 +70,14 @@ object Cli {
         Tables.registerAll(spark, dir)
         Catalog.explainSql(spark, query).collect()
           .foreach(r => println(r.getString(0)))
+      case "queries" :: Nil =>
+        SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+      case "run-query" :: dir :: name :: rest =>
+        val limit = rest.headOption.map(_.toInt).getOrElse(100)
+        val fn = SparkEntry.queries.getOrElse(name,
+          throw new IllegalArgumentException(
+            s"unknown query '$name' — list with the 'queries' command"))
+        fn(spark, dir).show(limit, truncate = false)
       case other =>
         throw new IllegalArgumentException(
           s"unknown command: ${other.mkString(" ")}\n$usage")

@@ -986,6 +986,13 @@ class MoreOperatorsSpec extends SparkTestBase {
     Cli.run(spark, List("csv-sql", f.getAbsolutePath,
       "SELECT COUNT(*) AS n FROM data"))
     intercept[IllegalArgumentException](Cli.run(spark, List("nope")))
+    // registered-query surface: listing + by-name dispatch + the
+    // unknown-name diagnostic
+    Cli.run(spark, List("queries"))
+    Cli.run(spark,
+      List("run-query", "/root/testdata/sf0.001", "q01_pricing_summary"))
+    intercept[IllegalArgumentException](
+      Cli.run(spark, List("run-query", "/root/testdata/sf0.001", "zz99")))
   }
 
   test("waitFor polls history until match or timeout (event_bus.py:1062-1115)") {
