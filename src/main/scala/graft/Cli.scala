@@ -36,7 +36,7 @@ object Cli {
   }
 
   private[graft] val usage: String =
-    """usage: Cli <csv-sql|table-sql|sessions|compact-sessions|catalog|explain> args...
+    """usage: Cli <csv-sql|table-sql|sessions|compact-sessions|catalog|explain|queries|run-query> args...
       |  csv-sql <csv> <query>
       |  table-sql <sfDir> <query>
       |  sessions <root> [status] [limit]
@@ -72,8 +72,10 @@ object Cli {
           .foreach(r => println(r.getString(0)))
       case "queries" :: Nil =>
         SparkEntry.queries.keys.toSeq.sorted.foreach(println)
-      case "run-query" :: dir :: name :: rest =>
-        val limit = rest.headOption.map(_.toInt).getOrElse(100)
+      case "run-query" :: dir :: name :: rest if rest.size <= 1 =>
+        val limit = rest.headOption.map(l => l.toIntOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"limit must be an integer, got '$l'\n$usage"))).getOrElse(100)
         val fn = SparkEntry.queries.getOrElse(name,
           throw new IllegalArgumentException(
             s"unknown query '$name' — list with the 'queries' command"))

@@ -336,7 +336,7 @@ class PipelineQueriesSpec extends SparkTestBase {
         case (id, _, w) =>
           cum += w
           if (cum <= budget) Some(id -> cum) else None
-      }.takeWhile { case (_, c) => c <= budget }
+      }
     }.toMap
     assert(got === expect)
   }
