@@ -71,9 +71,24 @@ object Bench {
     // compact suite-total line FIRST (always parseable even if the
     // driver's capture clips the long detail line), then the full
     // contract line with per-query times; both are one-line JSON
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":$sfJson}""")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":$sfJson}""")
+    val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":$sfJson}"""
+    val full = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":$sfJson}"""
+    println(compact)
+    println(full)
     Console.out.flush()
+    // ALSO self-report to a file: r04's stdout tail capture clipped 11
+    // of 85 per-query times mid-JSON — the file is written whole by
+    // this process, so the full detail line survives any stdout
+    // truncation. Best-effort: a read-only cwd must not fail the bench.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+      java.nio.file.Files.write(out,
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] wrote ${out.toAbsolutePath}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -164,7 +164,10 @@ object Shingle3Hash60 {
   * (t07's inner loop): given the token array, returns
   * struct(n_grams, n_distinct, top, dup) where `top` is the count of
   * the most frequent 2-gram and `dup` the total occurrences of grams
-  * appearing ≥2 times (Gopher §A1.1 shapes).
+  * appearing ≥2 times (Gopher §A1.1 shapes). Pairs containing a null
+  * token are skipped — the same rows concat's null propagation drops
+  * in the composed explode/concat path — so `n_grams` counts VALID
+  * adjacent pairs, not `len - 1`.
   *
   * The composed alternatives both lose at scale: explode →
   * groupBy(doc, gram) → groupBy(doc) shuffles the corpus × gram-count
@@ -197,18 +200,27 @@ case class Gram2Stats(child: Expression)
     if (n < 2)
       return new GenericInternalRow(Array[Any](0L, 0L, 0L, 0L))
     // count each adjacent token pair; UTF8String.toString is cheap
-    // relative to a Catalyst per-element lambda dispatch
+    // relative to a Catalyst per-element lambda dispatch. A pair with
+    // a null token is SKIPPED entirely (not counted in n_grams) —
+    // mirroring the composed explode/concat path, where concat's null
+    // propagation makes the gram NULL and the count aggregations drop
+    // it. Unreachable from t07 (split() never emits nulls) but
+    // observable through the registered graft_gram2_stats SQL function
+    // with hand-built arrays.
     val counts = new java.util.HashMap[String, Long]((n - 1) * 2)
+    var nPairs = 0L
     var i = 0
     var prev: String = {
       val t = ws.getUTF8String(0)
-      if (t == null) "" else t.toString
+      if (t == null) null else t.toString
     }
     while (i < n - 1) {
       val t = ws.getUTF8String(i + 1)
-      val cur = if (t == null) "" else t.toString
-      val gram = prev + " " + cur
-      counts.merge(gram, 1L, (a, b) => a + b)
+      val cur = if (t == null) null else t.toString
+      if (prev != null && cur != null) {
+        counts.merge(prev + " " + cur, 1L, (a, b) => a + b)
+        nPairs += 1L
+      }
       prev = cur
       i += 1
     }
@@ -221,7 +233,7 @@ case class Gram2Stats(child: Expression)
       if (c >= 2) dup += c
     }
     new GenericInternalRow(
-      Array[Any]((n - 1).toLong, counts.size().toLong, top, dup))
+      Array[Any](nPairs, counts.size().toLong, top, dup))
   }
 
   override protected def withNewChildInternal(newChild: Expression)

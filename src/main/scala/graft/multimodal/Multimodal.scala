@@ -7,17 +7,22 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing for a training-data pipeline: media as
   * opaque `binary` columns + typed metadata, processed per-partition.
   *
-  * Two tiers: header-metadata extraction ([[sniffMetadata]]) is REAL
-  * — PNG/JPEG/GIF/BMP geometry and WAV audio parameters parse
-  * directly from the container byte layout, no codec needed. Only the
-  * pixel/sample decode is STUBBED (no image/audio libraries in this
-  * environment — `decodeStub` produces a deterministic fake feature
-  * vector from the bytes). Everything Spark-side is real and tested:
-  * the schema contract, the partition-wise batch processing shape
-  * (`mapPartitions` over rows, the Scala analog of `mapInPandas`
-  * batches: decoder state is amortized per partition, not per row),
-  * and the pruning-friendly layout (metadata columns separate from the
-  * blob so metadata-only queries never read bytes).
+  * Three tiers, ALL real:
+  *  - header-metadata extraction ([[sniffMetadata]]): PNG/JPEG/GIF/BMP
+  *    geometry and WAV audio parameters parse directly from the
+  *    container byte layout, no codec needed;
+  *  - pixel/sample decode ([[extractFeatures]]): the JDK's built-in
+  *    codecs — `javax.imageio.ImageIO` (PNG/JPEG/GIF/BMP readers ship
+  *    with every JRE) for pixels, `javax.sound.sampled.AudioSystem`
+  *    for WAV PCM — no external dependency; blobs no JDK codec reads
+  *    degrade to deterministic byte-statistics features (kind
+  *    `bytes`), never a crash;
+  *  - Spark plumbing: the schema contract, the partition-wise batch
+  *    processing shape (`mapPartitions` over rows, the Scala analog of
+  *    `mapInPandas` batches: decoder state is amortized per partition,
+  *    not per row), and the pruning-friendly layout (metadata columns
+  *    separate from the blob so metadata-only queries never read
+  *    bytes).
   */
 object Multimodal {
 
@@ -34,16 +39,16 @@ object Multimodal {
 
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
     StructField("checksum", LongType, nullable = false),
     StructField("features", ArrayType(FloatType), nullable = false)))
 
-  /** Deterministic stand-in for a real decoder: 8 "features" derived
-    * from byte statistics. Replace with an actual decode (JNI/FFI or a
-    * sidecar service) without touching the pipeline shape — ??? here
-    * marks exactly the seam. */
-  private def decodeStub(bytes: Array[Byte]): Array[Float] = {
-    // real impl: ??? (image/audio decode; out of scope in this env)
+  /** Fallback features when no JDK codec accepts the blob: 8 byte
+    * statistics. Deterministic, pure function of the bytes — keeps
+    * unknown formats flowing through the pipeline instead of failing
+    * the batch. */
+  private def byteStatFeatures(bytes: Array[Byte]): Array[Float] = {
     if (bytes == null || bytes.isEmpty) return Array.fill(8)(0f)
     val out = new Array[Float](8)
     var i = 0
@@ -54,6 +59,131 @@ object Multimodal {
     out.map(_ / bytes.length)
   }
 
+  /** Pixel decode via `javax.imageio` (PNG/JPEG/GIF/BMP readers are
+    * part of the JDK). Features, all in [0, 1]:
+    * `[meanR, meanG, meanB, meanLuma, hist0, hist1, hist2, hist3]`
+    * where luma = (0.299·R + 0.587·G + 0.114·B)/255 (ITU-R BT.601)
+    * and hist_k is the share of pixels with luma byte in
+    * [64k, 64(k+1)). Deterministic: `getRGB` yields sRGB ints, the
+    * accumulation order is the fixed row-major pixel walk.
+    * None = no registered reader accepted the bytes (caller falls
+    * back to [[byteStatFeatures]]). */
+  private[multimodal] def decodeImagePixels(
+      bytes: Array[Byte]): Option[Array[Float]] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Throwable => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+    var (sr, sg, sb, sl) = (0.0, 0.0, 0.0, 0.0)
+    val hist = new Array[Long](4)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        val luma = 0.299 * r + 0.587 * g + 0.114 * b
+        sr += r; sg += g; sb += b; sl += luma
+        hist(math.min(3, (luma / 64.0).toInt)) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = img.getWidth.toDouble * img.getHeight
+    Some(Array(
+      (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat,
+      (sb / n / 255.0).toFloat, (sl / n / 255.0).toFloat,
+      (hist(0) / n).toFloat, (hist(1) / n).toFloat,
+      (hist(2) / n).toFloat, (hist(3) / n).toFloat))
+  }
+
+  /** PCM sample decode via `javax.sound.sampled` (the JDK's WAV
+    * reader). Channels average to one mono sample per frame,
+    * normalized to [-1, 1]. Features:
+    * `[rms, peak, meanAbs, zeroCrossRate, (dc+1)/2, 0, 0, 0]`
+    * (zero-cross rate = sign-change pairs / (frames-1); dc = mean
+    * sample, shifted to [0, 1]). Only integer PCM up to 16-bit is
+    * decoded — other encodings return None (fallback features). */
+  private[multimodal] def decodeWavSamples(
+      bytes: Array[Byte]): Option[Array[Float]] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais =
+      try AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Throwable => return None }
+    try {
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val bits = fmt.getSampleSizeInBits
+      val ch = fmt.getChannels
+      if ((enc != AudioFormat.Encoding.PCM_SIGNED &&
+            enc != AudioFormat.Encoding.PCM_UNSIGNED) ||
+          (bits != 8 && bits != 16) || ch < 1) return None
+      val data = ais.readAllBytes()
+      val frameBytes = (bits / 8) * ch
+      val nFrames = data.length / frameBytes
+      if (nFrames == 0) return None
+      var (sumSq, sumAbs, sum) = (0.0, 0.0, 0.0)
+      var peak = 0.0
+      var crossings = 0L
+      var prev = 0.0
+      var f = 0
+      while (f < nFrames) {
+        var acc = 0.0
+        var c = 0
+        while (c < ch) {
+          val off = f * frameBytes + c * (bits / 8)
+          val v =
+            if (bits == 8) {
+              // 8-bit WAV is unsigned by spec; PCM_SIGNED honored too
+              if (enc == AudioFormat.Encoding.PCM_UNSIGNED)
+                ((data(off) & 0xff) - 128) / 128.0
+              else data(off) / 128.0
+            } else {
+              // 16-bit little-endian
+              val s = ((data(off + 1) << 8) | (data(off) & 0xff)).toShort
+              val raw =
+                if (enc == AudioFormat.Encoding.PCM_UNSIGNED)
+                  (s & 0xffff) - 32768
+                else s.toInt
+              raw / 32768.0
+            }
+          acc += v
+          c += 1
+        }
+        val s = acc / ch
+        sumSq += s * s; sumAbs += math.abs(s); sum += s
+        if (math.abs(s) > peak) peak = math.abs(s)
+        if (f > 0 && prev * s < 0) crossings += 1
+        prev = s
+        f += 1
+      }
+      val zcr = if (nFrames > 1) crossings.toDouble / (nFrames - 1) else 0.0
+      Some(Array(
+        math.sqrt(sumSq / nFrames).toFloat, peak.toFloat,
+        (sumAbs / nFrames).toFloat, zcr.toFloat,
+        ((sum / nFrames + 1.0) / 2.0).toFloat, 0f, 0f, 0f))
+    } finally ais.close()
+  }
+
+  /** One decode: dispatch on the sniffed container format, JDK codec
+    * first, byte-stat fallback. Returns (kind, features) where kind ∈
+    * {image, audio, bytes}. */
+  private[multimodal] def decode(
+      bytes: Array[Byte]): (String, Array[Float]) = {
+    if (bytes == null || bytes.isEmpty) return ("bytes", Array.fill(8)(0f))
+    val fmt = sniff(bytes).getString(0)
+    val decoded = fmt match {
+      case "png" | "jpeg" | "gif" | "bmp" =>
+        decodeImagePixels(bytes).map("image" -> _)
+      case "wav" => decodeWavSamples(bytes).map("audio" -> _)
+      case _ => None
+    }
+    decoded.getOrElse("bytes" -> byteStatFeatures(bytes))
+  }
+
   private def checksum(bytes: Array[Byte]): Long = {
     var h = 1125899906842597L // FNV-ish rolling hash over the blob
     var i = 0
@@ -62,31 +192,39 @@ object Multimodal {
   }
 
   /** Feature extraction as a per-partition batch job: one decoder
-    * "session" per partition (the expensive init a real decoder needs),
-    * rows stream through it. */
+    * "session" per partition (the expensive init a real decoder
+    * needs), rows stream through it. The decode itself is REAL —
+    * `ImageIO` pixels for PNG/JPEG/GIF/BMP, `AudioSystem` PCM samples
+    * for WAV (both ship with the JDK); anything neither accepts flows
+    * through as deterministic byte statistics with kind `bytes`. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select("media_id", "content").rdd.mapPartitions {
       rows =>
-        // per-partition decoder init happens here (stub: nothing)
+        // per-partition decoder init: ImageIO's disk-backed stream
+        // cache would serialize every decode through temp files —
+        // in-memory cache is the right call for executor batches
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
           val id = r.getLong(0)
           val bytes =
             if (r.isNullAt(1)) Array.empty[Byte]
             else r.getAs[Array[Byte]](1)
-          Row(id, bytes.length.toLong, checksum(bytes),
-            decodeStub(bytes).toSeq)
+          val (kind, feats) = decode(bytes)
+          Row(id, kind, bytes.length.toLong, checksum(bytes),
+            feats.toSeq)
         }
     }
     spark.createDataFrame(rdd, featureSchema)
   }
 
   // ---------------------------------------------------------------
-  // Header-metadata sniffing — REAL, not stubbed: container headers
-  // (PNG IHDR, JPEG SOF, GIF/BMP geometry, WAV fmt/data chunks) are
-  // fixed byte layouts, so dimensions / sample rates / durations come
-  // straight off the blob's first bytes with no codec library. Only
-  // PIXEL/SAMPLE decode stays behind the decodeStub seam.
+  // Header-metadata sniffing: container headers (PNG IHDR, JPEG SOF,
+  // GIF/BMP geometry, WAV fmt/data chunks) are fixed byte layouts, so
+  // dimensions / sample rates / durations come straight off the
+  // blob's first bytes with no codec at all — cheaper than a decode
+  // when only metadata is needed, and the dispatch key for
+  // [[extractFeatures]]'s full decode.
 
   val sniffedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

@@ -75,6 +75,9 @@ object GraphOps {
     depth.toSeq.toDF("node", "depth")
   }
 
+  // flood rounds before pointer jumping activates (see loop note)
+  private val JumpAfter = 3
+
   /** Connected components of an undirected graph by min-label
     * propagation: every node's label converges to the smallest node id
     * in its component. Each round is ONE distributed join + aggregation
@@ -94,9 +97,6 @@ object GraphOps {
     * `edges` needs `src`/`dst` columns of one orderable type. Returns
     * `(id, component)` for every node incident to at least one edge,
     * `component` = min id in the node's component. */
-  // flood rounds before pointer jumping activates (see loop note)
-  private val JumpAfter = 3
-
   def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     // symmetrize once: propagation must run both directions

@@ -571,8 +571,12 @@ object EventAnalytics {
   // often than chance): per (prev, next) type pair, the transition
   // count and lift = p(ab)/(p(a→)·p(→b)). Lift is PMI without the
   // log — the log's libm implementations differ across engines by
-  // ulps, while lift is one division of exact integer products
-  // (n_ab·n and n_from·n_to both < 2^53, so the doubles are exact).
+  // ulps, while lift = (n_ab/n_from)·(n/n_to) is two divisions and a
+  // multiply in a PINNED operation order, identical IEEE steps on
+  // both engines. The order matters for scale: the naive integer
+  // products n_ab·n / n_from·n_to lose exactness past 2^53 (~1e8
+  // transitions) and overflow int64 near ~3e9 — dividing first keeps
+  // every intermediate in double range at any corpus size.
   // One lag window on the user partition + a groupBy to ~|types|²
   // rows; the lift denominators are windows over that driver-scale
   // aggregate, not the corpus.
@@ -594,7 +598,7 @@ object EventAnalytics {
       |      FROM p)
       |SELECT prev_type, next_type, n_ab, n_from, n_to,
       |  CAST(n_ab AS DOUBLE) / n AS p_ab,
-      |  CAST(n_ab * n AS DOUBLE) / (n_from * n_to) AS lift
+      |  (CAST(n_ab AS DOUBLE) / n_from) * (CAST(n AS DOUBLE) / n_to) AS lift
       |FROM w""".stripMargin) { (s, dir) =>
     val byUser = Window.partitionBy("user_id").orderBy("event_id")
     val p = Tables.load(s, dir, "events")
@@ -612,8 +616,8 @@ object EventAnalytics {
       .select(col("prev_type"), col("next_type"), col("n_ab"),
         col("n_from"), col("n_to"),
         (col("n_ab").cast(DoubleType) / col("n")).as("p_ab"),
-        ((col("n_ab") * col("n")).cast(DoubleType) /
-          (col("n_from") * col("n_to"))).as("lift"))
+        ((col("n_ab").cast(DoubleType) / col("n_from")) *
+          (col("n").cast(DoubleType) / col("n_to"))).as("lift"))
   }
 
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,

@@ -250,16 +250,11 @@ object SourceQueries {
       |FROM p JOIN n ON p.eval_doc_id = n.doc_id
       |WHERE p.shared_grams >= 3""".stripMargin) { (s, dir) =>
     // distinct grams per doc (overlap counts pairs of DISTINCT grams);
-    // df-cap subquery mirrors d02's hub guard. Both the raw and the
-    // capped gid relations fan out (hot-list agg + anti-join; then
-    // ev/tr split + the eval-size agg) — pin them like d02 so the
-    // native shingle pass and the cap run ONCE, not three times
-    // (the unpinned plan audit showed 3× the documents scan).
-    val g = graft.operators.Pin(TextDedup.gids(s, dir, distinct = true))
-    val hot = g.groupBy("gid").agg(count(lit(1)).as("df"))
-      .filter(col("df") > TextDedup.DfCap).select("gid")
-    val h = graft.operators.Pin(
-      g.join(broadcast(hot), Seq("gid"), "left_anti"))
+    // the df-capped, pinned, gid-pre-partitioned gram relation is
+    // d02's OWN [[TextDedup.cappedGids]] — identical plan, so the
+    // cache manager dedups and the eval⋈train join below inherits the
+    // gid partitioning through the split/filter (exchange-free join).
+    val h = TextDedup.cappedGids(s, dir)
     // the split rule is s02/s04's assignSplits — ONE definition of the
     // 80/20 hash bucket, so contamination queries can never drift from
     // the split they are supposed to audit
@@ -270,7 +265,13 @@ object SourceQueries {
     val tr = a.filter(col("split") === "train")
       .select(col("doc_id").as("train_doc_id"), col("gid"))
     val n = ev.groupBy("eval_doc_id").agg(count(lit(1)).as("eval_grams"))
+    // candidate pairs ≈ unique (eval, train) groups — little map-side
+    // reduction, so the pair agg is the widest stage; d02's
+    // parallelism floor keeps it off one core when AQE's size-first
+    // coalescing sees a small exchange (no-op at scale)
+    val par = s.sparkContext.defaultParallelism
     ev.join(tr, "gid")
+      .repartition(par, col("eval_doc_id"), col("train_doc_id"))
       .groupBy("eval_doc_id", "train_doc_id")
       .agg(count(lit(1)).as("shared_grams"))
       .filter(col("shared_grams") >= 3)

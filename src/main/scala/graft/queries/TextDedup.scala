@@ -69,6 +69,35 @@ object TextDedup {
   private[queries] val DfCap = 1000
   private[queries] val JaccardMin = 0.5
 
+  /** The pinned, df-capped, gid-PRE-PARTITIONED distinct-gram relation
+    * `(doc_id, gid)` shared by d02 and s06 (ONE definition → identical
+    * plans → the persist cache manager dedups, so in a long-lived
+    * session both queries read the same blocks).
+    *
+    * Pre-partitioning by gid before the pin is the load-bearing part:
+    * every downstream consumer either aggregates on gid (the hot-list)
+    * or joins on gid (d02's self-join, s06's eval⋈train join), and the
+    * cached blocks carry `HashPartitioning(gid)` through the cache —
+    * the joins and the hot-list agg all run exchange-free. That is the
+    * 100 TB co-location strategy (partition the inverted index by its
+    * join key ONCE, reuse it across every dedup pass) and at sf0.1 it
+    * removes three exchanges from the steady-state path.
+    *
+    * The hub-gram (df > [[DfCap]]) anti-join runs BEFORE the second
+    * pin: the hot list is tiny at any scale (it is the skew, by
+    * definition) → broadcast anti-join, which preserves the streamed
+    * side's gid partitioning. */
+  private[queries] def cappedGids(
+      s: SparkSession, dir: String): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    val g = Pin(gids(s, dir, distinct = true)
+      .repartition(par, col("gid")))
+    val hot = g.groupBy("gid").agg(count(lit(1)).as("df"))
+      .filter(col("df") > DfCap).select("gid")
+    Pin(g.join(broadcast(hot), Seq("gid"), "left_anti")
+      .select("doc_id", "gid")) // join key moves first; restore order
+  }
+
   // ---------------------------------------------------------------
   // d01 exact dedup — hash-groupBy canonicalization: every doc mapped
   // to the smallest doc_id sharing its md5(text). One shuffle on the
@@ -116,25 +145,18 @@ object TextDedup {
       |       JOIN n nb ON p.doc_b = nb.doc_id
       |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= $JaccardMin""".stripMargin) {
     (s, dir) =>
-      // the hashed gram relation fans out (hot-list agg + anti-join
-      // stream side): pin it so the native shingle pass runs once
-      val par = s.sparkContext.defaultParallelism
-      val h0 = Pin(gids(s, dir, distinct = true))
-      // document-frequency cap: a hub shingle appearing in >1000 docs
-      // would square into >500k candidate pairs on ONE shuffle key —
-      // the standard capped-Jaccard guard, mirrored in the oracle so
-      // both engines drop the same grams. The hot list is tiny at any
-      // scale (it is the skew, by definition) → broadcast anti-join,
-      // which preserves the streamed side's gid partitioning.
-      val hot = h0.groupBy("gid").agg(count(lit(1)).as("df"))
-        .filter(col("df") > DfCap).select("gid")
-      // pin the capped relation too: it fans out FOUR ways (both
-      // self-join sides + the two doc-size joins); unpinned, each
-      // consumer re-runs the hot-list aggregation and the anti-join —
+      // document-frequency cap + pins live in [[cappedGids]] (shared
+      // with s06): a hub shingle appearing in >1000 docs would square
+      // into >500k candidate pairs on ONE shuffle key — the standard
+      // capped-Jaccard guard, mirrored in the oracle so both engines
+      // drop the same grams. The relation fans out FOUR ways here
+      // (both self-join sides + the two doc-size joins); unpinned,
+      // each consumer re-runs the shingle pass and the anti-join —
       // the plan audit showed 4× the df-cap shuffle, which dominated
-      // d02's data path
-      val h = Pin(h0.join(broadcast(hot), Seq("gid"), "left_anti")
-        .select("doc_id", "gid")) // join key moves first; restore order
+      // d02's data path. Its gid pre-partitioning makes the self-join
+      // below exchange-free.
+      val par = s.sparkContext.defaultParallelism
+      val h = cappedGids(s, dir)
       // n is doc-grain (tiny): two agg passes over pinned h beat the
       // extra materialization barrier a pin would add
       val n = h.groupBy("doc_id").agg(count(lit(1)).as("n"))

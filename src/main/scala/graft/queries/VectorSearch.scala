@@ -326,7 +326,7 @@ object VectorSearch {
   // — bit-identical cross-engine.
   val v05 = Q(
     "v05_scalar_quant",
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT vec_id, label,
       |    list_transform(embedding, x -> round(x::DOUBLE*1e6)::BIGINT) AS sx
       |  FROM embeddings),
@@ -344,7 +344,7 @@ object VectorSearch {
       |  CAST(list_sum(list_transform(list_zip(sx, qv),
       |    p -> CAST(round((p[1]::DOUBLE - p[2]::DOUBLE * mx / 127.0)
       |            * (p[1]::DOUBLE - p[2]::DOUBLE * mx / 127.0)) AS BIGINT)))
-      |    AS BIGINT)::DOUBLE / (64 * 1e12) AS mse,
+      |    AS BIGINT)::DOUBLE / ($Dims * 1e12) AS mse,
       |  len(list_filter(qv, x -> x = 0)) AS n_zero,
       |  len(list_filter(qv, x -> abs(x) = 127)) AS n_sat
       |FROM q""".stripMargin) { (s, dir) =>
@@ -360,7 +360,7 @@ object VectorSearch {
       .filter(col("f.scale") > 0)
       .select(col("vec_id"), col("label"), col("f.scale").as("scale"),
         col("f.sq_err").as("sq_err_scaled"),
-        (col("f.sq_err").cast(DoubleType) / (lit(64) * lit(1e12)))
+        (col("f.sq_err").cast(DoubleType) / (lit(Dims) * lit(1e12)))
           .as("mse"),
         col("f.n_zero").as("n_zero"), col("f.n_sat").as("n_sat"))
   }
@@ -418,11 +418,18 @@ object VectorSearch {
       // before or after the top-5 identical). Re-authoring either
       // plan here would let v06 drift from what it claims to score —
       // the oracle mirrors the same algebra from the shared el/coarse
-      // fragments. Truth is pinned: it feeds the query-id set, the
-      // hit join, and the report spine.
+      // fragments. The report spine (qIds) is derived the way v01
+      // derives its query SET — sampled ids, unique-key ORDER BY +
+      // LIMIT — not from truth's output: on a degenerate corpus (one
+      // embedding, so v01 yields zero pairs) the oracle still reports
+      // the query with n_hits = 0, and so must we. Truth is pinned:
+      // it feeds the hit join across reps.
       val truth = graft.operators.Pin(
         v01.run(s, dir).select("q_id", "neighbor_id"))
-      val qIds = truth.select("q_id").distinct()
+      val qIds = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") % 50 === 0)
+        .orderBy("vec_id").limit(V01Queries)
+        .select(col("vec_id").as("q_id"))
       val ar = v04.run(s, dir).select("q_id", "neighbor_id")
         .join(broadcast(qIds), "q_id")
       val hits = truth.join(ar, Seq("q_id", "neighbor_id"))

@@ -368,7 +368,8 @@ class PipelineQueriesSpec extends SparkTestBase {
       val nTo = trans.count(_._2 == b).toLong
       val (gAb, gFrom, gTo, gLift) = got((a, b))
       assert(gAb === c && gFrom === nFrom && gTo === nTo, s"($a,$b)")
-      assert(gLift === (c * n).toDouble / (nFrom * nTo).toDouble)
+      // same pinned op order as the query: divide before multiplying
+      assert(gLift === (c.toDouble / nFrom) * (n.toDouble / nTo))
     }
     assert(got.size === nAb.size)
   }

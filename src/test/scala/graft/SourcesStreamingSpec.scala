@@ -254,6 +254,110 @@ class MultimodalSpec extends SparkTestBase {
     assert(got(3).getAs[Integer]("width") === 21)
     assert(got(3).getAs[Integer]("height") === 12)
   }
+
+  // ---- byte-exact decode fixtures: COMPLETE files built by hand from
+  // the format specs (no codec used to author them), with pixel /
+  // sample values chosen so every expected feature is an exactly
+  // representable float (0.25, 0.5, 1.0) — the decode assertions below
+  // are ===, not approximate.
+
+  /** 2×2 24-bit bottom-up BMP: top row red,green; bottom row
+    * blue,white. Rows stored bottom-up, pixels BGR, 6-byte rows padded
+    * to 8. */
+  private def bmp2x2rgbw: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(54 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("BM".getBytes).putInt(70).putInt(0).putInt(54)
+    bb.putInt(40).putInt(2).putInt(2).putShort(1).putShort(24)
+    bb.putInt(0).putInt(16).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // bottom row first: blue(B=255), white — then 2 pad bytes
+    bb.put(Array[Byte](255.toByte, 0, 0, 255.toByte, 255.toByte,
+      255.toByte, 0, 0))
+    // top row: red(R=255), green(G=255)
+    bb.put(Array[Byte](0, 0, 255.toByte, 0, 255.toByte, 0, 0, 0))
+    bb.array()
+  }
+
+  /** 1×1 RGB8 PNG, the single pixel pure white: signature + IHDR +
+    * IDAT (deflate of filter-byte 0 + FF FF FF) + IEND, CRCs computed
+    * here — zlib/CRC32 are deterministic, so these bytes are fixed. */
+  private def png1x1white: Array[Byte] = {
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(1).putInt(1)
+      .put(8.toByte).put(2.toByte) // bit depth 8, color type 2 (RGB)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val raw = Array[Byte](0, 255.toByte, 255.toByte, 255.toByte)
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](64)
+    val n = d.deflate(buf); d.end()
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(n)) ++
+      chunk("IEND", Array.empty)
+  }
+
+  /** Mono 16-bit PCM WAV, 4 samples: +0.5, −0.5, +0.5, −0.5
+    * (16384 = 0x4000 exactly = 0.5 of full scale). */
+  private def wavSquare: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + 8).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+    bb.putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(8)
+    bb.putShort(16384).putShort(-16384).putShort(16384).putShort(-16384)
+    bb.array()
+  }
+
+  test("extractFeatures: REAL pixel decode (ImageIO) — hand-built BMP " +
+      "and PNG produce exact known channel means and luma histogram") {
+    val rows = java.util.Arrays.asList(
+      Row(1L, "image", 2, 2, null, bmp2x2rgbw),
+      Row(2L, "image", 1, 1, null, png1x1white))
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val f = Multimodal.extractFeatures(media).orderBy("media_id")
+      .collect()
+    assert(f(0).getAs[String]("kind") === "image")
+    val bmpF = f(0).getAs[scala.collection.Seq[Float]]("features").toSeq
+    // red+green+blue+white ⇒ each channel sums to 2·255 over 4 px
+    assert(bmpF(0) === 0.5f && bmpF(1) === 0.5f && bmpF(2) === 0.5f)
+    // luma bytes: blue 29.07→bin0, red 76.2→bin1, green 149.7→bin2,
+    // white 255→bin3 — one pixel per 64-wide bin
+    assert(bmpF.slice(4, 8) === Seq(0.25f, 0.25f, 0.25f, 0.25f))
+    // mean luma = (76.245+149.685+29.07+255)/4/255 ≈ 0.5
+    assert(math.abs(bmpF(3) - 0.5f) < 1e-6)
+    assert(f(1).getAs[String]("kind") === "image")
+    val pngF = f(1).getAs[scala.collection.Seq[Float]]("features").toSeq
+    // all-white: means 1.0, all luma mass in the top bin
+    assert(pngF.take(4) === Seq(1.0f, 1.0f, 1.0f, 1.0f))
+    assert(pngF.slice(4, 8) === Seq(0f, 0f, 0f, 1.0f))
+  }
+
+  test("extractFeatures: REAL WAV PCM decode (javax.sound) — exact " +
+      "RMS/peak/zero-cross from hand-built samples; non-media bytes " +
+      "degrade to kind=bytes") {
+    val rows = java.util.Arrays.asList(
+      Row(1L, "audio", null, null, null, wavSquare),
+      Row(2L, "blob", null, null, null, Array.fill[Byte](32)(0x11)))
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val f = Multimodal.extractFeatures(media).orderBy("media_id")
+      .collect()
+    assert(f(0).getAs[String]("kind") === "audio")
+    val a = f(0).getAs[scala.collection.Seq[Float]]("features").toSeq
+    // |s| = 0.5 throughout: rms = peak = meanAbs = 0.5 exactly;
+    // alternating signs: 3 crossings / 3 pairs = 1.0; dc 0 → 0.5
+    assert(a.take(5) === Seq(0.5f, 0.5f, 0.5f, 1.0f, 0.5f))
+    assert(f(1).getAs[String]("kind") === "bytes")
+    assert(f(1).getAs[scala.collection.Seq[Float]]("features").length === 8)
+  }
 }
 
 class EventStreamSpec extends SparkTestBase {
