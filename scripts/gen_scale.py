@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Scale-test fixture generator (driver-side tooling, not engine code).
+
+Generates documents.parquet / embeddings.parquet mimicking the
+distributions of /root/testdata/sf0.1 at an arbitrary multiplier, so
+the dedup / vector families can be run at ~10x (sf1-equivalent) to
+verify runtime grows ~linearly. The remaining tables are copied from
+the base dir so Tables.load() finds everything.
+
+Usage: python3 scripts/gen_scale.py <outDir> <multiplier>
+
+Mimicked structure (measured from sf0.1, seed fixed for determinism):
+- documents: 31-word vocab, 10-100 tokens/doc (avg ~54), lang mix
+  en-heavy + {de,es,fr,zh}, 20 sources, ~0.3% exact-copy rate and
+  ~1.5% mutated-copy rate (2-4 token swaps -> 3-gram Jaccard >= 0.5
+  near-dup pairs for d02/d03/d04/s06 to find).
+- embeddings: 64-dim unit-norm vectors around 10 label centroids,
+  ~2% slightly-perturbed copies (cosine > 0.99 near-dups for d06).
+"""
+import os
+import random
+import shutil
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = ["a", "agg", "batch", "big", "column", "customer", "data",
+         "dup", "fast", "filter", "group", "hash", "join", "key",
+         "line", "merge", "order", "part", "query", "row", "scan",
+         "slow", "small", "sort", "spark", "stream", "table", "the",
+         "value", "vector", "window"]
+LANGS = ["en", "de", "es", "fr", "zh"]
+LANG_W = [0.42, 0.145, 0.145, 0.145, 0.145]
+BASE = "/root/testdata/sf0.1"
+
+
+def gen_documents(rng, n):
+    doc_ids, texts, langs, sources, n_chars = [], [], [], [], []
+    for i in range(n):
+        r = rng.random()
+        if i > 10 and r < 0.003:           # exact copy
+            j = rng.randrange(max(0, i - 200), i)
+            text = texts[j]
+        elif i > 10 and r < 0.018:          # mutated copy (near-dup)
+            j = rng.randrange(max(0, i - 200), i)
+            toks = texts[j].split(" ")
+            for _ in range(rng.randrange(2, 5)):
+                toks[rng.randrange(len(toks))] = rng.choice(VOCAB)
+            text = " ".join(toks)
+        else:
+            k = rng.randrange(10, 101)
+            text = " ".join(rng.choice(VOCAB) for _ in range(k))
+        doc_ids.append(i)
+        texts.append(text)
+        langs.append(rng.choices(LANGS, weights=LANG_W)[0])
+        sources.append(f"src{rng.randrange(20)}")
+        n_chars.append(len(text))
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(sources, pa.string()),
+        "n_chars": pa.array(n_chars, pa.int64())})
+
+
+def gen_embeddings(seed, n):
+    np_rng = np.random.default_rng(seed)
+    centers = np_rng.normal(size=(10, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = np_rng.integers(0, 10, size=n)
+    vecs = centers[labels] + np_rng.normal(scale=0.35, size=(n, 64))
+    # ~2% perturbed copies of a recent vector (same label -> same
+    # orthant block with high probability, like the base data)
+    dup_mask = np_rng.random(n) < 0.02
+    for i in np.nonzero(dup_mask)[0]:
+        if i < 10:
+            continue
+        j = np_rng.integers(max(0, i - 100), i)
+        vecs[i] = vecs[j] + np_rng.normal(scale=0.005, size=64)
+        labels[i] = labels[j]
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    return pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(
+            [v.astype(np.float32) for v in vecs], pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32())})
+
+
+def main():
+    out_dir, mult = sys.argv[1], float(sys.argv[2])
+    os.makedirs(out_dir, exist_ok=True)
+    rng = random.Random(42)
+    n_docs, n_vecs = int(5000 * mult), int(2000 * mult)
+    pq.write_table(gen_documents(rng, n_docs),
+                   os.path.join(out_dir, "documents.parquet"))
+    pq.write_table(gen_embeddings(42, n_vecs),
+                   os.path.join(out_dir, "embeddings.parquet"))
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"]:
+        src = os.path.join(BASE, f"{t}.parquet")
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            shutil.copyfile(src, dst)
+    print(f"wrote {out_dir}: {n_docs} docs, {n_vecs} embeddings")
+
+
+if __name__ == "__main__":
+    main()
