@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Perf regression guard (VERDICT r4 "Next round" #6).
+
+Runs graft.BenchProfile on the expensive-query set in the BENCH regime
+(sf0.1, 8 cpus, persist pin), takes each query's steady-state time
+(min of reps 2..N — rep 1 carries Catalyst/Janino/AQE one-shot cost),
+and fails if any query regresses more than 30% AND more than 0.15 s
+absolute over scripts/bench_reference.json. The absolute floor keeps
+sub-0.3 s floor-dominated queries from flagging on scheduler noise.
+
+Usage:
+  python3 scripts/bench_guard.py           # check (exit 1 on regression)
+  python3 scripts/bench_guard.py --update  # re-baseline the reference
+
+Run it before committing any change touching query plans; the driver
+can run it per-round. Re-baseline deliberately after a judged perf
+win, never to paper over a regression.
+"""
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_PATH = os.path.join(REPO, "scripts", "bench_reference.json")
+REL_TOL = 0.30
+ABS_TOL = 0.15
+REPS = 3
+
+
+def run_profile(queries):
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1",
+               SPARK_GRAFT_CPUS="8",
+               SPARK_GRAFT_PIN="persist",
+               SPARK_GRAFT_REPS=str(REPS))
+    cmd = ["sbt", "-batch",
+           f"runMain graft.BenchProfile {','.join(sorted(queries))}"]
+    out = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                         text=True, timeout=1800).stdout
+    got = {}
+    for m in re.finditer(r"PROFILE (\S+)\s+([\d. ]+)", out):
+        times = [float(t) for t in m.group(2).split()]
+        got[m.group(1)] = min(times[1:]) if len(times) > 1 else times[0]
+    return got
+
+
+def main():
+    with open(REF_PATH) as f:
+        ref = json.load(f)["queries"]
+    got = run_profile(ref.keys())
+    missing = sorted(set(ref) - set(got))
+    if missing:
+        print(f"FAIL: no profile output for {missing}")
+        sys.exit(1)
+    if "--update" in sys.argv:
+        with open(REF_PATH) as f:
+            doc = json.load(f)
+        doc["queries"] = {k: round(v, 3) for k, v in sorted(got.items())}
+        with open(REF_PATH, "w") as f:
+            json.dump(doc, f, indent=2)
+            f.write("\n")
+        print(f"re-baselined {len(got)} queries -> {REF_PATH}")
+        return
+    bad = []
+    for name in sorted(ref):
+        r, g = ref[name], got[name]
+        flag = g > r * (1 + REL_TOL) and g > r + ABS_TOL
+        status = "REGRESSED" if flag else "ok"
+        print(f"{status:9s} {name:28s} ref={r:6.3f}  got={g:6.3f}")
+        if flag:
+            bad.append(name)
+    if bad:
+        print(f"\nFAIL: {len(bad)} quer{'y' if len(bad) == 1 else 'ies'} "
+              f"regressed >{int(REL_TOL * 100)}%: {', '.join(bad)}")
+        sys.exit(1)
+    print(f"\nOK: {len(ref)} queries within {int(REL_TOL * 100)}% of reference")
+
+
+if __name__ == "__main__":
+    main()
