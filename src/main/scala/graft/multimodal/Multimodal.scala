@@ -381,4 +381,246 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
       .select("media_id", "frame_idx")
   }
+
+  // ---------------------------------------------------------------
+  // Frame decode + resize + image near-dup: the remaining verbs of the
+  // multimodal contract (decode / feature-extract / RESIZE /
+  // FRAME-SAMPLE), all on JDK-built-in codecs.
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("features", ArrayType(FloatType), nullable = false)))
+
+  /** Per-frame feature vector for every `stride`-th frame of each
+    * media blob — REAL multi-frame decode: the JDK's GIF reader
+    * exposes every frame of an animated GIF (`getNumImages(true)`,
+    * `read(i)`); single-frame formats contribute frame 0. Same
+    * mapPartitions batch shape as [[extractFeatures]] (reader state
+    * amortized per partition); blobs no reader accepts produce no
+    * rows — frame analytics should not see fake frames.
+    *
+    * GIF nuance, documented: animated frames may be PARTIAL rasters
+    * (frame disposal composites them onto the logical screen at an
+    * offset). Features are computed on the raw frame raster as
+    * decoded — the deterministic choice, and the right one for
+    * dedup/quality signals, which compare like against like. */
+  def frameFeatures(media: DataFrame, stride: Int = 1,
+      maxFrames: Int = 64): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    require(maxFrames >= 1, s"maxFrames must be >= 1, got $maxFrames")
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content").rdd.mapPartitions {
+      rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes =
+            if (r.isNullAt(1)) Array.empty[Byte]
+            else r.getAs[Array[Byte]](1)
+          decodeFrames(bytes, stride, maxFrames).map {
+            case (idx, n, feats) => Row(id, idx, n, feats.toSeq)
+          }
+        }
+    }
+    spark.createDataFrame(rdd, frameSchema)
+  }
+
+  /** All sampled frames of one blob: `(frame_idx, n_frames,
+    * features)`. Empty when no JDK reader accepts the bytes. */
+  private[multimodal] def decodeFrames(
+      bytes: Array[Byte], stride: Int,
+      maxFrames: Int): Seq[(Int, Int, Array[Float])] = {
+    if (bytes == null || bytes.isEmpty) return Nil
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val readers = javax.imageio.ImageIO.getImageReaders(in)
+    if (!readers.hasNext) { in.close(); return Nil }
+    val reader = readers.next()
+    try {
+      reader.setInput(in)
+      // allowSearch: GIF frame count needs a stream walk; bounded by
+      // the blob already being in memory
+      val n = math.min(
+        try reader.getNumImages(true) catch { case _: Throwable => 1 },
+        maxFrames)
+      (0 until n by stride).flatMap { i =>
+        try {
+          val img = reader.read(i)
+          imageFeatures(img).map(f => (i, n, f))
+        } catch { case _: Throwable => None }
+      }
+    } catch { case _: Throwable => Nil }
+    finally { reader.dispose(); in.close() }
+  }
+
+  /** The 8-feature vector of [[decodeImagePixels]] for an already
+    * decoded frame (same math, shared by both paths). */
+  private def imageFeatures(
+      img: java.awt.image.BufferedImage): Option[Array[Float]] = {
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+    var (sr, sg, sb, sl) = (0.0, 0.0, 0.0, 0.0)
+    val hist = new Array[Long](4)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        val luma = 0.299 * r + 0.587 * g + 0.114 * b
+        sr += r; sg += g; sb += b; sl += luma
+        hist(math.min(3, (luma / 64.0).toInt)) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = img.getWidth.toDouble * img.getHeight
+    Some(Array(
+      (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat,
+      (sb / n / 255.0).toFloat, (sl / n / 255.0).toFloat,
+      (hist(0) / n).toFloat, (hist(1) / n).toFloat,
+      (hist(2) / n).toFloat, (hist(3) / n).toFloat))
+  }
+
+  /** Deterministic area-average RESIZE of the luma plane to a `g`×`g`
+    * grid: output cell (cx, cy) averages the exact pixel block
+    * [⌊cx·w/g⌋, ⌊(cx+1)·w/g⌋) × [⌊cy·h/g⌋, ⌊(cy+1)·h/g⌋) — pure
+    * integer block bounds + one double accumulation in row-major
+    * order, so the same bytes give the same grid on every JVM (AWT's
+    * `getScaledInstance` interpolation makes no such promise, which
+    * is why it is not used). */
+  private[graft] def lumaGrid(
+      img: java.awt.image.BufferedImage, g: Int): Array[Double] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Double](g * g)
+    var cy = 0
+    while (cy < g) {
+      val y0 = cy * h / g
+      val y1 = math.max((cy + 1) * h / g, y0 + 1) min h
+      var cx = 0
+      while (cx < g) {
+        val x0 = cx * w / g
+        val x1 = math.max((cx + 1) * w / g, x0 + 1) min w
+        var sum = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        out(cy * g + cx) = sum / ((y1 - y0) * (x1 - x0))
+        cx += 1
+      }
+      cy += 1
+    }
+    out
+  }
+
+  /** 64-bit average hash (aHash) of an image: 8×8 area-average luma
+    * grid, bit k set iff cell k's luma is strictly above the grid
+    * mean. The classic perceptual fingerprint: stable under resize /
+    * re-encode / small edits, so near-duplicate images land within a
+    * few bits of Hamming distance. */
+  private[graft] def averageHash(
+      img: java.awt.image.BufferedImage): Long = {
+    val grid = lumaGrid(img, 8)
+    val mean = grid.sum / 64.0
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      if (grid(k) > mean) hash |= (1L << k)
+      k += 1
+    }
+    hash
+  }
+
+  val signatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("ahash", LongType, nullable = false)))
+
+  /** Per-image perceptual signature: decodes each blob (first frame)
+    * and emits its [[averageHash]]. Blobs no reader accepts emit no
+    * row. At 100 TB the heavy decode happens exactly once per blob
+    * here; everything downstream ([[imageNearDups]]) touches only
+    * 16-byte (id, hash) rows. */
+  def imageSignatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content").rdd.mapPartitions {
+      rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val bytes =
+            if (r.isNullAt(1)) Array.empty[Byte]
+            else r.getAs[Array[Byte]](1)
+          val img =
+            if (bytes.isEmpty) null
+            else
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              catch { case _: Throwable => null }
+          if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+          else Some(Row(r.getLong(0), averageHash(img)))
+        }
+    }
+    spark.createDataFrame(rdd, signatureSchema)
+  }
+
+  /** Image near-duplicate pairs: `(media_a, media_b, hamming)` with
+    * Hamming(aHash_a, aHash_b) ≤ `maxHamming`, media_a < media_b.
+    *
+    * Candidate generation is the d04 pigeonhole: split the 64-bit
+    * hash into `maxHamming + 1` pieces — two hashes within Hamming k
+    * must agree EXACTLY on at least one of k+1 pieces — and equi-join
+    * per piece. The shuffle key is (piece_idx, piece_bits): no
+    * all-pairs comparison anywhere, so the plan is the same banded
+    * equi-join the text dedup family runs and survives corpus growth
+    * the same way. Verification is one codegen'd
+    * `bit_count(a XOR b)` per candidate. */
+  def imageNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
+    val sig = imageSignatures(media)
+    imageNearDupsFromSignatures(sig, maxHamming)
+  }
+
+  /** The join half of [[imageNearDups]], factored so specs (and
+    * signature-caching callers) can feed precomputed hashes. */
+  def imageNearDupsFromSignatures(
+      sig: DataFrame, maxHamming: Int): DataFrame = {
+    val nPieces = maxHamming + 1
+    val width = 64 / nPieces
+    // piece i = bits [i*width, (i+1)*width); the last piece absorbs
+    // the remainder bits so all 64 participate
+    val pieces = sig.select(col("media_id"), col("ahash"),
+      explode(array((0 until nPieces).map { i =>
+        val w = if (i == nPieces - 1) 64 - i * width else width
+        val mask =
+          if (w == 64) lit(-1L)
+          else lit((1L << w) - 1L)
+        struct(lit(i).as("piece_idx"),
+          (shiftrightunsigned(col("ahash"), i * width)
+            .bitwiseAND(mask)).as("piece_bits"))
+      }: _*)).as("p"))
+      .select(col("media_id"), col("ahash"),
+        col("p.piece_idx"), col("p.piece_bits"))
+    val a = pieces.toDF("media_a", "ahash_a", "piece_idx", "piece_bits")
+    val b = pieces.toDF("media_b", "ahash_b", "piece_idx", "piece_bits")
+    a.join(b, Seq("piece_idx", "piece_bits"))
+      .filter(col("media_a") < col("media_b"))
+      // a pair agreeing on several pieces appears once per piece —
+      // dedup BEFORE the bit_count so verification runs once per pair
+      .select("media_a", "media_b", "ahash_a", "ahash_b").distinct()
+      .withColumn("hamming",
+        bit_count(col("ahash_a").bitwiseXOR(col("ahash_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("media_a", "media_b", "hamming")
+  }
 }

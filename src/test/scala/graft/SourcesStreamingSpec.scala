@@ -358,6 +358,142 @@ class MultimodalSpec extends SparkTestBase {
     assert(f(1).getAs[String]("kind") === "bytes")
     assert(f(1).getAs[scala.collection.Seq[Float]]("features").length === 8)
   }
+
+  // ---- resize / frame-sample / image near-dup tier ----
+
+  /** 24-bit BMP from a pixel function (row-major, top-left origin) —
+    * same hand-authored layout as [[bmp2x2rgbw]], parameterized. */
+  private def bmpOf(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val bb = java.nio.ByteBuffer.allocate(54 + rowBytes * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("BM".getBytes).putInt(54 + rowBytes * h).putInt(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    bb.putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835)
+    bb.putInt(0).putInt(0)
+    for (y <- (h - 1) to 0 by -1) { // bottom-up row order
+      for (x <- 0 until w) {
+        val rgb = px(x, y)
+        bb.put((rgb & 0xff).toByte)          // B
+        bb.put(((rgb >> 8) & 0xff).toByte)   // G
+        bb.put(((rgb >> 16) & 0xff).toByte)  // R
+      }
+      bb.put(new Array[Byte](rowBytes - w * 3))
+    }
+    bb.array()
+  }
+
+  private def gray(v: Int): Int = (v << 16) | (v << 8) | v
+
+  test("lumaGrid + averageHash: exact area-average resize on the " +
+      "hand-built 2x2 BMP — each 8x8 cell is its quadrant's luma, " +
+      "hash bits set exactly for above-mean quadrants") {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bmp2x2rgbw))
+    val grid = Multimodal.lumaGrid(img, 8)
+    // quadrant lumas: top-left red 76.245, top-right green 149.685,
+    // bottom-left blue 29.07, bottom-right white 255
+    val expect = Map((false, false) -> 76.245, (true, false) -> 149.685,
+      (false, true) -> 29.07, (true, true) -> 255.0)
+    for (cy <- 0 until 8; cx <- 0 until 8) {
+      val want = expect((cx >= 4, cy >= 4))
+      assert(math.abs(grid(cy * 8 + cx) - want) < 1e-9, s"cell ($cx,$cy)")
+    }
+    // mean = 127.5 exactly: only green (149.685) and white (255) are
+    // above -> bit set iff the cell is in the right half
+    val hash = Multimodal.averageHash(img)
+    for (cy <- 0 until 8; cx <- 0 until 8) {
+      val bit = (hash >> (cy * 8 + cx)) & 1L
+      assert(bit === (if (expect((cx >= 4, cy >= 4)) > 127.5) 1L else 0L),
+        s"bit ($cx,$cy)")
+    }
+  }
+
+  test("imageNearDupsFromSignatures: pigeonhole guarantee — pairs " +
+      "within maxHamming are found even with flipped bits spread " +
+      "across pieces; beyond-threshold pairs are dropped") {
+    import spark.implicits._
+    val base = 0x0123456789abcdefL
+    val sameish = base ^ ((1L << 0) | (1L << 20) | (1L << 40)) // 3 bits,
+    // one in each of pieces 0..2 of 4 — only piece 3 agrees
+    val far = ~base // hamming 64
+    val clusterMate = base ^ (1L << 63) // 1 bit in the last piece
+    val sig = Seq((1L, base), (2L, sameish), (3L, far), (4L, clusterMate))
+      .toDF("media_id", "ahash")
+    val got = Multimodal.imageNearDupsFromSignatures(sig, maxHamming = 3)
+      .orderBy("media_a", "media_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // (1,2) h=3 via piece 3; (1,4) h=1; (2,4) h=4 > 3 dropped; far drops
+    assert(got.toSeq === Seq((1L, 2L, 3), (1L, 4L, 1)))
+  }
+
+  test("imageNearDups end-to-end: perturbed checkerboard pairs with " +
+      "the original (hamming 0), inverted board does not") {
+    // 16x16 board of 2x2 blocks: each aHash cell is one block, luma
+    // 0 or 255, so small pixel noise cannot move any cell across the
+    // global mean (127.5)
+    def board(invert: Boolean, noise: Boolean)(x: Int, y: Int): Int = {
+      val on = (((x / 2) + (y / 2)) % 2 == 0) ^ invert
+      val v = if (on) 255 else 0
+      val d = if (noise && (x + y) % 7 == 0) { if (on) -20 else 20 } else 0
+      gray(v + d)
+    }
+    val rows = java.util.Arrays.asList(
+      Row(1L, "image", 16, 16, null, bmpOf(16, 16)(board(false, false))),
+      Row(2L, "image", 16, 16, null, bmpOf(16, 16)(board(false, true))),
+      Row(3L, "image", 16, 16, null, bmpOf(16, 16)(board(true, false))),
+      Row(4L, "blob", null, null, null, Array.fill[Byte](16)(0x2a)))
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val got = Multimodal.imageNearDups(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // noisy copy pairs with the original; the inverted board is 64
+    // bits away from both; undecodable bytes never reach the join
+    assert(got.toSeq === Seq((1L, 2L, 0)))
+  }
+
+  test("frameFeatures: REAL multi-frame GIF decode — every frame " +
+      "sampled with its own features; single-frame and garbage " +
+      "blobs behave") {
+    import javax.imageio.{IIOImage, ImageIO}
+    // author a 2-frame GIF with the JDK's own GIF writer: frame 0
+    // all-white, frame 1 all-black (palette colors — lossless)
+    val gif2 = {
+      val frames = Seq(255, 0).map { v =>
+        val img = new java.awt.image.BufferedImage(
+          4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, gray(v))
+        img
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(baos)
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f => writer.writeToSequence(
+        new IIOImage(f, null, null), writer.getDefaultWriteParam))
+      writer.endWriteSequence(); writer.dispose(); ios.close()
+      baos.toByteArray
+    }
+    val rows = java.util.Arrays.asList(
+      Row(1L, "image", 4, 4, null, gif2),
+      Row(2L, "image", 2, 2, null, bmp2x2rgbw),
+      Row(3L, "blob", null, null, null, Array.fill[Byte](8)(0x7f)))
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val got = Multimodal.frameFeatures(media)
+      .orderBy("media_id", "frame_idx").collect()
+    assert(got.length === 3) // 2 GIF frames + 1 BMP frame, no garbage
+    val Seq(g0, g1, b0) = got.toSeq
+    assert((g0.getLong(0), g0.getInt(1), g0.getInt(2)) === ((1L, 0, 2)))
+    assert((g1.getLong(0), g1.getInt(1), g1.getInt(2)) === ((1L, 1, 2)))
+    // white frame: mean luma 1.0; black frame: 0.0
+    assert(g0.getAs[scala.collection.Seq[Float]]("features")(3) === 1.0f)
+    assert(g1.getAs[scala.collection.Seq[Float]]("features")(3) === 0.0f)
+    assert((b0.getLong(0), b0.getInt(1), b0.getInt(2)) === ((2L, 0, 1)))
+    // stride sampling: every 2nd frame of the GIF -> frame 0 only
+    val strided = Multimodal.frameFeatures(media, stride = 2)
+      .filter("media_id = 1").collect()
+    assert(strided.map(_.getInt(1)).toSeq === Seq(0))
+  }
 }
 
 class EventStreamSpec extends SparkTestBase {
