@@ -88,6 +88,26 @@ def gen_embeddings(seed, n):
         "label": pa.array(labels, pa.int32())})
 
 
+def gen_events(seed, n, n_users):
+    """Mimics sf0.1 events: 30-day window, ts increasing with
+    event_id, 5 uniform types, exponential-ish value (mean ~50),
+    {"k": int} props, TIMESTAMP(NANOS) like the driver's parquet."""
+    np_rng = np.random.default_rng(seed)
+    window_ns = 30 * 24 * 3600 * 10**9
+    t0 = np.datetime64("2024-01-01", "ns").astype(np.int64)
+    ts = t0 + np.sort(np_rng.integers(0, window_ns, size=n))
+    types = np.array(["signup", "click", "purchase", "error", "view"])
+    return pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("ns")),
+        "user_id": pa.array(np_rng.integers(0, n_users, size=n), pa.int64()),
+        "event_type": pa.array(types[np_rng.integers(0, 5, size=n)]),
+        "value": pa.array(
+            np.round(np.minimum(np_rng.exponential(50.0, size=n), 560.0), 2)),
+        "props": pa.array([f'{{"k": {k}}}'
+                           for k in np_rng.integers(0, 100, size=n)])})
+
+
 def main():
     out_dir, mult = sys.argv[1], float(sys.argv[2])
     os.makedirs(out_dir, exist_ok=True)
@@ -97,8 +117,10 @@ def main():
                    os.path.join(out_dir, "documents.parquet"))
     pq.write_table(gen_embeddings(42, n_vecs),
                    os.path.join(out_dir, "embeddings.parquet"))
+    pq.write_table(gen_events(42, int(100000 * mult), int(1500 * mult)),
+                   os.path.join(out_dir, "events.parquet"))
     for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events"]:
+              "orders", "lineitem"]:
         src = os.path.join(BASE, f"{t}.parquet")
         dst = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(dst):
