@@ -451,6 +451,42 @@ class MultimodalSpec extends SparkTestBase {
     assert(got.toSeq === Seq((1L, 2L, 0)))
   }
 
+  test("averageHash invariances — the properties that make aHash a " +
+      "re-encode dedup key: exact under pixel-doubling upscale and " +
+      "positive affine luma shifts; within 3 bits across JPEG " +
+      "re-encode of a structured image") {
+    import javax.imageio.ImageIO
+    def img(w: Int, h: Int)(px: (Int, Int) => Int) = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, px(x, y))
+      im
+    }
+    // deterministic "random" grays in [60, 195] — affine headroom
+    def g8(x: Int, y: Int) = gray(60 + (x * 37 + y * 101 + x * y * 13) % 136)
+    val base = img(8, 8)(g8)
+    // 2x nearest-neighbor upscale: each area-average block is the
+    // same pixel value -> identical grid -> identical hash
+    val up = img(16, 16)((x, y) => g8(x / 2, y / 2))
+    assert(Multimodal.averageHash(up) === Multimodal.averageHash(base))
+    // affine luma v -> v + 40 (no clipping): v > mean is preserved
+    val brighter = img(8, 8)((x, y) =>
+      gray(((g8(x, y) & 0xff) + 40) min 255))
+    assert(Multimodal.averageHash(brighter) === Multimodal.averageHash(base))
+    // JPEG round-trip of a structured image (left dark / right
+    // bright): lossy but perceptually identical -> small Hamming
+    val structured = img(32, 32)((x, y) => gray(if (x < 16) 40 else 215))
+    val jpegBytes = {
+      val baos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(structured, "jpg", baos)
+      baos.toByteArray
+    }
+    val rt = ImageIO.read(new java.io.ByteArrayInputStream(jpegBytes))
+    val d = java.lang.Long.bitCount(
+      Multimodal.averageHash(structured) ^ Multimodal.averageHash(rt))
+    assert(d <= 3, s"JPEG round-trip moved aHash by $d bits")
+  }
+
   test("frameFeatures: REAL multi-frame GIF decode — every frame " +
       "sampled with its own features; single-frame and garbage " +
       "blobs behave") {
