@@ -35,9 +35,11 @@ import graft.plans.SqlGate
   * Spark count job) and only `maxRows` rows are ever collected to the
   * driver — the reference streams-then-stops at `max_rows` on the
   * client for the same reason. `bytes_processed` sums the executed
-  * scan nodes' read-bytes metrics, so partition pruning and column
-  * pruning show up in the reported cost exactly as BQ's dry-run
-  * accounting does.
+  * scan nodes' `filesSize` metric — the bytes of the files selected
+  * AFTER partition pruning (column pruning reduces actual I/O via
+  * parquet column chunks but not this file-size accounting; BQ's
+  * bytes_processed has the same partition-pruned, column-aware-only-
+  * for-columnar-tables character).
   */
 object BigQueryGateway {
 
