@@ -45,6 +45,7 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     rows = []
     duck_total = 0.0
+    skipped = sorted(set(oracle) - set(spark_times))
     for name, sql in oracle.items():
         if name not in spark_times:
             continue
@@ -66,6 +67,16 @@ def main():
         # at scale and is not actionable per-query
         flag = "  <-- >2x" if ratio > 2 and s > 0.5 else ""
         print(f"{name:30s} {s:7.3f} {d:7.3f} {ratio:6.2f}{flag}")
+    if skipped:
+        print(f"(skipped {len(skipped)} oracle queries absent from "
+              f"{bench_path}: {', '.join(skipped)})")
+    if not rows or duck_total <= 0:
+        # e.g. a stale/partial bench_out whose names don't match the
+        # oracle dump — report the mismatch instead of dividing by 0
+        print(f"\nno overlapping queries between {bench_path} and "
+              f"{oracle_path} (or all DuckDB timings were 0) — "
+              "nothing to compare")
+        sys.exit(1)
     spark_total = sum(s for _, s, _ in rows)
     print(f"\n{'TOTAL':30s} {spark_total:7.2f} {duck_total:7.2f} "
           f"{spark_total / duck_total:6.2f}")

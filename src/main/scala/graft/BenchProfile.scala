@@ -6,6 +6,13 @@ import org.apache.spark.sql.SparkSession
   * one-shot cost (Catalyst analysis + Janino codegen + AQE re-plan)
   * from steady-state data-path time. */
 object BenchProfile {
+  // Locale.ROOT: bench_guard.py parses these lines with a dot-decimal
+  // regex; a comma-decimal JVM locale would make every time parse as 0
+  // and the regression gate silently pass (same reason Bench.scala
+  // formats its JSON with Locale.ROOT)
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -30,7 +37,7 @@ object BenchProfile {
         try fn(spark, wd).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
-      println(f"WARMPASS ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      println(s"WARMPASS ${fmt((System.nanoTime() - t0) / 1e9)} s")
     }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (only.forall(_.contains(name))) {
@@ -39,7 +46,7 @@ object BenchProfile {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
-        println(f"PROFILE $name%-28s ${times.map(t => f"$t%.3f").mkString(" ")}")
+        println(f"PROFILE $name%-28s ${times.map(fmt).mkString(" ")}")
       }
     }
     spark.stop()

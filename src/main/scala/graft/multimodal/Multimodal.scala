@@ -73,30 +73,7 @@ object Multimodal {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case _: Throwable => null }
-    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
-    var (sr, sg, sb, sl) = (0.0, 0.0, 0.0, 0.0)
-    val hist = new Array[Long](4)
-    var y = 0
-    while (y < img.getHeight) {
-      var x = 0
-      while (x < img.getWidth) {
-        val rgb = img.getRGB(x, y)
-        val r = (rgb >> 16) & 0xff
-        val g = (rgb >> 8) & 0xff
-        val b = rgb & 0xff
-        val luma = 0.299 * r + 0.587 * g + 0.114 * b
-        sr += r; sg += g; sb += b; sl += luma
-        hist(math.min(3, (luma / 64.0).toInt)) += 1
-        x += 1
-      }
-      y += 1
-    }
-    val n = img.getWidth.toDouble * img.getHeight
-    Some(Array(
-      (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat,
-      (sb / n / 255.0).toFloat, (sl / n / 255.0).toFloat,
-      (hist(0) / n).toFloat, (hist(1) / n).toFloat,
-      (hist(2) / n).toFloat, (hist(3) / n).toFloat))
+    imageFeatures(img) // one copy of the feature math for both tiers
   }
 
   /** PCM sample decode via `javax.sound.sampled` (the JDK's WAV
@@ -442,13 +419,16 @@ object Multimodal {
       reader.setInput(in)
       // allowSearch: GIF frame count needs a stream walk; bounded by
       // the blob already being in memory
-      val n = math.min(
-        try reader.getNumImages(true) catch { case _: Throwable => 1 },
-        maxFrames)
-      (0 until n by stride).flatMap { i =>
+      val actual =
+        try reader.getNumImages(true) catch { case _: Throwable => 1 }
+      // n_frames reports the media's TRUE frame count; maxFrames caps
+      // only how many are decoded — so stride-coverage ratios like
+      // sampled/n_frames stay honest for long GIFs
+      val end = math.min(actual, maxFrames)
+      (0 until end by stride).flatMap { i =>
         try {
           val img = reader.read(i)
-          imageFeatures(img).map(f => (i, n, f))
+          imageFeatures(img).map(f => (i, actual, f))
         } catch { case _: Throwable => None }
       }
     } catch { case _: Throwable => Nil }

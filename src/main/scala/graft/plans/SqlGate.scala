@@ -19,7 +19,14 @@ object SqlGate {
   final class BlockedSqlException(msg: String) extends Exception(msg)
 
   /** True when the parsed plan is a pure query (no command/write). */
-  def isSelectOnly(spark: SparkSession, sql: String): Boolean = {
+  def isSelectOnly(spark: SparkSession, sql: String): Boolean =
+    offendingNodes(spark, sql).isEmpty
+
+  /** The parsed-plan nodes that make a statement non-SELECT. Exposed
+    * so callers (the warehouse gateway) can distinguish a blocked
+    * WRITE from a blocked read-side command (SHOW/DESCRIBE/EXPLAIN)
+    * in their error envelopes. */
+  def offendingNodes(spark: SparkSession, sql: String): Seq[LogicalPlan] = {
     val plan = spark.sessionState.sqlParser.parsePlan(sql)
     def offending(p: LogicalPlan): Boolean = p match {
       case _: Command => true
@@ -36,7 +43,7 @@ object SqlGate {
           .UnresolvedExecuteImmediate => true
       case _ => false
     }
-    !plan.collect { case p if offending(p) => p }.nonEmpty
+    plan.collect { case p if offending(p) => p }
   }
 
   /** Run a SELECT-only query; reject anything else (reference returns

@@ -31,10 +31,12 @@ import graft.plans.SqlGate
   * a write smuggled through a CTE must not pass one. Stricter on real
   * writes, laxer on false positives; the envelope is identical.
   *
-  * Scale note: `total_rows` counts the full result distributed (one
-  * Spark count job) and only `maxRows` rows are ever collected to the
-  * driver — the reference streams-then-stops at `max_rows` on the
-  * client for the same reason. `bytes_processed` sums the executed
+  * Scale note: one execution serves the common case — `maxRows + 1`
+  * rows are collected, which bounds the driver AND decides
+  * `query_truncated`; only a truncated result pays a second
+  * distributed count job for the exact `total_rows` (the reference
+  * streams-then-stops at `max_rows` and reads the job's row count
+  * from BQ metadata — same shape). `bytes_processed` sums the executed
   * scan nodes' `filesSize` metric — the bytes of the files selected
   * AFTER partition pruning (column pruning reduces actual I/O via
   * parquet column chunks but not this file-size accounting; BQ's
@@ -103,38 +105,79 @@ object BigQueryGateway {
           "exporting to distributed storage."))
     val gated =
       try {
-        if (!SqlGate.isSelectOnly(spark, sql))
-          throw GatewayError("Write operations are not allowed",
-            Some("Only SELECT queries are permitted. INSERT, UPDATE, " +
-              "DELETE, DROP, CREATE, ALTER, TRUNCATE, and MERGE are " +
-              "blocked."))
+        val bad = SqlGate.offendingNodes(spark, sql)
+        if (bad.nonEmpty) {
+          // a blocked statement gets the envelope that explains WHY:
+          // read-side catalog commands (SHOW/DESCRIBE/EXPLAIN/SET/...)
+          // are not writes, and telling their caller "write operations
+          // are not allowed" sends them down the wrong help text
+          val readSideCmd = bad.forall(p => ReadCommandName
+            .findPrefixOf(p.getClass.getSimpleName).isDefined)
+          if (readSideCmd)
+            throw GatewayError("Only SELECT queries are supported",
+              Some("Catalog and session statements (SHOW, DESCRIBE, " +
+                "EXPLAIN, SET, ...) are not part of this query " +
+                "surface; use describe_dataset for table metadata."))
+          else
+            throw GatewayError("Write operations are not allowed",
+              Some("Only SELECT queries are permitted. INSERT, UPDATE, " +
+                "DELETE, DROP, CREATE, ALTER, TRUNCATE, and MERGE are " +
+                "blocked."))
+        }
         spark.sql(sql)
       } catch {
         case e: GatewayError => throw e
         case NonFatal(e) =>
           throw GatewayError(s"Query failed: ${e.getMessage}", None)
       }
-    // one distributed count for total_rows; only maxRows rows ever
-    // reach the driver
-    val totalRows = gated.count()
-    val limited = gated.limit(maxRows)
-    val rows = limited.collect().toSeq
-    QueryResult(
-      success = true,
-      rows = rows,
-      totalRows = totalRows,
-      rowsReturned = rows.size,
-      schema = gated.schema.fields.toSeq.map(columnInfo),
-      bytesProcessed = bytesScanned(limited.queryExecution.executedPlan),
-      queryTruncated = totalRows > maxRows)
+    // execution-time failures (ANSI arithmetic/cast errors, missing
+    // files) must land in the same envelope as analysis failures —
+    // the caller sees one error contract either way
+    try {
+      val limited = gated.limit(maxRows + 1)
+      val collected = limited.collect()
+      val truncated = collected.length > maxRows
+      val rows = collected.take(maxRows).toSeq
+      // untruncated results know their total from the single collect;
+      // only truncation pays a count job. max() guards the envelope's
+      // internal consistency when a nondeterministic query returns a
+      // different cardinality on the second execution.
+      val totalRows =
+        if (!truncated) collected.length.toLong
+        else math.max(gated.count(), collected.length.toLong)
+      QueryResult(
+        success = true,
+        rows = rows,
+        totalRows = totalRows,
+        rowsReturned = rows.size,
+        schema = gated.schema.fields.toSeq.map(columnInfo),
+        bytesProcessed = bytesScanned(limited.queryExecution.executedPlan),
+        queryTruncated = truncated)
+    } catch {
+      case e: GatewayError => throw e
+      case NonFatal(e) =>
+        throw GatewayError(s"Query failed: ${e.getMessage}", None)
+    }
   }
+
+  /** Catalyst command classes that READ catalog/session state; a
+    * prefix match on the node's simple class name (ShowTables,
+    * DescribeRelation, ExplainCommand, SetCommand, ...). Anything
+    * offending that is not recognized here gets the write envelope —
+    * the conservative default. */
+  private val ReadCommandName =
+    ("(?i)(show|describe|desc|explain|reset|use|refresh|analyze|" +
+      "cache|uncache|list|set)").r
 
   /** `describe_dataset` (`bigquery_tool.py:277-392`) over a Spark
     * catalog database. Temp views (how this engine registers parquet
     * and JDBC tables) live in the session's current database under
-    * catalog listing; their backing row count and on-disk size come
-    * from the optimized plan's statistics — file-source stats are
-    * footer/metadata-derived, no data scan. */
+    * catalog listing. `size_bytes` comes from the optimized plan's
+    * statistics (file-source sizes are listing-derived, no data
+    * scan); `row_count` uses catalog stats when ANALYZE/CBO has
+    * recorded them, else pays ONE count job per table — over parquet
+    * that job decodes no columns (the scan answers from row-group
+    * metadata), the Spark analogue of BQ's metadata row count. */
   def describeDataset(
       spark: SparkSession, datasetId: String): DatasetInfo = {
     if (datasetId == null || datasetId.trim.isEmpty)
@@ -148,7 +191,12 @@ object BigQueryGateway {
               s"to it. Full error: ${e.getMessage}"))
       }
     val infos = tables.sortBy(_.name).map { t =>
-      val df = spark.table(t.name)
+      // resolve by QUALIFIED name: an unqualified lookup would hit the
+      // session's CURRENT database, not the requested dataset (temp
+      // views carry no database and resolve by bare name)
+      val qualified = Option(t.database).filter(_.nonEmpty)
+        .map(db => s"`$db`.`${t.name}`").getOrElse(s"`${t.name}`")
+      val df = spark.table(qualified)
       val stats = df.queryExecution.optimizedPlan.stats
       // views report no storage numbers, mirroring BQ (`row_count:
       // None for views`); tables report metadata-derived stats

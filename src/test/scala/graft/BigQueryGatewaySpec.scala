@@ -48,6 +48,47 @@ class BigQueryGatewaySpec extends SparkTestBase {
     assert(r3.success && r3.totalRows === 1)
   }
 
+  test("read-side catalog commands get the SELECT-only envelope, not " +
+      "the write envelope (they are not writes)") {
+    ready()
+    Seq("SHOW TABLES", "DESCRIBE TABLE region",
+        "EXPLAIN SELECT 1").foreach { sql =>
+      val e = intercept[GatewayError](BigQueryGateway.runQuery(spark, sql))
+      assert(e.error === "Only SELECT queries are supported", sql)
+      assert(e.help.exists(_.contains("describe_dataset")), sql)
+    }
+  }
+
+  test("execution-time failures land in the Query failed envelope " +
+      "(ANSI mode: the error surfaces at collect, not analysis)") {
+    ready()
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val e = intercept[GatewayError](
+        BigQueryGateway.runQuery(spark,
+          "SELECT r_regionkey div (r_regionkey - r_regionkey) FROM region"))
+      assert(e.error.startsWith("Query failed:"))
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
+  test("describe_dataset resolves tables in the REQUESTED database, " +
+      "not the session's current one") {
+    ready()
+    spark.sql("CREATE DATABASE IF NOT EXISTS gw_ds2")
+    try {
+      spark.sql("DROP TABLE IF EXISTS gw_ds2.gw_t1")
+      spark.sql(
+        "CREATE TABLE gw_ds2.gw_t1 USING parquet AS SELECT 1 AS a, 'x' AS b")
+      // current database stays 'default'; an unqualified lookup of
+      // gw_t1 would throw TABLE_OR_VIEW_NOT_FOUND here
+      val d = BigQueryGateway.describeDataset(spark, "gw_ds2")
+      val t1 = d.tables.find(_.tableId == "gw_t1").get
+      assert(t1.columns.map(_.name) === Seq("a", "b"))
+      assert(t1.rowCount === Some(1L))
+    } finally spark.sql("DROP DATABASE IF EXISTS gw_ds2 CASCADE")
+  }
+
   test("max_rows bounds: 0/negative/excessive rejected, 1..10000 ok " +
       "(test_rejects_*_max_rows)") {
     ready()

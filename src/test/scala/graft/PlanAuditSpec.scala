@@ -43,7 +43,11 @@ class PlanAuditSpec extends SparkTestBase {
     * query stages and each DISTINCT cached relation once, skipping
     * ReusedExchange. */
   private def executedShuffleCount(df: DataFrame): Int = {
-    df.write.format("noop").mode("overwrite").save()
+    // execute THIS QueryExecution (a noop write would build its own
+    // and leave df's adaptive plan un-finalized — auditing the
+    // initial plan, not what ran); collect() finalizes
+    // df.queryExecution.executedPlan with AQE's runtime decisions
+    df.collect()
     val seen = mutable.Set.empty[AnyRef]
     def walk(p: SparkPlan): Int = p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)

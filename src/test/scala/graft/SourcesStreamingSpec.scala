@@ -529,6 +529,11 @@ class MultimodalSpec extends SparkTestBase {
     val strided = Multimodal.frameFeatures(media, stride = 2)
       .filter("media_id = 1").collect()
     assert(strided.map(_.getInt(1)).toSeq === Seq(0))
+    // maxFrames caps DECODING, not the reported count: a capped GIF
+    // still reports its true n_frames so coverage ratios stay honest
+    val capped = Multimodal.frameFeatures(media, maxFrames = 1)
+      .filter("media_id = 1").collect()
+    assert(capped.map(r => (r.getInt(1), r.getInt(2))).toSeq === Seq((0, 2)))
   }
 }
 
