@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** Native Catalyst expression for the integer dot product — the hot
   * inner loop of the similarity-search family (SURVEY §4.2c; the
@@ -272,18 +272,7 @@ case class Quant8Stats(child: Expression)
 
   override def prettyName: String = "graft_quant8_stats"
 
-  // round() semantics (Spark HALF_UP on doubles ≡ DuckDB std::round,
-  // both decided on the EXACT double value): Math.round would round
-  // -63.5 up to -63, and floor(x+0.5) misrounds doubles one ulp below
-  // a half boundary (0.49999999999999994 + 0.5 == 1.0 in IEEE → 1,
-  // where both engines return 0). BigDecimal.valueOf preserves the
-  // shortest decimal form of the exact double, so HALF_UP here equals
-  // Spark's own Round expression bit-for-bit; the integral fast path
-  // keeps the common case off the BigDecimal allocation.
-  private def roundAway(x: Double): Long =
-    if (x == math.floor(x)) x.toLong
-    else java.math.BigDecimal.valueOf(x)
-      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+  private def roundAway(x: Double): Long = ExactRound.halfUp(x)
 
   override protected def nullSafeEval(input: Any): Any = {
     val sx = input.asInstanceOf[ArrayData]
@@ -313,6 +302,92 @@ case class Quant8Stats(child: Expression)
       i += 1
     }
     new GenericInternalRow(Array[Any](mx, sqErr, nZero, nSat))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** round() parity helper for the natives that reproduce composed
+  * Column arithmetic (Spark HALF_UP on doubles ≡ DuckDB std::round,
+  * both decided on the EXACT double value): Math.round would round
+  * -63.5 up to -63, and floor(x+0.5) misrounds doubles one ulp below
+  * a half boundary (0.49999999999999994 + 0.5 == 1.0 in IEEE → 1,
+  * where both engines return 0). BigDecimal.valueOf preserves the
+  * shortest decimal form of the exact double, so HALF_UP here equals
+  * Spark's own Round expression bit-for-bit; the integral fast path
+  * keeps the common case off the BigDecimal allocation. */
+private[functions] object ExactRound {
+  def halfUp(x: Double): Long =
+    if (x == math.floor(x)) x.toLong
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+}
+
+/** k-means assignment in ONE native pass per vector (v07's inner
+  * loop): squared distance of the float embedding to each of k
+  * LITERAL centroids as v02's rounded-term sum
+  * Σ round((xᵢ−mᵢ)²·1e12) in BIGINT, returning the argmin cell id
+  * (ties → smallest cell, the oracle's ORDER BY ds, cell).
+  *
+  * The composed path — k `aggregate(zip_with(...))` columns folded
+  * through `array_min(array(struct(ds, cell)))` — is interpreted end
+  * to end (HOFs are CodegenFallback) and measured ~1.2 s/rep on the
+  * sf0.1 corpus; this is one JVM loop over k·d primitive doubles.
+  * Null ELEMENTS are skipped (SUM semantics, matching the oracle's
+  * per-position join where a null x contributes no term); a null
+  * vector yields a null cell (the oracle never sees the vector —
+  * callers filter).
+  */
+case class CentroidArgmin(child: Expression, cells: Seq[Int],
+    centroids: Seq[Seq[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  require(cells.length == centroids.length,
+    s"${cells.length} cell ids for ${centroids.length} centroids")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double>, got $t")
+  }
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "graft_centroid_argmin"
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val cellArr: Array[Int] = cells.toArray
+  @transient private lazy val cenArr: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    var bestDs = Long.MaxValue
+    var bestCell = Int.MaxValue
+    var k = 0
+    while (k < cenArr.length) {
+      val m = cenArr(k)
+      val n = math.min(x.numElements(), m.length)
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        if (!x.isNullAt(i)) {
+          val xi = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+          val diff = xi - m(i)
+          s += ExactRound.halfUp(diff * diff * 1e12)
+        }
+        i += 1
+      }
+      if (s < bestDs || (s == bestDs && cellArr(k) < bestCell)) {
+        bestDs = s
+        bestCell = cellArr(k)
+      }
+      k += 1
+    }
+    bestCell
   }
 
   override protected def withNewChildInternal(newChild: Expression)
@@ -393,6 +468,15 @@ object VectorExprs {
   def quant8Stats(sx: Column): Column =
     GraftColumnBridge.column(Quant8Stats(
       GraftColumnBridge.expression(sx)))
+
+  /** Column wrapper: native k-means centroid argmin. Literal
+    * centroid parameters, so (unlike the other natives) there is no
+    * SQL-surface registration — the function is born from a collected
+    * centroid table, not a column expression. */
+  def centroidArgmin(x: Column, cells: Seq[Int],
+      centroids: Seq[Seq[Double]]): Column =
+    GraftColumnBridge.column(CentroidArgmin(
+      GraftColumnBridge.expression(x), cells, centroids))
 
   /** Column wrapper: native rolling 60-bit document fingerprint. */
   def rollingFp60(ws: Column): Column =

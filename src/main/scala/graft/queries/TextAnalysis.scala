@@ -343,5 +343,59 @@ object TextAnalysis {
         .as("keep"))
   }
 
-  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09)
+  // ---------------------------------------------------------------
+  // t10 corpus-trained unigram surprisal — the perplexity-style
+  // quality signal real pipelines filter on (a doc whose tokens are
+  // all corpus-rare is noise or novelty; one whose tokens are all
+  // corpus-common is boilerplate). Unlike t01–t09 this is TWO-pass:
+  // a vocabulary is TRAINED on the corpus (token → count), then every
+  // document is scored against it. Surprisal uses integer floor-log2
+  // (bits(total) − bits(count), via length(bin(n)) in both engines)
+  // so per-token terms are exact integers and the per-doc sums are
+  // order-independent — transcendental log is NOT correctly-rounded
+  // cross-engine and would break the bit-exact oracle hash.
+  //
+  // Scale shape: raw tokens collapse FIRST to (doc_id, token, dc)
+  // counts — map-side combinable, and the only relation that touches
+  // the corpus — so the vocabulary (one further groupBy(token)) and
+  // the scoring join both run over distinct doc-token pairs, not raw
+  // token occurrences (~5× smaller on natural text, more on
+  // repetitive docs). The token join is Zipf-skewed — the hot tokens
+  // are exactly what AQE skew-join splits. The (doc, token) relation
+  // feeds both passes and is pinned, the dedup family's gram pattern;
+  // the 1-row corpus total broadcasts.
+  val t10 = Q(
+    "t10_unigram_surprisal",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+      |             FROM documents),
+      |v AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+      |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM v)
+      |SELECT tok.doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(length(bin(tt.tot)) - length(bin(v.n))) AS BIGINT)::DOUBLE
+      |    / COUNT(*) AS avg_surprisal_bits,
+      |  CAST(SUM(CASE WHEN v.n <= 2 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+      |    / COUNT(*) AS rare_ratio
+      |FROM tok JOIN v ON tok.token = v.token CROSS JOIN tt
+      |GROUP BY tok.doc_id""".stripMargin) { (s, dir) =>
+    val dc = graft.operators.Pin(docs(s, dir)
+      .select(col("doc_id"), explode(col("ws")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("dc")))
+    val v = dc.groupBy("token").agg(sum("dc").as("n"))
+    val tt = v.agg(sum("n").as("tot"))
+    dc.join(v, "token")
+      .crossJoin(broadcast(tt))
+      .groupBy("doc_id")
+      .agg(sum("dc").as("n_tokens"),
+        sum(col("dc") *
+          (length(bin(col("tot"))) - length(bin(col("n"))))).as("surp"),
+        sum(when(col("n") <= 2, col("dc")).otherwise(0L)).as("rare"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("surp").cast(DoubleType) / col("n_tokens"))
+          .as("avg_surprisal_bits"),
+        (col("rare").cast(DoubleType) / col("n_tokens")).as("rare_ratio"))
+  }
+
+  val all: Seq[Q] =
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
 }

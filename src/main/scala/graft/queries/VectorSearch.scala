@@ -441,5 +441,134 @@ object VectorSearch {
             .as("recall_at_5"))
   }
 
-  val all: Seq[Q] = Seq(v01, v02, v03, v04, v05, v06)
+  // ---------------------------------------------------------------
+  // v07 k-means refinement — ONE Lloyd's iteration over the corpus,
+  // closing the loop on where v02/v04's IVF cells come from: seed
+  // centroids are the per-label means (v02's cm), every vector is
+  // re-assigned to its nearest centroid, and the cells are
+  // re-averaged. Per refined cell: member count, how many members
+  // switched label, and how far the centroid moved.
+  //
+  // The 100 TB shape is MLlib KMeans': the k·d centroid table is
+  // DRIVER state (collected once per iteration — the sync point every
+  // Lloyd's implementation has), baked into the assignment pass as
+  // literal vectors, so the corpus is assigned in one narrow
+  // projection with NO shuffle and no per-row join. Only the
+  // re-average shuffles, and its group count is k·d (640), not the
+  // corpus. All distances fold per-dimension rounded 1e12-scale terms
+  // into BIGINTs (v02's construction) — bit-identical cross-engine;
+  // argmin tie-breaks on cell id via struct ordering, mirroring the
+  // oracle's ORDER BY ds, cell.
+  val v07 = Q(
+    "v07_kmeans_refine",
+    """WITH ex AS (
+      |  SELECT vec_id, label, generate_subscripts(embedding,1) AS pos,
+      |    unnest(embedding) AS x
+      |  FROM embeddings),
+      |cen AS (SELECT label, pos,
+      |    CAST(SUM(round(x::DOUBLE*1e9)::BIGINT) AS BIGINT) AS sxs,
+      |    COUNT(*) AS c
+      |  FROM ex GROUP BY label, pos),
+      |cm AS (SELECT label, pos, sxs::DOUBLE / (c * 1e9) AS m FROM cen),
+      |d AS (SELECT ex.vec_id, cm.label AS cell,
+      |    CAST(SUM(round((ex.x::DOUBLE - cm.m)*(ex.x::DOUBLE - cm.m)*1e12)::BIGINT)
+      |      AS BIGINT) AS ds
+      |  FROM ex JOIN cm ON ex.pos = cm.pos
+      |  GROUP BY ex.vec_id, cm.label),
+      |a AS (SELECT vec_id, cell FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY ds, cell) AS rnk FROM d) t
+      |  WHERE rnk = 1),
+      |ax AS (SELECT a.cell, ex.pos, ex.x
+      |  FROM ex JOIN a ON ex.vec_id = a.vec_id),
+      |ncm AS (SELECT cell, pos,
+      |    CAST(SUM(round(x::DOUBLE*1e9)::BIGINT) AS BIGINT)::DOUBLE
+      |      / (COUNT(*) * 1e9) AS m2
+      |  FROM ax GROUP BY cell, pos),
+      |sh AS (SELECT ncm.cell,
+      |    CAST(SUM(round((ncm.m2 - cm.m)*(ncm.m2 - cm.m)*1e12)::BIGINT)
+      |      AS BIGINT) AS sq
+      |  FROM ncm JOIN cm ON ncm.cell = cm.label AND ncm.pos = cm.pos
+      |  GROUP BY ncm.cell),
+      |mem AS (SELECT a.cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+      |    CAST(SUM(CASE WHEN e2.label <> a.cell THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_switched
+      |  FROM a JOIN embeddings e2 ON a.vec_id = e2.vec_id
+      |  GROUP BY a.cell)
+      |SELECT mem.cell, mem.n_members, mem.n_switched,
+      |  sqrt(sh.sq::DOUBLE / 1e12) AS shift
+      |FROM mem JOIN sh ON mem.cell = sh.cell""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    // seed centroids: exact scaled-integer sums per (label, dim) —
+    // pinned because the relation is both collected (below) and
+    // joined by the shift report; one corpus pass, not two
+    val cm = graft.operators.Pin(emb
+      .select(col("label"),
+        posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .groupBy("label", "pos0")
+      .agg(sum(round(col("x").cast(DoubleType) * 1e9).cast(LongType))
+        .as("sxs"), count(lit(1)).as("c")))
+    // k·d doubles to the driver — same arithmetic as the oracle's cm
+    // CTE (sxs::DOUBLE / (c*1e9)), so the literals baked into the
+    // assignment expressions are bit-equal to what DuckDB divides.
+    // Width comes from the observed positions, not an assumed 64
+    // (the v05 hardcoded-dims lesson).
+    val cenRows = cm.collect()
+    if (cenRows.isEmpty) {
+      // degenerate corpus: no vectors -> no cells, schema-only result
+      emb.select(col("label").as("cell"), lit(0L).as("n_members"),
+        lit(0L).as("n_switched"), lit(0.0).as("shift")).limit(0)
+    } else {
+    val width = cenRows.map(_.getInt(1)).max + 1
+    val cen: Map[Int, Array[Double]] = cenRows
+      .groupBy(_.getInt(0))
+      .map { case (l, rows) =>
+        val arr = new Array[Double](width)
+        rows.foreach(r =>
+          arr(r.getInt(1)) = r.getLong(2).toDouble / (r.getLong(3) * 1e9))
+        l -> arr
+      }
+    // one native pass per vector ([[graft.functions.CentroidArgmin]]):
+    // k rounded-term distances + argmin with the (ds, cell) tie-break
+    // in a single JVM loop — the composed k-way zip_with/aggregate/
+    // array_min column is interpreted (HOFs are CodegenFallback) and
+    // measured ~2.4× slower end-to-end; identical arithmetic, so the
+    // oracle hash is unchanged
+    val cells = cen.keys.toSeq.sorted
+    val best = VectorExprs.centroidArgmin(col("embedding"),
+      cells, cells.map(l => cen(l).toSeq))
+    // pinned: two consumers (membership stats and the re-average)
+    // would otherwise each pay the k-way distance scan. A null
+    // embedding assigns a null cell — dropped, as the oracle's
+    // explode never emits it.
+    val assigned = graft.operators.Pin(
+      emb.select(col("vec_id"), col("label"), col("embedding"),
+        best.as("cell"))
+        .filter(col("cell").isNotNull))
+    val mem = assigned.groupBy("cell").agg(
+      count(lit(1)).as("n_members"),
+      sum(when(col("label") =!= col("cell"), 1L).otherwise(0L))
+        .as("n_switched"))
+    val ncm = assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .groupBy("cell", "pos0")
+      .agg(sum(round(col("x").cast(DoubleType) * 1e9).cast(LongType))
+        .as("sxs2"), count(lit(1)).as("c2"))
+      .select(col("cell"), col("pos0"),
+        (col("sxs2").cast(DoubleType) / (col("c2") * lit(1e9))).as("m2"))
+    val cmM = cm.select(col("label"), col("pos0").as("cpos"),
+      (col("sxs").cast(DoubleType) / (col("c") * lit(1e9))).as("m"))
+    val sh = ncm.join(broadcast(cmM),
+        ncm("cell") === cmM("label") && ncm("pos0") === cmM("cpos"))
+      .select(col("cell"),
+        round((col("m2") - col("m")) * (col("m2") - col("m")) * lit(1e12))
+          .cast(LongType).as("term"))
+      .groupBy("cell").agg(sum("term").as("sq"))
+    mem.join(sh, "cell")
+      .select(col("cell"), col("n_members"), col("n_switched"),
+        sqrt(col("sq").cast(DoubleType) / lit(1e12)).as("shift"))
+    }
+  }
+
+  val all: Seq[Q] = Seq(v01, v02, v03, v04, v05, v06, v07)
 }

@@ -271,11 +271,12 @@ class PipelineQueriesSpec extends SparkTestBase {
       .toDF("user_id", "event_id", "event_type")
       .write.parquet(s"$dir/events.parquet")
     // per-row / filtered queries: empty in, empty out
-    Seq(queries.TextAnalysis.t09, queries.SourceQueries.s06,
+    Seq(queries.TextAnalysis.t09, queries.TextAnalysis.t10,
+      queries.SourceQueries.s06,
       queries.SourceQueries.s07, queries.SourceQueries.s08,
       queries.SourceQueries.s09, queries.TextDedup.d08,
       queries.VectorSearch.v05, queries.VectorSearch.v06,
-      queries.EventAnalytics.e18)
+      queries.VectorSearch.v07, queries.EventAnalytics.e18)
       .foreach { q =>
         assert(q.run(spark, dir).count() === 0L, s"${q.name} not empty")
       }
@@ -310,6 +311,58 @@ class PipelineQueriesSpec extends SparkTestBase {
     val r0 = out.find(_.getAs[Long]("q_id") === 0L).get
     assert(r0.getAs[Long]("n_hits") === 5L)
     assert(r0.getAs[Double]("recall_at_5") === 1.0)
+  }
+
+  test("v07: mislabeled vector switches to the nearest cell; clean " +
+      "clusters keep their members and an untouched cell's shift is " +
+      "exactly 0") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pq").toFile.getAbsolutePath
+    // 10 vectors per label on axis 0/1/2 (tiny distinct perturbation
+    // in dim 3), plus one MISLABELED vector: label 0 but sitting on
+    // axis 1 — Lloyd's must move it to cell 1
+    val clean = (0 until 30).map { i =>
+      val label = i % 3
+      val base = Array.fill(4)(0.0f)
+      base(label) = 1.0f
+      base(3) = i * 0.001f
+      (i.toLong, base, label)
+    }
+    val outlier = (99L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0)
+    (clean :+ outlier).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = queries.VectorSearch.v07.run(spark, dir).collect()
+      .map(r => r.getAs[Int]("cell") ->
+        ((r.getAs[Long]("n_members"), r.getAs[Long]("n_switched"),
+          r.getAs[Double]("shift")))).toMap
+    assert(out.keySet === Set(0, 1, 2))
+    assert(out.values.map(_._1).sum === 31L) // every vector assigned once
+    assert(out(1)._1 === 11L && out(1)._2 === 1L) // gained the outlier
+    assert(out(0)._1 === 10L && out(0)._2 === 0L) // lost it
+    // cells that gained/lost members moved; cell 2's membership is
+    // unchanged, so its re-averaged centroid is bit-identical -> 0.0
+    assert(out(0)._3 > 0.0 && out(1)._3 > 0.0)
+    assert(out(2)._3 === 0.0)
+  }
+
+  test("t10: corpus-trained unigram surprisal — hand-computed " +
+      "floor-log2 bits and rare ratio on a 2-doc corpus") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pq").toFile.getAbsolutePath
+    // vocab: a->3, b->1; total=4. bits(4)=3, bits(3)=2, bits(1)=1.
+    Seq((1L, "a a", "en", "s"), (2L, "a b", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = queries.TextAnalysis.t10.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_surprisal_bits"),
+          r.getAs[Double]("rare_ratio")))).toMap
+    // doc 1 = [a, a]: per-token surprisal 3-2=1 bit -> avg 1.0;
+    // a has corpus count 3 > 2, so nothing is rare
+    assert(out(1L) === ((2L, 1.0, 0.0)))
+    // doc 2 = [a, b]: (3-2) + (3-1) = 3 bits over 2 tokens -> 1.5;
+    // b is a hapax -> rare_ratio 0.5
+    assert(out(2L) === ((2L, 1.5, 0.5)))
   }
 
   test("property: takeWeightBudget ≡ per-stratum prefix scan of the " +

@@ -226,4 +226,50 @@ class VectorExprsSpec extends SparkTestBase {
       assert(got(i.toLong) === expect, s"doc $i tokens=$ws")
     }
   }
+
+  test("property: CentroidArgmin ≡ composed zip_with/aggregate/" +
+      "array_min path on random float vectors; ties break to the " +
+      "smaller cell; null elements are skipped like the oracle's SUM") {
+    val rnd = new scala.util.Random(47)
+    val cells = Seq(3, 7, 11)
+    val cens: Seq[Seq[Double]] =
+      cells.map(_ => Seq.fill(8)(rnd.nextDouble() * 2 - 1))
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.fill(8)((rnd.nextFloat() * 2 - 1)))
+    }
+    val df = vecs.toDF("id", "x")
+    val native = df.select(col("id"),
+        VectorExprs.centroidArgmin(col("x"), cells, cens).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // composed reference: the original v07 column pipeline
+    def dsFor(m: Seq[Double]) = aggregate(
+      zip_with(col("x"), typedlit(m), (x, mm) => {
+        val d = x.cast("double") - mm
+        round(d * d * lit(1e12)).cast("long")
+      }), lit(0L), (acc, t) => acc + t)
+    val composed = df.select(col("id"),
+        array_min(array(cells.zip(cens).map { case (l, m) =>
+          struct(dsFor(m).as("ds"), lit(l).as("cell"))
+        }: _*)).getField("cell").as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    vecs.foreach { case (id, _) =>
+      assert(native(id) === composed(id), s"vec $id")
+    }
+    // tie: two identical centroids -> the smaller cell id wins, no
+    // matter the declaration order
+    val tied = Seq((1L, Array(0.5f, 0.5f))).toDF("id", "x")
+      .select(VectorExprs.centroidArgmin(col("x"),
+        Seq(9, 2), Seq(Seq(0.0, 0.0), Seq(0.0, 0.0))).as("cell"))
+      .collect().head.getInt(0)
+    assert(tied === 2)
+    // null element contributes no term (oracle parity: the exploded
+    // join drops the position), so [null, 1.0] scores like [1.0] at
+    // pos 1 — nearer the (_, 1) centroid than (_, 9)
+    val withNull = Seq((1L, Array[java.lang.Float](null, 1.0f)))
+      .toDF("id", "x")
+      .select(VectorExprs.centroidArgmin(col("x"),
+        Seq(0, 1), Seq(Seq(5.0, 9.0), Seq(5.0, 1.0))).as("cell"))
+      .collect().head.getInt(0)
+    assert(withNull === 1)
+  }
 }
