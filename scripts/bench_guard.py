@@ -37,8 +37,17 @@ def run_profile(queries):
                SPARK_GRAFT_REPS=str(REPS))
     cmd = ["sbt", "-batch",
            f"runMain graft.BenchProfile {','.join(sorted(queries))}"]
-    out = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
-                         text=True, timeout=1800).stdout
+    try:
+        proc = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                              text=True, timeout=1800)
+    except subprocess.TimeoutExpired:
+        print(f"FAIL: BenchProfile timed out after 1800 s")
+        sys.exit(1)
+    if proc.returncode != 0:
+        tail = "\n".join((proc.stderr or proc.stdout or "").splitlines()[-15:])
+        print(f"FAIL: sbt exited {proc.returncode}\n{tail}")
+        sys.exit(1)
+    out = proc.stdout
     got = {}
     for m in re.finditer(r"PROFILE (\S+)\s+([\d. ]+)", out):
         times = [float(t) for t in m.group(2).split()]

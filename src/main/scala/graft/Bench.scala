@@ -9,6 +9,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
+    // 1-min system load BEFORE any work: distinguishes "machine was
+    // already busy" from "this suite loaded the machine"
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     // Untimed warmup: touch every table at the bench SF (parquet
     // footers, file listing, the vectorized reader's first-touch cost).
     // Per-table try: one missing table must not silently skip the rest.
@@ -68,13 +72,28 @@ object Bench {
     val failedJson = failed.map(Sessions.jsonEscape).mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfJson = Sessions.jsonEscape(sfDir)
+    // environment block: a load-inflated run (r05's driver artifact
+    // read 29.4 s where a clean rep gave 21.3 s) is attributable from
+    // the artifact itself instead of needing a full re-run — system
+    // load average at start+end of the suite, machine cores vs the
+    // requested thread count, and the pin regime the numbers were
+    // taken under
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadEnd = osBean.getSystemLoadAverage
+    val envJson = {
+      val pin = spark.conf.getOption("spark.graft.pin").getOrElse("persist")
+      s"""{"load_avg_start":${ms(loadStart)},"load_avg_end":${ms(loadEnd)},"nproc":${Runtime.getRuntime.availableProcessors},"cpus_env":${Sessions.jsonEscape(cpus)},"default_parallelism":${spark.sparkContext.defaultParallelism},"shuffle_partitions":${Sessions.jsonEscape(spark.conf.get("spark.sql.shuffle.partitions"))},"pin":${Sessions.jsonEscape(pin)}}"""
+    }
     // compact suite-total line FIRST (always parseable even if the
     // driver's capture clips the long detail line), then the full
-    // contract line with per-query times; both are one-line JSON
-    val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":$sfJson}"""
-    val full = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":$sfJson}"""
+    // contract line with per-query times, then the compact line AGAIN
+    // (a tail-side capture that scrolls the head off still gets a
+    // parseable total); all are one-line JSON
+    val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":$sfJson,"env":$envJson}"""
+    val full = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":$sfJson,"env":$envJson}"""
     println(compact)
     println(full)
+    println(compact)
     Console.out.flush()
     // ALSO self-report to a file: r04's stdout tail capture clipped 11
     // of 85 per-query times mid-JSON — the file is written whole by

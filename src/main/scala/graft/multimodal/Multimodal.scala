@@ -197,9 +197,9 @@ object Multimodal {
 
   // ---------------------------------------------------------------
   // Header-metadata sniffing: container headers (PNG IHDR, JPEG SOF,
-  // GIF/BMP geometry, WAV fmt/data chunks) are fixed byte layouts, so
-  // dimensions / sample rates / durations come straight off the
-  // blob's first bytes with no codec at all — cheaper than a decode
+  // GIF/BMP geometry, WAV fmt/data chunks, MP4/ISO-BMFF moov boxes)
+  // are fixed byte layouts, so dimensions / sample rates / durations
+  // come straight off the blob's first bytes with no codec at all — cheaper than a decode
   // when only metadata is needed, and the dispatch key for
   // [[extractFeatures]]'s full decode.
 
@@ -222,6 +222,9 @@ object Multimodal {
       ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
   private def leShort(b: Array[Byte], i: Int): Int =
     ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+  private def beLong(b: Array[Byte], i: Int): Long =
+    ((beInt(b, i).toLong & 0xffffffffL) << 32) |
+      (beInt(b, i + 4).toLong & 0xffffffffL)
   private def ascii(b: Array[Byte], i: Int, s: String): Boolean =
     b.length >= i + s.length &&
       s.indices.forall(k => (b(i + k) & 0xff) == s.charAt(k))
@@ -299,6 +302,80 @@ object Multimodal {
       val dur = if (byteRate > 0 && dataLen >= 0)
         java.lang.Long.valueOf(dataLen * 1000L / byteRate) else null
       return Row("wav", null, null, rate, ch, dur)
+    }
+    // MP4 / ISO-BMFF ("ftyp" box leading the file): pure box-walk, no
+    // codec — ISO/IEC 14496-12. Boxes are [size:4 BE][type:4 ascii]
+    // [payload]; size==1 means a 64-bit largesize follows, size==0
+    // means "to end of enclosing scope". moov/mvhd gives
+    // duration/timescale (version 0: 32-bit fields; version 1:
+    // 64-bit); moov/trak/tkhd gives the video track's 16.16
+    // fixed-point width/height — the first trak with non-zero
+    // geometry wins (audio traks carry 0×0). A box running past its
+    // scope or under its own header ends the walk (null degrade, the
+    // same promise the other sniffers make).
+    if (ascii(b, 4, "ftyp")) {
+      // next box of `typ` at/after offset `from` within [from, end):
+      // (payloadStart, boxEnd), or null when absent/corrupt
+      def findBox(from: Long, end: Long, typ: String): (Long, Long) = {
+        var i = from
+        while (i + 8 <= end) {
+          val ii = i.toInt
+          var size = beInt(b, ii).toLong & 0xffffffffL
+          var hdr = 8L
+          if (size == 1L) {
+            if (i + 16 > end) return null
+            size = beLong(b, ii + 8); hdr = 16L
+          } else if (size == 0L) size = end - i
+          if (size < hdr || i + size > end) return null
+          if (ascii(b, ii + 4, typ)) return (i + hdr, i + size)
+          i += size
+        }
+        null
+      }
+      val moov = findBox(0L, b.length.toLong, "moov")
+      if (moov == null) return empty("mp4")
+      val (mvStart, mvEnd) = moov
+      var dur: java.lang.Long = null
+      val mvhd = findBox(mvStart, mvEnd, "mvhd")
+      if (mvhd != null) {
+        val p = mvhd._1.toInt
+        val ver = b(p) & 0xff
+        // v0: ver/flags 4 + creation 4 + modification 4 -> timescale
+        // at p+12, duration(32) at p+16; v1: creation/modification are
+        // 64-bit -> timescale at p+20, duration(64) at p+24
+        if (ver == 0 && mvhd._2 >= p + 20) {
+          val ts = beInt(b, p + 12).toLong & 0xffffffffL
+          val d = beInt(b, p + 16).toLong & 0xffffffffL
+          if (ts > 0) dur = d * 1000L / ts
+        } else if (ver == 1 && mvhd._2 >= p + 32) {
+          val ts = beInt(b, p + 20).toLong & 0xffffffffL
+          val d = beLong(b, p + 24)
+          if (ts > 0 && d >= 0) dur = d * 1000L / ts
+        }
+      }
+      var (w, h) = (null: Integer, null: Integer)
+      var cursor = mvStart
+      while (w == null && cursor < mvEnd) {
+        val trak = findBox(cursor, mvEnd, "trak")
+        if (trak == null) cursor = mvEnd
+        else {
+          val tkhd = findBox(trak._1, trak._2, "tkhd")
+          if (tkhd != null) {
+            val p = tkhd._1.toInt
+            val ver = b(p) & 0xff
+            // width/height are the last 8 payload bytes after the
+            // 36-byte matrix: v0 at p+76/p+80, v1 at p+88/p+92
+            val off = if (ver == 1) 88 else 76
+            if (tkhd._2 >= p + off + 8) {
+              val tw = beInt(b, p + off) >>> 16 // 16.16 integer part
+              val th = beInt(b, p + off + 4) >>> 16
+              if (tw > 0 && th > 0) { w = tw; h = th }
+            }
+          }
+          cursor = trak._2
+        }
+      }
+      return Row("mp4", w, h, null, null, dur)
     }
     empty(null)
   }
@@ -422,10 +499,11 @@ object Multimodal {
       val actual =
         try reader.getNumImages(true) catch { case _: Throwable => 1 }
       // n_frames reports the media's TRUE frame count; maxFrames caps
-      // only how many are decoded — so stride-coverage ratios like
-      // sampled/n_frames stay honest for long GIFs
-      val end = math.min(actual, maxFrames)
-      (0 until end by stride).flatMap { i =>
+      // how many frames are DECODED (counted after striding, so
+      // stride=2 maxFrames=64 decodes 64 frames, not 32) — and
+      // stride-coverage ratios like sampled/n_frames stay honest for
+      // long GIFs
+      (0 until actual by stride).take(maxFrames).flatMap { i =>
         try {
           val img = reader.read(i)
           imageFeatures(img).map(f => (i, actual, f))
@@ -567,7 +645,11 @@ object Multimodal {
   def imageNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64), got $maxHamming")
-    val sig = imageSignatures(media)
+    // Pin (as d02/s06 do for cappedGids) so the heavy ImageIO decode
+    // runs once per blob by construction: both sides of the per-piece
+    // self-join read the cached signatures, instead of relying on
+    // exchange reuse that a broadcast decision would defeat.
+    val sig = graft.operators.Pin(imageSignatures(media))
     imageNearDupsFromSignatures(sig, maxHamming)
   }
 

@@ -3,6 +3,7 @@ package graft.sources
 import scala.util.control.NonFatal
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.types.StructField
@@ -111,8 +112,12 @@ object BigQueryGateway {
           // read-side catalog commands (SHOW/DESCRIBE/EXPLAIN/SET/...)
           // are not writes, and telling their caller "write operations
           // are not allowed" sends them down the wrong help text
-          val readSideCmd = bad.forall(p => ReadCommandName
-            .findPrefixOf(p.getClass.getSimpleName).isDefined)
+          val readSideCmd = bad.forall { p =>
+            val name = p.getClass.getSimpleName
+            !p.isInstanceOf[logical.AlterTableCommand] &&
+              AlterSetName.findPrefixOf(name).isEmpty &&
+              ReadCommandName.findPrefixOf(name).isDefined
+          }
           if (readSideCmd)
             throw GatewayError("Only SELECT queries are supported",
               Some("Catalog and session statements (SHOW, DESCRIBE, " +
@@ -168,6 +173,16 @@ object BigQueryGateway {
   private val ReadCommandName =
     ("(?i)(show|describe|desc|explain|reset|use|refresh|analyze|" +
       "cache|uncache|list|set)").r
+
+  /** ALTER ... SET statements parse to nodes whose simple names also
+    * START with "set" (SetTableProperties, SetTableLocation,
+    * SetNamespaceProperties, SetViewProperties, ...). They are
+    * mutations and must get the write envelope, so they are excluded
+    * BEFORE the read-side prefix match — by the `AlterTableCommand`
+    * trait where Catalyst provides it (table alters) and by this
+    * name pattern for the namespace/view alters that don't carry the
+    * trait. */
+  private val AlterSetName = "(?i)(un)?set(table|namespace|view)".r
 
   /** `describe_dataset` (`bigquery_tool.py:277-392`) over a Spark
     * catalog database. Temp views (how this engine registers parquet

@@ -21,6 +21,12 @@ class BigQueryGatewaySpec extends SparkTestBase {
       "DROP TABLE region",
       "CREATE TABLE t2 (a INT) USING parquet",
       "ALTER TABLE region ADD COLUMNS (x INT)",
+      // ALTER ... SET parses to Set* nodes (SetTableProperties,
+      // SetTableLocation, SetNamespaceProperties) whose names also
+      // start with the read-side "set" prefix — they must still get
+      // the WRITE envelope (round-5 advisor finding)
+      "ALTER TABLE region SET TBLPROPERTIES ('k' = 'v')",
+      "ALTER TABLE region UNSET TBLPROPERTIES ('k')",
       "TRUNCATE TABLE region",
       "MERGE INTO region USING region s ON false WHEN MATCHED THEN DELETE",
       "insert into region values (9, 'X', 'c')")

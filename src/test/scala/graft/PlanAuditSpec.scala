@@ -85,12 +85,21 @@ class PlanAuditSpec extends SparkTestBase {
     //       the audit runs d02 first to make attribution
     //       deterministic); its own pair repartition + eval-size
     //       agg + final report exchange                           -> 3
+    // round-6 additions (audited 2026-08-13, VERDICT r5 ask #1):
+    //  t10: pinned (doc,token,count) cache build pays its groupBy;
+    //       outside: vocab agg + 1-row corpus total + the Zipf-
+    //       skewed token join's exchange + final doc agg          -> 5
+    //  v07: pinned centroid-sums cache build; assignment is the
+    //       native zero-shuffle CentroidArgmin pass; membership
+    //       agg + re-average agg + shift agg                      -> 4
     spark.sharedState.cacheManager.clearCache()
     val audited = Seq(
       "d02_ngram_jaccard" -> 4,
       "s06_decontamination" -> 3,
       "q03_revenue_by_nation" -> 1,
-      "q05_region_revenue" -> 1)
+      "q05_region_revenue" -> 1,
+      "t10_unigram_surprisal" -> 5,
+      "v07_kmeans_refine" -> 4)
     val got = audited.map { case (name, _) =>
       name -> executedShuffleCount(build(name))
     }

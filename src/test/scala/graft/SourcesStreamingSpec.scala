@@ -255,6 +255,85 @@ class MultimodalSpec extends SparkTestBase {
     assert(got(3).getAs[Integer]("height") === 12)
   }
 
+  test("sniffMetadata: MP4/ISO-BMFF box walk — mvhd duration, video " +
+      "tkhd geometry with the audio trak skipped, v1 64-bit fields + " +
+      "largesize boxes, corrupt/absent moov degrades") {
+    // boxes built by hand from ISO/IEC 14496-12 (no muxer involved)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII"))
+      bb.put(payload)
+      bb.array()
+    }
+    // size==1: real 64-bit length in the 8 bytes after the type
+    def box64(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(16 + payload.length)
+      bb.putInt(1).put(typ.getBytes("US-ASCII"))
+      bb.putLong(16L + payload.length).put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ Array.fill[Byte](4)(0))
+    // mvhd v0 (100-byte payload): timescale 1000, duration 5400
+    val mvhd0 = {
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.putInt(0).putInt(0).putInt(0) // version/flags, creation, mod
+      bb.putInt(1000).putInt(5400)     // timescale, duration -> 5400 ms
+      bb.array()
+    }
+    // tkhd v0 (84-byte payload): 16.16 fixed geometry at 76/80
+    def tkhd0(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.position(76)
+      bb.putInt(w << 16).putInt(h << 16)
+      bb.array()
+    }
+    val fullV0 = ftyp ++ box("moov",
+      box("mvhd", mvhd0) ++
+        box("trak", box("tkhd", tkhd0(0, 0))) ++ // audio trak: 0x0
+        box("trak", box("tkhd", tkhd0(640, 360))))
+    // v1: 64-bit creation/modification/duration; moov uses largesize
+    val mvhd1 = {
+      val bb = java.nio.ByteBuffer.allocate(32)
+      bb.putInt(0x01000000).putLong(0).putLong(0) // version 1
+      bb.putInt(90000).putLong(90000L * 7)        // -> 7000 ms
+      bb.array()
+    }
+    val tkhd1 = {
+      val bb = java.nio.ByteBuffer.allocate(96)
+      bb.putInt(0x01000000)
+      bb.position(88)
+      bb.putInt(1280 << 16).putInt(720 << 16)
+      bb.array()
+    }
+    val fullV1 = ftyp ++ box64("moov",
+      box("mvhd", mvhd1) ++ box("trak", box("tkhd", tkhd1)))
+    val audioOnly = ftyp ++ box("moov",
+      box("mvhd", mvhd0) ++ box("trak", box("tkhd", tkhd0(0, 0))))
+    // moov whose first child declares a size running past the scope
+    val corrupt = ftyp ++ box("moov", {
+      val bb = java.nio.ByteBuffer.allocate(8)
+      bb.putInt(0xffffff).put("mvhd".getBytes("US-ASCII"))
+      bb.array()
+    })
+    val rows = java.util.Arrays.asList(
+      Row(1L, "video", null, null, null, fullV0),
+      Row(2L, "video", null, null, null, fullV1),
+      Row(3L, "audio", null, null, null, audioOnly),
+      Row(4L, "video", null, null, null, corrupt),
+      Row(5L, "video", null, null, null, ftyp)) // no moov at all
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val got = Multimodal.sniffMetadata(media).orderBy("media_id")
+      .collect().map(r => (r.getLong(0), r.getAs[String]("format"),
+        r.getAs[Integer]("width"), r.getAs[Integer]("height"),
+        r.getAs[java.lang.Long]("duration_ms")))
+    assert(got(0) === ((1L, "mp4", 640, 360, 5400L)))
+    assert(got(1) === ((2L, "mp4", 1280, 720, 7000L)))
+    assert(got(2) === ((3L, "mp4", null, null, 5400L)))
+    assert(got(3) === ((4L, "mp4", null, null, null)))
+    assert(got(4) === ((5L, "mp4", null, null, null)))
+  }
+
   // ---- byte-exact decode fixtures: COMPLETE files built by hand from
   // the format specs (no codec used to author them), with pixel /
   // sample values chosen so every expected feature is an exactly
