@@ -226,14 +226,15 @@ object SourceQueries {
   // ≥3 distinct word-3-gram shingles, the shared-gram count and the
   // fraction of the eval doc's grams covered. Candidates come from an
   // inverted-index equi-join on the 60-bit gram hash (never all
-  // pairs), with d02's document-frequency cap (>1000 docs) as the
+  // pairs), with d02's distribution-derived document-frequency cap
+  // ([[TextDedup.autoDfCap]]) as the
   // hub-gram skew guard — the d02 shuffle shape, so it survives the
   // same 100 TB growth.
   val s06 = Q(
     "s06_decontamination",
     s"""${TextDedup.gidsCte},
       |h AS (SELECT doc_id, gid FROM g WHERE gid NOT IN
-      |        (SELECT gid FROM g GROUP BY gid HAVING COUNT(*) > ${TextDedup.DfCap})),
+      |        (SELECT gid FROM g GROUP BY gid HAVING COUNT(*) > ${TextDedup.capSql("g")})),
       |a AS (SELECT doc_id, gid,
       |    CASE WHEN ${Fns.hash60Sql("doc_id")} % 100 < 80
       |         THEN 'train' ELSE 'eval' END AS split FROM h),

@@ -61,13 +61,67 @@ object TextDedup {
       |                FOR i IN range(1, len(ws)-1)]) AS gid
       |      FROM t WHERE len(ws) >= 3)""".stripMargin
 
-  /** Hub-shingle document-frequency cap and exact-Jaccard threshold —
-    * ONE definition each, interpolated into every oracle string and
-    * Spark plan that uses them (d02, s06, d09): a change propagates to
-    * the ground truth AND its evaluators together instead of leaving a
-    * stale copy behind. */
-  private[queries] val DfCap = 1000
+  /** Hub-shingle document-frequency cap, derived from the OBSERVED df
+    * distribution (VERDICT r5 ask #3 — a fixed cap lets a corpus 10×
+    * denser than expected blow quadratically past it silently):
+    *
+    *   cap = LEAST(MaxDfCap, GREATEST(MinDfCap,
+    *           largest df value c such that Σ_{df ≤ c} df² ≤
+    *             PairBudget · |gram occurrences|))
+    *
+    * Σ df² over kept grams bounds the candidate-pair volume of the
+    * inverted-index self-join, so the budget makes pair generation
+    * LINEAR in corpus size by construction — the 100 TB property a
+    * constant can't give. [[MinDfCap]] keeps ordinary corpora intact
+    * (a df-64 gram contributes ≤ 2016 pairs — noise), and on the
+    * whole test corpus max df ≤ 25, so the floor reproduces the old
+    * fixed-cap behavior bit-for-bit there. [[MaxDfCap]] preserves the
+    * absolute hub guard the fixed cap provided. ONE definition,
+    * interpolated into every oracle string AND computed by the same
+    * integer arithmetic in every Spark plan that uses it (d02, s06,
+    * d09): the ground truth and its evaluators can never disagree on
+    * which grams were dropped. Exactness: the cumulative Σ df² runs
+    * in HUGEINT on DuckDB and decimal(38,0) on Spark — both exact
+    * 128-bit, so the boundary comparison is bit-identical. */
+  private[queries] val MinDfCap = 64L
+  private[queries] val MaxDfCap = 1000L
+  private[queries] val PairBudget = 256L
   private[queries] val JaccardMin = 0.5
+
+  /** Oracle twin of the auto-cap: a scalar subquery over the gram
+    * relation `g` (pass the CTE name), usable inside `HAVING
+    * COUNT(*) > ...`. The df histogram is grouped BY df value first,
+    * so the window runs over at most |distinct df values| rows. */
+  private[queries] def capSql(g: String): String =
+    s"""(SELECT LEAST($MaxDfCap, GREATEST($MinDfCap, COALESCE(MAX(df), 0)))
+       | FROM (SELECT df, SUM(df::HUGEINT * df * k) OVER (ORDER BY df) AS cum
+       |       FROM (SELECT df, COUNT(*) AS k
+       |             FROM (SELECT gid, COUNT(*) AS df FROM $g GROUP BY gid)
+       |             GROUP BY df))
+       | WHERE cum <= $PairBudget * (SELECT COUNT(*) FROM $g))""".stripMargin
+      .replace("\n", " ")
+
+  /** The auto-cap as a 1-row `(cap)` DataFrame over a distinct
+    * `(doc_id, gid)` relation — same arithmetic as [[capSql]].
+    * Scale shape: df agg runs on the gid-partitioned pin
+    * (exchange-free), the histogram collapses to df-VALUE grain
+    * before the global-order window, so the single-task window sees
+    * at most |distinct df values| rows — bounded by max df, not by
+    * corpus size. */
+  private[queries] def autoDfCap(g: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val dfs = g.groupBy("gid").agg(count(lit(1)).as("df"))
+    val hist = dfs.groupBy("df").agg(count(lit(1)).as("k"))
+    val cum = hist.select(col("df"),
+      sum(col("df").cast(dec) * col("df").cast(dec) * col("k").cast(dec))
+        .over(Window.orderBy("df")).as("cum"))
+    val tot = g.agg(count(lit(1)).cast(dec).as("t"))
+    cum.crossJoin(broadcast(tot))
+      .filter(col("cum") <= lit(PairBudget).cast(dec) * col("t"))
+      .agg(coalesce(max("df"), lit(0L)).as("rawcap"))
+      .select(least(lit(MaxDfCap),
+        greatest(lit(MinDfCap), col("rawcap"))).as("cap"))
+  }
 
   /** The pinned, df-capped, gid-PRE-PARTITIONED distinct-gram relation
     * `(doc_id, gid)` shared by d02 and s06 (ONE definition → identical
@@ -83,17 +137,21 @@ object TextDedup {
     * join key ONCE, reuse it across every dedup pass) and at sf0.1 it
     * removes three exchanges from the steady-state path.
     *
-    * The hub-gram (df > [[DfCap]]) anti-join runs BEFORE the second
-    * pin: the hot list is tiny at any scale (it is the skew, by
-    * definition) → broadcast anti-join, which preserves the streamed
-    * side's gid partitioning. */
+    * The hub-gram (df > [[autoDfCap]]) anti-join runs BEFORE the
+    * second pin: the hot list is tiny at any scale (it is the skew,
+    * by definition) → broadcast anti-join, which preserves the
+    * streamed side's gid partitioning. The cap itself is a 1-row
+    * broadcast (the t10 corpus-total pattern) — deriving it adds
+    * df-histogram-grain work only, never a corpus-grain pass beyond
+    * the df agg the hot list already paid. */
   private[queries] def cappedGids(
       s: SparkSession, dir: String): DataFrame = {
     val par = s.sparkContext.defaultParallelism
     val g = Pin(gids(s, dir, distinct = true)
       .repartition(par, col("gid")))
     val hot = g.groupBy("gid").agg(count(lit(1)).as("df"))
-      .filter(col("df") > DfCap).select("gid")
+      .crossJoin(broadcast(autoDfCap(g)))
+      .filter(col("df") > col("cap")).select("gid")
     Pin(g.join(broadcast(hot), Seq("gid"), "left_anti")
       .select("doc_id", "gid")) // join key moves first; restore order
   }
@@ -132,7 +190,7 @@ object TextDedup {
     "d02_ngram_jaccard",
     s"""$gidsCte,
       |h AS (SELECT doc_id, gid FROM g WHERE gid NOT IN
-      |        (SELECT gid FROM g GROUP BY gid HAVING COUNT(*) > $DfCap)),
+      |        (SELECT gid FROM g GROUP BY gid HAVING COUNT(*) > ${capSql("g")})),
       |n AS (SELECT doc_id, COUNT(*) AS n FROM h GROUP BY doc_id),
       |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
       |        CAST(COUNT(*) AS BIGINT) AS inter
@@ -146,7 +204,7 @@ object TextDedup {
       |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= $JaccardMin""".stripMargin) {
     (s, dir) =>
       // document-frequency cap + pins live in [[cappedGids]] (shared
-      // with s06): a hub shingle appearing in >1000 docs would square
+      // with s06): a hub shingle appearing in >cap docs would square
       // into >500k candidate pairs on ONE shuffle key — the standard
       // capped-Jaccard guard, mirrored in the oracle so both engines
       // drop the same grams. The relation fans out FOUR ways here
@@ -321,7 +379,7 @@ object TextDedup {
     s"""${mhSigCte},
       |gd AS (SELECT DISTINCT doc_id, gid FROM g),
       |hh AS (SELECT doc_id, gid FROM gd WHERE gid NOT IN
-      |        (SELECT gid FROM gd GROUP BY gid HAVING COUNT(*) > $DfCap)),
+      |        (SELECT gid FROM gd GROUP BY gid HAVING COUNT(*) > ${capSql("gd")})),
       |nn AS (SELECT doc_id, COUNT(*) AS n FROM hh GROUP BY doc_id),
       |pp AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
       |        CAST(COUNT(*) AS BIGINT) AS inter
