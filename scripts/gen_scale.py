@@ -7,7 +7,7 @@ the dedup / vector families can be run at ~10x (sf1-equivalent) to
 verify runtime grows ~linearly. The remaining tables are copied from
 the base dir so Tables.load() finds everything.
 
-Usage: python3 scripts/gen_scale.py <outDir> <multiplier>
+Usage: python3 scripts/gen_scale.py <outDir> <multiplier> [heaps]
 
 Mimicked structure (measured from sf0.1, seed fixed for determinism):
 - documents: 31-word vocab, 10-100 tokens/doc (avg ~54), lang mix
@@ -16,7 +16,21 @@ Mimicked structure (measured from sf0.1, seed fixed for determinism):
   near-dup pairs for d02/d03/d04/s06 to find).
 - embeddings: 64-dim unit-norm vectors around 10 label centroids,
   ~2% slightly-perturbed copies (cosine > 0.99 near-dups for d06).
+
+With the `heaps` mode (VERDICT r5 ask #2) the document vocabulary
+grows with the corpus instead of staying fixed at 31 words:
+V = 22 * sqrt(total_tokens) (Heaps' law V = K*N^beta with beta = 0.5,
+K = 22 -- inside the empirical K = 10..100 English band), words drawn
+Zipf(s = 1.07). A fixed vocabulary makes average shingle df grow
+LINEARLY with the corpus and inverted-index pair volume quadratically
+(the 10x run's documented superlinearity); real corpora grow
+vocabulary, keeping df near-flat -- this mode exists to prove the
+dedup family scales near-linearly on realistic text. Copy/near-dup
+rates stay identical to the fixed-vocab mode. Events are copied from
+the base dir in heaps mode (the dedup/text families under test do not
+read them).
 """
+import math
 import os
 import random
 import shutil
@@ -65,6 +79,42 @@ def gen_documents(rng, n):
         "n_chars": pa.array(n_chars, pa.int64())})
 
 
+def gen_documents_heaps(seed, n):
+    np_rng = np.random.default_rng(seed)
+    lens = np_rng.integers(10, 101, size=n)
+    total = int(lens.sum())
+    vocab_n = max(31, int(round(22 * math.sqrt(total))))
+    ranks = np.arange(1, vocab_n + 1, dtype=np.float64)
+    p = ranks ** -1.07
+    p /= p.sum()
+    idx = np_rng.choice(vocab_n, size=total, p=p)
+    words = np.array([f"w{i}" for i in range(vocab_n)])
+    toks = words[idx]
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    texts = [" ".join(toks[offs[i]:offs[i + 1]]) for i in range(n)]
+    # same duplicate structure as the fixed-vocab mode
+    rng = random.Random(seed)
+    langs, sources = [], []
+    for i in range(n):
+        r = rng.random()
+        if i > 10 and r < 0.003:            # exact copy
+            texts[i] = texts[rng.randrange(max(0, i - 200), i)]
+        elif i > 10 and r < 0.018:          # mutated copy (near-dup)
+            t = texts[rng.randrange(max(0, i - 200), i)].split(" ")
+            for _ in range(rng.randrange(2, 5)):
+                t[rng.randrange(len(t))] = f"w{rng.randrange(vocab_n)}"
+            texts[i] = " ".join(t)
+        langs.append(rng.choices(LANGS, weights=LANG_W)[0])
+        sources.append(f"src{rng.randrange(20)}")
+    print(f"  heaps vocab: {vocab_n} words for {total} tokens")
+    return pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(sources, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())})
+
+
 def gen_embeddings(seed, n):
     np_rng = np.random.default_rng(seed)
     centers = np_rng.normal(size=(10, 64))
@@ -110,15 +160,22 @@ def gen_events(seed, n, n_users):
 
 def main():
     out_dir, mult = sys.argv[1], float(sys.argv[2])
+    heaps = len(sys.argv) > 3 and sys.argv[3] == "heaps"
     os.makedirs(out_dir, exist_ok=True)
     rng = random.Random(42)
     n_docs, n_vecs = int(5000 * mult), int(2000 * mult)
-    pq.write_table(gen_documents(rng, n_docs),
-                   os.path.join(out_dir, "documents.parquet"))
+    docs = (gen_documents_heaps(42, n_docs) if heaps
+            else gen_documents(rng, n_docs))
+    pq.write_table(docs, os.path.join(out_dir, "documents.parquet"))
     pq.write_table(gen_embeddings(42, n_vecs),
                    os.path.join(out_dir, "embeddings.parquet"))
-    pq.write_table(gen_events(42, int(100000 * mult), int(1500 * mult)),
-                   os.path.join(out_dir, "events.parquet"))
+    if heaps:
+        shutil.copyfile(os.path.join(BASE, "events.parquet"),
+                        os.path.join(out_dir, "events.parquet"))
+    else:
+        pq.write_table(
+            gen_events(42, int(100000 * mult), int(1500 * mult)),
+            os.path.join(out_dir, "events.parquet"))
     for t in ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem"]:
         src = os.path.join(BASE, f"{t}.parquet")
