@@ -396,6 +396,71 @@ object TextAnalysis {
         (col("rare").cast(DoubleType) / col("n_tokens")).as("rare_ratio"))
   }
 
+  // ---------------------------------------------------------------
+  // t11 PII detection + redaction — the pre-training scrub every
+  // corpus pipeline runs before text leaves curation (emails and
+  // phone numbers → typed placeholders, plus per-row match counts for
+  // the scrub report). The reference's closest surface is safe_eval's
+  // regex-free string methods (`safe_eval.py:199-258`) — masking is
+  // an engine extension on the same per-row contract. Input rows are
+  // synthesized deterministically from `customer` (the testdata has
+  // no real contact columns — s01's derive-from-nation pattern):
+  // every 3rd key gets an email, every 2nd a phone, so counts vary
+  // 0–1 per kind and the masked text differs from the input exactly
+  // where a detector fired.
+  //
+  // Scale shape: per-row narrow regex work, no shuffle at all — the
+  // scan's partitioning IS the plan. Both regexes are RE2-safe
+  // subsets (no backtracking blowup on adversarial inputs) and the
+  // whole row stays inside one codegen stage.
+  private val emailPat = "[a-z0-9.]+@[a-z0-9.]+"
+  private val phonePat = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val t11 = Q(
+    "t11_pii_mask",
+    s"""WITH n AS (SELECT c_custkey,
+      |    'customer ' || c_name
+      |    || CASE WHEN c_custkey % 3 = 0
+      |         THEN ' email ' || lower(replace(c_name,'#','.'))
+      |              || '@example.com' ELSE '' END
+      |    || CASE WHEN c_custkey % 2 = 0
+      |         THEN ' phone ' || CAST(10 + c_custkey % 90 AS VARCHAR)
+      |              || '-' || lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0')
+      |              || '-' || lpad(CAST(c_custkey * 13 % 1000 AS VARCHAR), 3, '0')
+      |              || '-' || lpad(CAST(c_custkey * 31 % 10000 AS VARCHAR), 4, '0')
+      |         ELSE '' END
+      |    || ' segment ' || c_mktsegment AS note
+      |  FROM customer)
+      |SELECT c_custkey,
+      |  CAST(len(regexp_extract_all(note, '$emailPat')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(note, '$phonePat')) AS BIGINT) AS n_phones,
+      |  regexp_replace(regexp_replace(note, '$emailPat', '<EMAIL>', 'g'),
+      |    '$phonePat', '<PHONE>', 'g') AS masked
+      |FROM n""".stripMargin) { (s, dir) =>
+    val key = col("c_custkey")
+    def pad(c: Column, w: Int): Column = lpad(c.cast(StringType), w, "0")
+    val note = concat(
+      lit("customer "), col("c_name"),
+      when(key % 3 === 0, concat(lit(" email "),
+        lower(regexp_replace(col("c_name"), "#", ".")),
+        lit("@example.com"))).otherwise(""),
+      when(key % 2 === 0, concat(lit(" phone "),
+        (lit(10) + key % 90).cast(StringType),
+        lit("-"), pad(key * 7 % 1000, 3),
+        lit("-"), pad(key * 13 % 1000, 3),
+        lit("-"), pad(key * 31 % 10000, 4))).otherwise(""),
+      lit(" segment "), col("c_mktsegment"))
+    Tables.load(s, dir, "customer")
+      .select(key, note.as("note"))
+      .select(key,
+        size(regexp_extract_all(col("note"), lit(emailPat), lit(0)))
+          .cast(LongType).as("n_emails"),
+        size(regexp_extract_all(col("note"), lit(phonePat), lit(0)))
+          .cast(LongType).as("n_phones"),
+        regexp_replace(
+          regexp_replace(col("note"), emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>").as("masked"))
+  }
+
   val all: Seq[Q] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
 }

@@ -627,5 +627,64 @@ object TextDedup {
       .filter(col("cosine") >= 0.3)
   }
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09)
+  // ---------------------------------------------------------------
+  // d10 dedup APPLY — the step that actually produces the cleaned
+  // corpus: d01–d09 report duplicates, this one removes them. d07's
+  // cluster assignment (LSH pairs ≥4/8 minhashes → connected
+  // components → min-doc_id canonical) drives a keep/drop decision
+  // per document, aggregated into the per-source retention report a
+  // curation pipeline publishes (docs in, docs removed, docs kept,
+  // characters surviving). Closest reference shape: the set-difference
+  // ops of SURVEY §2.7 (`safe_eval.py` list ops) composed with the
+  // d07 clustering — no native equivalent; this is the engine
+  // extension the BASELINE.json north star asks for.
+  //
+  // Scale shape: `removed` is the non-canonical cluster members —
+  // proportional to the corpus duplication rate, NOT driver-scale —
+  // so it joins the corpus by shuffle on doc_id (deliberately NO
+  // broadcast hint: at 100 TB with 30 % duplication the removed set
+  // is 30 TB of keys; AQE may still broadcast it at small SF). The
+  // final aggregate is |sources| rows.
+  val d10 = Q(
+    "d10_dedup_apply",
+    s"""${mhSigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |          FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND
+      |            $mhBandsSql
+      |          WHERE $mhMatchesSql >= 4),
+      |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |walk(node, lbl) AS (
+      |  SELECT src, src FROM e
+      |  UNION
+      |  SELECT e2.dst, w.lbl FROM walk w JOIN e e2 ON e2.src = w.node),
+      |removed AS (SELECT node AS doc_id FROM walk
+      |            GROUP BY node HAVING node <> MIN(lbl))
+      |SELECT d.source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS n_removed,
+      |  CAST(SUM(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(SUM(CASE WHEN r.doc_id IS NULL THEN d.n_chars ELSE 0 END)
+      |    AS BIGINT) AS chars_kept
+      |FROM documents d LEFT JOIN removed r ON d.doc_id = r.doc_id
+      |GROUP BY d.source""".stripMargin) { (s, dir) =>
+    val edges = minhashPairs(s, dir)
+      .filter(col("n_matching_minhashes") >= 4)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val removed = GraphOps.connectedComponents(edges)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"), lit(1L).as("rm"))
+    Tables.load(s, dir, "documents")
+      .join(removed, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("rm"), lit(0L))).as("n_removed"),
+        sum(when(col("rm").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rm").isNull, col("n_chars")).otherwise(0L))
+          .as("chars_kept"))
+  }
+
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10)
 }

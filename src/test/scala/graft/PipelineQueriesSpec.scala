@@ -448,4 +448,60 @@ class PipelineQueriesSpec extends SparkTestBase {
     val step = 1000000.0 / 127.0
     assert(r.getAs[Double]("mse") <= 4 * (step / 2) * (step / 2) / (64 * 1e12))
   }
+
+  test("d10: non-canonical cluster members are removed per source, " +
+      "canonical + unique docs survive with their chars") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pq").toFile.getAbsolutePath
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    // 1,2,3 identical (one cluster, canonical = 1); 4 unique
+    Seq(
+      (1L, dup, "en", "s1", dup.length.toLong),
+      (2L, dup, "en", "s1", dup.length.toLong),
+      (3L, dup, "en", "s2", dup.length.toLong),
+      (4L, "completely different text body here words", "en", "s2", 42L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = queries.TextDedup.d10.run(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("s1").getAs[Long]("n_docs") === 2L)
+    assert(out("s1").getAs[Long]("n_removed") === 1L) // doc 2
+    assert(out("s1").getAs[Long]("n_kept") === 1L)    // doc 1 canonical
+    assert(out("s1").getAs[Long]("chars_kept") === dup.length.toLong)
+    assert(out("s2").getAs[Long]("n_docs") === 2L)
+    assert(out("s2").getAs[Long]("n_removed") === 1L) // doc 3
+    assert(out("s2").getAs[Long]("n_kept") === 1L)    // doc 4 unique
+    assert(out("s2").getAs[Long]("chars_kept") === 42L)
+  }
+
+  test("t11: email/phone fire exactly on the synthesized keys and " +
+      "masking replaces each match with its typed placeholder") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pq").toFile.getAbsolutePath
+    Seq(
+      (1L, "Customer#000000001", "BUILDING"),   // no email, no phone
+      (2L, "Customer#000000002", "MACHINERY"),  // phone only
+      (3L, "Customer#000000003", "HOUSEHOLD"),  // email only
+      (6L, "Customer#000000006", "AUTOMOBILE")) // both
+      .toDF("c_custkey", "c_name", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    val out = queries.TextAnalysis.t11.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") === 0L)
+    assert(out(1L).getAs[Long]("n_phones") === 0L)
+    assert(out(1L).getAs[String]("masked") ===
+      "customer Customer#000000001 segment BUILDING")
+    assert(out(2L).getAs[Long]("n_phones") === 1L)
+    // 10+2%90=12, 2*7%1000=014, 2*13%1000=026, 2*31%10000=0062
+    assert(out(2L).getAs[String]("masked") ===
+      "customer Customer#000000002 phone <PHONE> segment MACHINERY")
+    assert(out(3L).getAs[Long]("n_emails") === 1L)
+    assert(out(3L).getAs[String]("masked") ===
+      "customer Customer#000000003 email <EMAIL> segment HOUSEHOLD")
+    assert(out(6L).getAs[Long]("n_emails") === 1L &&
+      out(6L).getAs[Long]("n_phones") === 1L)
+    assert(out(6L).getAs[String]("masked") ===
+      "customer Customer#000000006 email <EMAIL> phone <PHONE> " +
+        "segment AUTOMOBILE")
+  }
 }
