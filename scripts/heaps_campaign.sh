@@ -1,0 +1,34 @@
+#!/bin/bash
+# Heaps-law scale campaign (VERDICT r5 ask #2): run the dedup/text
+# heavy family at 1x/10x/100x on corpora whose VOCABULARY grows with
+# size (gen_scale.py heaps mode: V = 22*sqrt(N), Zipf s=1.07) --
+# the realistic-text counterpoint to the round-5 fixed-vocab run,
+# proving near-linear growth for the inverted-index operators.
+#
+# Usage: bash scripts/heaps_campaign.sh [queries] [scales]
+#   (defaults: the heavy family; "1x 10x 100x" from /tmp/heaps_<s>)
+# Regime matches the round-5 scale run: 8 cpus, persist pin, 3 reps
+# (steady state = min of reps 2+). Runs plain `java` against the
+# sbt-compiled classes -- compile first (sbt compile).
+set -eu
+cd "$(dirname "$0")/.."
+Q="${1:-d01_exact_dedup,d02_ngram_jaccard,d03_minhash_lsh,d04_simhash,d05_fingerprint_groups,d06_embedding_neardup,d07_components,d08_cross_source_dups,d09_lsh_quality,s06_decontamination,t10_unigram_surprisal}"
+SCALES="${2:-1x 10x 100x}"
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent \
+         java.util.concurrent.atomic sun.nio.ch sun.nio.cs \
+         sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for s in $SCALES; do
+  echo "=== heaps_$s ==="
+  SPARK_GRAFT_SF_DIR=/tmp/heaps_$s \
+  SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
+  SPARK_GRAFT_PIN=persist \
+  SPARK_GRAFT_REPS="${SPARK_GRAFT_REPS:-3}" \
+  java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -Xmx"${SPARK_DRIVER_MEM:-48g}" \
+    -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+    graft.BenchProfile "$Q" 2>/dev/null | grep -E 'PROFILE|WARMPASS' || true
+done

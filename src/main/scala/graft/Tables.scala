@@ -33,8 +33,29 @@ object Tables {
         // — float division loses precision at 1.7e18-ns magnitudes.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       }
-      spark.read.parquet(key._2)
+      val df = spark.read.parquet(key._2)
+      if (name == "events") normalizeEventTs(df) else df
     })
+
+  /** The engine-wide `events.ts` contract is epoch-NANOS BIGINT (every
+    * consumer derives ms via `ts div 1000000`, matching the oracle's
+    * `epoch_ms(ts)`). Driver testdata generations have shipped ts as
+    * TIMESTAMP(NANOS) — covered by the nanosAsLong read above — and as
+    * TIMESTAMP(MICROS), which arrives as a real (NTZ) timestamp
+    * column; normalize the latter back to nanos here, in the one
+    * loader, instead of teaching every query two ts types. The NTZ →
+    * LTZ cast is wall-clock-identical under the session's pinned UTC
+    * (Sessions.local), exactly how DuckDB's epoch_ms reads the naive
+    * value; unix_micros·1000 stays well under Long.Max (1.7e18 ns). */
+  private def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampNTZType) | Some(TimestampType) =>
+        df.withColumn("ts", org.apache.spark.sql.functions
+          .expr("unix_micros(cast(ts as timestamp_ltz)) * 1000L"))
+      case _ => df
+    }
+  }
 
   /** Register every table as a temp view (the family-A SQL surface:
     * reference registers each CSV/sheet as a queryable table,

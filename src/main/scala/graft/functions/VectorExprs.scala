@@ -394,6 +394,92 @@ case class CentroidArgmin(child: Expression, cells: Seq[Int],
       : Expression = copy(child = newChild)
 }
 
+/** v08's product-quantization encoder in ONE native pass (FAISS `PQ`
+  * shape, Jégou et al. 2011): the vector is split into `subDims`-wide
+  * subvectors and each is assigned independently to its nearest
+  * codebook entry — the entries being the matching slices of the k
+  * driver-collected coarse centroids (v07's `cm` relation). Per
+  * subspace the distance is [[CentroidArgmin]]'s exact arithmetic —
+  * Σ round((xᵢ−mᵢ)²·1e12) in BIGINT over the slice, ties → smallest
+  * code — and the reconstruction error is the SUM of the chosen
+  * minima, so `sq_err` needs no second pass. Returns
+  * struct(codes array<int>, sq_err bigint).
+  *
+  * The composed path would be M×k `aggregate(slice(...))` columns —
+  * interpreted (HOFs are CodegenFallback) and re-slicing the vector
+  * M·k times; this is one JVM loop over k·d primitive doubles. Null
+  * ELEMENTS contribute no term (oracle parity: the per-position join
+  * drops the row); a null vector yields null (callers filter).
+  */
+case class PqEncodeStats(child: Expression, subDims: Int,
+    cells: Seq[Int], centroids: Seq[Seq[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  require(subDims > 0, s"subDims must be positive, got $subDims")
+  require(cells.length == centroids.length,
+    s"${cells.length} code ids for ${centroids.length} codebook rows")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double>, got $t")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(IntegerType, containsNull = false)),
+    StructField("sq_err", LongType)))
+
+  override def prettyName: String = "graft_pq_encode"
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val cellArr: Array[Int] = cells.toArray
+  @transient private lazy val cenArr: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val nSubs = (n + subDims - 1) / subDims
+    val codes = new Array[Int](nSubs)
+    var total = 0L
+    var sub = 0
+    while (sub < nSubs) {
+      val lo = sub * subDims
+      val hi = math.min(n, lo + subDims)
+      var bestDs = Long.MaxValue
+      var bestCode = Int.MaxValue
+      var k = 0
+      while (k < cenArr.length) {
+        val m = cenArr(k)
+        var s = 0L
+        var i = lo
+        while (i < hi) {
+          if (!x.isNullAt(i) && i < m.length) {
+            val xi = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+            val diff = xi - m(i)
+            s += ExactRound.halfUp(diff * diff * 1e12)
+          }
+          i += 1
+        }
+        if (s < bestDs || (s == bestDs && cellArr(k) < bestCode)) {
+          bestDs = s
+          bestCode = cellArr(k)
+        }
+        k += 1
+      }
+      codes(sub) = bestCode
+      total += bestDs
+      sub += 1
+    }
+    new GenericInternalRow(Array[Any](new GenericArrayData(codes), total))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 /** t05's rolling document fingerprint in ONE native pass: the
   * order-sensitive Karp–Rabin fold h ← (h·31 + hash60(wᵢ) mod 1000003)
   * mod 1000003, seeded with the first token's hash. The composed path
@@ -477,6 +563,14 @@ object VectorExprs {
       centroids: Seq[Seq[Double]]): Column =
     GraftColumnBridge.column(CentroidArgmin(
       GraftColumnBridge.expression(x), cells, centroids))
+
+  /** Column wrapper: native product-quantization encode. Like
+    * [[centroidArgmin]], codebook parameters are literals born from a
+    * collected centroid table — no SQL-surface registration. */
+  def pqEncodeStats(x: Column, subDims: Int, cells: Seq[Int],
+      centroids: Seq[Seq[Double]]): Column =
+    GraftColumnBridge.column(PqEncodeStats(
+      GraftColumnBridge.expression(x), subDims, cells, centroids))
 
   /** Column wrapper: native rolling 60-bit document fingerprint. */
   def rollingFp60(ws: Column): Column =

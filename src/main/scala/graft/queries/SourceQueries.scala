@@ -399,5 +399,65 @@ object SourceQueries {
         col("label"), col("cosine"))
   }
 
-  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, c01)
+  // ---------------------------------------------------------------
+  // s10 — source mixture weights with repeat caps (the data-budget
+  // allocation step of a data-constrained run, Muennighoff et al.
+  // 2023: repeating data beyond ~4 epochs stops helping): per-source
+  // token counts → temperature-resampled mix shares (s07's IEEE-exact
+  // sqrt idiom, α = 0.5, over SOURCE instead of language), a total
+  // token budget of 2× the corpus allocated by share, and the
+  // per-source epoch count that allocation implies, capped at 4
+  // epochs — effective_tokens < target_tokens is the "this source is
+  // exhausted, re-weight the rest" signal. Double arithmetic appears
+  // only in ops both engines round identically (one div, one mul,
+  // round/floor on positives), in the SAME written order on both
+  // sides. One groupBy on source — driver-scale output at any corpus
+  // size.
+  val s10 = Q(
+    "s10_mixture_weights",
+    """WITH a AS (SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |s AS (SELECT *,
+      |    CAST(round(sqrt(n_tokens::DOUBLE) * 1e6) AS BIGINT) AS sw
+      |  FROM a),
+      |t AS (SELECT source, n_docs, n_tokens,
+      |    sw::DOUBLE / CAST((SELECT SUM(sw) FROM s) AS BIGINT) AS share,
+      |    CAST(2 * (SELECT SUM(n_tokens) FROM a) AS BIGINT) AS budget
+      |  FROM s),
+      |u AS (SELECT source, n_docs, n_tokens, share,
+      |    CAST(round(budget::DOUBLE * share) AS BIGINT) AS target_tokens
+      |  FROM t)
+      |SELECT source, n_docs, n_tokens, share AS mix_share,
+      |  target_tokens,
+      |  CAST(LEAST(400, CAST(floor(target_tokens::DOUBLE * 100.0
+      |      / n_tokens::DOUBLE) AS BIGINT)) AS BIGINT) AS epochs_x100,
+      |  CAST(LEAST(target_tokens, 4 * n_tokens) AS BIGINT)
+      |    AS effective_tokens
+      |FROM u""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val a = Tables.load(s, dir, "documents")
+      .select(col("source"), size(Fns.tokens(col("text"))).as("nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt").cast(LongType)).as("n_tokens"))
+      .withColumn("sw",
+        round(sqrt(col("n_tokens").cast(DoubleType)) * lit(1e6))
+          .cast(LongType))
+    // unpartitioned-window totals: input is one row per source
+    // (driver-scale), same rationale as s07
+    val w = Window.partitionBy()
+    val share = col("sw").cast(DoubleType) / sum("sw").over(w)
+    val budget = (sum("n_tokens").over(w) * lit(2L)).cast(LongType)
+    val target = round(budget.cast(DoubleType) * share).cast(LongType)
+    a.select(col("source"), col("n_docs"), col("n_tokens"),
+      share.as("mix_share"), target.as("target_tokens"),
+      least(lit(400L),
+        floor(target.cast(DoubleType) * lit(100.0)
+          / col("n_tokens").cast(DoubleType)).cast(LongType))
+        .as("epochs_x100"),
+      least(target, col("n_tokens") * lit(4L)).as("effective_tokens"))
+  }
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, c01)
 }

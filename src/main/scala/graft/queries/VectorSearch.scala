@@ -570,5 +570,99 @@ object VectorSearch {
     }
   }
 
-  val all: Seq[Q] = Seq(v01, v02, v03, v04, v05, v06, v07)
+  /** v08's subvector width: 64 dims → 8 subspaces of 8, so a code
+    * word is 8 bytes where the raw vector is 256 — the 32× index
+    * compression PQ exists for. */
+  private val SubDims = 8
+
+  // ---------------------------------------------------------------
+  // v08 product quantization — the third member of the FAISS index
+  // family the vector tier mirrors (v02/v04 IVF partitioning, v05
+  // SQ8 scalar codes, v08 PQ codes; Jégou et al. 2011): each vector
+  // is split into 8-dim subvectors and every subvector is assigned
+  // independently to its nearest codebook entry, the entries being
+  // the per-label coarse centroids' matching slices (the standard
+  // coarse-seeded codebook — and the same driver-collected cm
+  // relation v07 trains from, so the vector tier has ONE centroid
+  // definition). Per vector: the 8-code word and the exact
+  // reconstruction error, which is the sum of the chosen per-subspace
+  // minima — no second reconstruction pass.
+  //
+  // The 100 TB shape is v07's: k·d codebook doubles are DRIVER state
+  // baked into a native single-pass encoder ([[graft.functions
+  // .PqEncodeStats]]) — the corpus encodes in one narrow projection
+  // with NO shuffle and no join; output rows are 8 ints + 1 long per
+  // vector. Distances fold per-dimension rounded 1e12-scale terms
+  // into BIGINTs (v02's construction) — bit-identical cross-engine;
+  // per-subspace argmin tie-breaks on code id, the oracle's ORDER BY
+  // ds, code.
+  val v08 = Q(
+    "v08_pq_encode",
+    s"""WITH ex AS (
+      |  SELECT vec_id, label, generate_subscripts(embedding,1) AS pos,
+      |    unnest(embedding) AS x
+      |  FROM embeddings),
+      |cen AS (SELECT label, pos,
+      |    CAST(SUM(round(x::DOUBLE*1e9)::BIGINT) AS BIGINT) AS sxs,
+      |    COUNT(*) AS c
+      |  FROM ex GROUP BY label, pos),
+      |cm AS (SELECT label, pos, sxs::DOUBLE / (c * 1e9) AS m FROM cen),
+      |d AS (SELECT ex.vec_id, CAST((ex.pos-1)//$SubDims AS BIGINT) AS sub,
+      |    cm.label AS code,
+      |    CAST(SUM(round((ex.x::DOUBLE-cm.m)*(ex.x::DOUBLE-cm.m)*1e12)::BIGINT)
+      |      AS BIGINT) AS ds
+      |  FROM ex JOIN cm ON ex.pos = cm.pos
+      |  GROUP BY ex.vec_id, (ex.pos-1)//$SubDims, cm.label),
+      |a AS (SELECT vec_id, sub, code, ds FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+      |      ORDER BY ds, code) AS rnk FROM d) t
+      |  WHERE rnk = 1)
+      |SELECT a.vec_id, e2.label,
+      |  string_agg(a.code::VARCHAR, '-' ORDER BY a.sub) AS codes,
+      |  CAST(SUM(a.ds) AS BIGINT) AS sq_err_scaled,
+      |  SUM(a.ds)::DOUBLE / ($Dims * 1e12) AS mse
+      |FROM a JOIN embeddings e2 ON a.vec_id = e2.vec_id
+      |GROUP BY a.vec_id, e2.label""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    // codebook: the same exact scaled-integer per-(label, dim) means
+    // v07 seeds from — collected once (k·d doubles), not pinned: this
+    // query's only use is the collect
+    val cenRows = emb
+      .select(col("label"),
+        posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .groupBy("label", "pos0")
+      .agg(sum(round(col("x").cast(DoubleType) * 1e9).cast(LongType))
+        .as("sxs"), count(lit(1)).as("c"))
+      .collect()
+    if (cenRows.isEmpty) {
+      emb.select(col("vec_id"), col("label"), lit("").as("codes"),
+        lit(0L).as("sq_err_scaled"), lit(0.0).as("mse")).limit(0)
+    } else {
+      val width = cenRows.map(_.getInt(1)).max + 1
+      val cen: Map[Int, Array[Double]] = cenRows
+        .groupBy(_.getInt(0))
+        .map { case (l, rows) =>
+          val arr = new Array[Double](width)
+          rows.foreach(r =>
+            arr(r.getInt(1)) = r.getLong(2).toDouble / (r.getLong(3) * 1e9))
+          l -> arr
+        }
+      val codeIds = cen.keys.toSeq.sorted
+      val f = VectorExprs.pqEncodeStats(col("embedding"), SubDims,
+        codeIds, codeIds.map(l => cen(l).toSeq))
+      // empty vectors produce no oracle rows (unnest emits nothing)
+      // and a null vector encodes to null — both filtered
+      emb.filter(size(col("embedding")) > 0)
+        .select(col("vec_id"), col("label"), f.as("f"))
+        .filter(col("f").isNotNull)
+        .select(col("vec_id"), col("label"),
+          concat_ws("-", col("f.codes").cast(ArrayType(StringType)))
+            .as("codes"),
+          col("f.sq_err").as("sq_err_scaled"),
+          (col("f.sq_err").cast(DoubleType) / (lit(Dims) * lit(1e12)))
+            .as("mse"))
+    }
+  }
+
+  val all: Seq[Q] = Seq(v01, v02, v03, v04, v05, v06, v07, v08)
 }

@@ -276,7 +276,8 @@ class PipelineQueriesSpec extends SparkTestBase {
       queries.SourceQueries.s07, queries.SourceQueries.s08,
       queries.SourceQueries.s09, queries.TextDedup.d08,
       queries.VectorSearch.v05, queries.VectorSearch.v06,
-      queries.VectorSearch.v07, queries.EventAnalytics.e18)
+      queries.VectorSearch.v07, queries.VectorSearch.v08,
+      queries.SourceQueries.s10, queries.EventAnalytics.e18)
       .foreach { q =>
         assert(q.run(spark, dir).count() === 0L, s"${q.name} not empty")
       }
@@ -343,6 +344,60 @@ class PipelineQueriesSpec extends SparkTestBase {
     // unchanged, so its re-averaged centroid is bit-identical -> 0.0
     assert(out(0)._3 > 0.0 && out(1)._3 > 0.0)
     assert(out(2)._3 === 0.0)
+  }
+
+  test("v08: PQ codes are per-subspace independent — a vector near " +
+      "label 0 in its first subspace and label 1 in its second gets " +
+      "the mixed code word; exact members reconstruct with zero error") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pq").toFile.getAbsolutePath
+    // 16-dim vectors -> 2 subspaces of 8. Label-0 vectors: e0 in the
+    // first subspace, e8 in the second; label-1: e1 / e9. vec 99
+    // (label 0) is e0 in subspace 1 but e9 in subspace 2 — scalar
+    // assignment (v02/v07) would force one cell; PQ must emit "0-1".
+    def vec(a: Int, b: Int): Array[Float] = {
+      val v = Array.fill(16)(0.0f); v(a) = 1.0f; v(b) = 1.0f; v
+    }
+    val clean0 = (0 until 4).map(i => (i.toLong, vec(0, 8), 0))
+    val clean1 = (10 until 14).map(i => (i.toLong, vec(1, 9), 1))
+    val mixed = (99L, vec(0, 9), 0)
+    (clean0 ++ clean1 :+ mixed).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = queries.VectorSearch.v08.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[String]("codes"), r.getAs[Long]("sq_err_scaled"),
+          r.getAs[Double]("mse")))).toMap
+    assert(out.size === 9)
+    // centroid 0, subspace 2 = 0.8·e8 + 0.2·e9 (the mixed member
+    // pollutes it); hand-computed exact-scaled terms:
+    // (1−0.8)²·1e12 + (0.2)²·1e12 = 40e9 + 40e9 = 80e9
+    assert(out(0L) === (("0-0", 80000000000L, 80000000000L / 64e12)))
+    // label-1 vectors ARE their centroid in both subspaces
+    assert(out(10L) === (("1-1", 0L, 0.0)))
+    // the mixed vector: subspace 1 exactly centroid 0, subspace 2
+    // exactly centroid 1 — mixed code word, zero reconstruction error
+    assert(out(99L) === (("0-1", 0L, 0.0)))
+  }
+
+  test("s10: mixture weights — sqrt temperature upsamples the small " +
+      "source and the 4-epoch repeat cap binds exactly where the " +
+      "allocation exceeds 4x the source") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pq").toFile.getAbsolutePath
+    // big: 900 tokens, small: 100 -> sw 30e6 / 10e6, shares .75/.25,
+    // budget 2000. big: target 1500 = 1.66 epochs; small: target 500
+    // over 100 tokens = 5 epochs -> capped at 4 (400 eff. tokens)
+    Seq((1L, ("tok " * 900).trim, "en", "big"),
+      (2L, ("tok " * 100).trim, "en", "small"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = queries.SourceQueries.s10.run(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("mix_share"),
+          r.getAs[Long]("target_tokens"), r.getAs[Long]("epochs_x100"),
+          r.getAs[Long]("effective_tokens")))).toMap
+    assert(out("big") === ((900L, 0.75, 1500L, 166L, 1500L)))
+    assert(out("small") === ((100L, 0.25, 500L, 400L, 400L)))
   }
 
   test("t10: corpus-trained unigram surprisal — hand-computed " +

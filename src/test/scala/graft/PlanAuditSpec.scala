@@ -92,6 +92,11 @@ class PlanAuditSpec extends SparkTestBase {
     //  v07: pinned centroid-sums cache build; assignment is the
     //       native zero-shuffle CentroidArgmin pass; membership
     //       agg + re-average agg + shift agg                      -> 4
+    //  v08: the codebook agg runs in the driver-collect job, NOT in
+    //       the returned plan — the encode itself is one narrow
+    //       native projection over the scan and must stay
+    //       exchange-free (the whole point of baking the codebook
+    //       as literals)                                          -> 0
     spark.sharedState.cacheManager.clearCache()
     val audited = Seq(
       "d02_ngram_jaccard" -> 4,
@@ -99,7 +104,8 @@ class PlanAuditSpec extends SparkTestBase {
       "q03_revenue_by_nation" -> 1,
       "q05_region_revenue" -> 1,
       "t10_unigram_surprisal" -> 5,
-      "v07_kmeans_refine" -> 4)
+      "v07_kmeans_refine" -> 4,
+      "v08_pq_encode" -> 0)
     val got = audited.map { case (name, _) =>
       name -> executedShuffleCount(build(name))
     }
