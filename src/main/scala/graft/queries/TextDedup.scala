@@ -686,5 +686,80 @@ object TextDedup {
           .as("chars_kept"))
   }
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10)
+  // ---------------------------------------------------------------
+  // d11 cross-document repeated-span report — substring-level dedup
+  // pressure (Lee et al. 2022, "Deduplicating Training Data Makes
+  // Language Models Better": repeated ~50-token substrings; here the
+  // word-8-gram grain the test corpus' 10–100-token documents
+  // support). A span INSTANCE is duplicated when its 8-token window
+  // hash occurs in ≥ 2 distinct documents; the per-source report is
+  // the "how much of this source is boilerplate" signal a curation
+  // pass ranks sources by — complementing d02's doc-level Jaccard
+  // (which misses a template paragraph shared by otherwise-different
+  // docs) and t07's WITHIN-doc repetition.
+  //
+  // 100 TB shape: unlike the similarity joins, no document PAIR is
+  // ever formed — volume is bounded by span instances (≈ token
+  // count). The (doc, hash, k) relation pins once and feeds both the
+  // doc-frequency count and the coverage join; both shuffles key on
+  // the 8-byte span hash, and a hub span (a boilerplate header in
+  // millions of docs) costs its instance count, never df², so no
+  // df cap is needed at all.
+  val d11 = Q(
+    "d11_span_dedup",
+    s"""WITH t AS (SELECT doc_id, source, string_split(text,' ') AS ws
+      |           FROM documents),
+      |sp AS (SELECT doc_id,
+      |         unnest([${Fns.hash60Sql("array_to_string(ws[i:i+7], ' ')")}
+      |                 FOR i IN range(1, len(ws)-6)]) AS h
+      |       FROM t WHERE len(ws) >= 8),
+      |spd AS (SELECT doc_id, h, COUNT(*) AS k FROM sp GROUP BY doc_id, h),
+      |dfs AS (SELECT h, COUNT(*) AS df FROM spd GROUP BY h),
+      |dup AS (SELECT spd.doc_id,
+      |          CAST(SUM(CASE WHEN dfs.df >= 2 THEN spd.k ELSE 0 END)
+      |            AS BIGINT) AS dup_k
+      |        FROM spd JOIN dfs ON spd.h = dfs.h GROUP BY spd.doc_id),
+      |doc AS (SELECT t.doc_id, t.source,
+      |          CAST(GREATEST(len(ws)-7, 0) AS BIGINT) AS n_spans,
+      |          COALESCE(dup.dup_k, 0) AS dup_spans
+      |        FROM t LEFT JOIN dup ON t.doc_id = dup.doc_id)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_spans) AS BIGINT) AS spans_total,
+      |  CAST(SUM(dup_spans) AS BIGINT) AS dup_spans_total,
+      |  CAST(SUM(dup_spans) AS DOUBLE) / NULLIF(SUM(n_spans), 0)
+      |    AS dup_span_ratio,
+      |  CAST(SUM(CASE WHEN n_spans > 0 AND 2*dup_spans >= n_spans
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy_docs
+      |FROM doc GROUP BY source""".stripMargin) { (s, dir) =>
+    val t = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), Fns.tokens(col("text")).as("ws"))
+    // one row per 8-token window; sub-8-token docs contribute none
+    val sp = t.filter(size(col("ws")) >= 8)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 7),
+          i => Fns.hash60(concat_ws(" ", slice(col("ws"), i, lit(8)))))).as("h"))
+    // (doc, hash, multiplicity): pinned — feeds df count AND coverage
+    val spd = graft.operators.Pin(
+      sp.groupBy("doc_id", "h").agg(count(lit(1)).as("k")))
+    val dfs = spd.groupBy("h").agg(count(lit(1)).as("df"))
+    val dup = spd.join(dfs, "h")
+      .groupBy("doc_id")
+      .agg(sum(when(col("df") >= 2, col("k")).otherwise(0L)).as("dup_k"))
+    t.select(col("doc_id"), col("source"),
+        greatest(size(col("ws")) - 7, lit(0)).cast(LongType).as("n_spans"))
+      .join(dup, Seq("doc_id"), "left")
+      .withColumn("dup_spans", coalesce(col("dup_k"), lit(0L)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_spans").as("spans_total"),
+        sum("dup_spans").as("dup_spans_total"),
+        (sum("dup_spans").cast(DoubleType) /
+          nullif(sum("n_spans"), lit(0L))).as("dup_span_ratio"),
+        sum(when(col("n_spans") > 0 &&
+          col("dup_spans") * 2 >= col("n_spans"), 1L).otherwise(0L))
+          .as("n_heavy_docs"))
+  }
+
+  val all: Seq[Q] =
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11)
 }

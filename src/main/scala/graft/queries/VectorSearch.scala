@@ -596,9 +596,13 @@ object VectorSearch {
   // into BIGINTs (v02's construction) — bit-identical cross-engine;
   // per-subspace argmin tie-breaks on code id, the oracle's ORDER BY
   // ds, code.
-  val v08 = Q(
-    "v08_pq_encode",
-    s"""WITH ex AS (
+  /** Shared oracle CTE chain deriving PQ code words (v08 + v09, one
+    * definition so the encoder and the searcher can never disagree on
+    * a code): `ex` element rows → `cen`/`cm` exact scaled-integer
+    * codebook means → `d` per-(vector, subspace, code) scaled squared
+    * distance → `a` per-subspace argmin code (ties → smallest code). */
+  private val pqCodesCtes =
+    s"""ex AS (
       |  SELECT vec_id, label, generate_subscripts(embedding,1) AS pos,
       |    unnest(embedding) AS x
       |  FROM embeddings),
@@ -616,7 +620,11 @@ object VectorSearch {
       |a AS (SELECT vec_id, sub, code, ds FROM (
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
       |      ORDER BY ds, code) AS rnk FROM d) t
-      |  WHERE rnk = 1)
+      |  WHERE rnk = 1)""".stripMargin
+
+  val v08 = Q(
+    "v08_pq_encode",
+    s"""WITH $pqCodesCtes
       |SELECT a.vec_id, e2.label,
       |  string_agg(a.code::VARCHAR, '-' ORDER BY a.sub) AS codes,
       |  CAST(SUM(a.ds) AS BIGINT) AS sq_err_scaled,
@@ -624,30 +632,11 @@ object VectorSearch {
       |FROM a JOIN embeddings e2 ON a.vec_id = e2.vec_id
       |GROUP BY a.vec_id, e2.label""".stripMargin) { (s, dir) =>
     val emb = Tables.load(s, dir, "embeddings")
-    // codebook: the same exact scaled-integer per-(label, dim) means
-    // v07 seeds from — collected once (k·d doubles), not pinned: this
-    // query's only use is the collect
-    val cenRows = emb
-      .select(col("label"),
-        posexplode(col("embedding")).as(Seq("pos0", "x")))
-      .groupBy("label", "pos0")
-      .agg(sum(round(col("x").cast(DoubleType) * 1e9).cast(LongType))
-        .as("sxs"), count(lit(1)).as("c"))
-      .collect()
-    if (cenRows.isEmpty) {
-      emb.select(col("vec_id"), col("label"), lit("").as("codes"),
-        lit(0L).as("sq_err_scaled"), lit(0.0).as("mse")).limit(0)
-    } else {
-      val width = cenRows.map(_.getInt(1)).max + 1
-      val cen: Map[Int, Array[Double]] = cenRows
-        .groupBy(_.getInt(0))
-        .map { case (l, rows) =>
-          val arr = new Array[Double](width)
-          rows.foreach(r =>
-            arr(r.getInt(1)) = r.getLong(2).toDouble / (r.getLong(3) * 1e9))
-          l -> arr
-        }
-      val codeIds = cen.keys.toSeq.sorted
+    collectCodebook(emb) match {
+      case None =>
+        emb.select(col("vec_id"), col("label"), lit("").as("codes"),
+          lit(0L).as("sq_err_scaled"), lit(0.0).as("mse")).limit(0)
+      case Some((codeIds, cen)) =>
       val f = VectorExprs.pqEncodeStats(col("embedding"), SubDims,
         codeIds, codeIds.map(l => cen(l).toSeq))
       // empty vectors produce no oracle rows (unnest emits nothing)
@@ -664,5 +653,130 @@ object VectorSearch {
     }
   }
 
-  val all: Seq[Q] = Seq(v01, v02, v03, v04, v05, v06, v07, v08)
+  /** Driver-collected PQ codebook: sorted code ids plus per-code mean
+    * vectors from exact scaled-integer sums — the same per-(label, dim)
+    * means v07 seeds from, k·d doubles of driver state (the Lloyd's
+    * sync point every quantizer pays). None on an empty corpus. */
+  private def collectCodebook(
+      emb: DataFrame): Option[(Seq[Int], Map[Int, Array[Double]])] = {
+    val cenRows = emb
+      .select(col("label"),
+        posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .groupBy("label", "pos0")
+      .agg(sum(round(col("x").cast(DoubleType) * 1e9).cast(LongType))
+        .as("sxs"), count(lit(1)).as("c"))
+      .collect()
+    if (cenRows.isEmpty) None
+    else {
+      val width = cenRows.map(_.getInt(1)).max + 1
+      val cen: Map[Int, Array[Double]] = cenRows
+        .groupBy(_.getInt(0))
+        .map { case (l, rows) =>
+          val arr = new Array[Double](width)
+          rows.foreach(r =>
+            arr(r.getInt(1)) = r.getLong(2).toDouble / (r.getLong(3) * 1e9))
+          l -> arr
+        }
+      Some((cen.keys.toSeq.sorted, cen))
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // v09 PQ asymmetric-distance search (ADC; Jégou et al. 2011 §IV) —
+  // the query side of the PQ index v08 builds: each query computes a
+  // per-(subspace, code) lookup table of exact scaled squared
+  // distances to the codebook entries, and a corpus vector's distance
+  // is then just the sum of 8 table lookups on its code word — the
+  // scan never touches raw corpus floats. Query set = v01's bounded
+  // spine (first [[V01Queries]] sampled ids), so the LUT side is
+  // driver-scale no matter how large the corpus grows.
+  //
+  // 100 TB shape: corpus codes come from the same native zero-shuffle
+  // encoder as v08; the LUT (queries × 8 subs × k codes rows) is
+  // BROADCAST into an equi-join on (sub, code), fanning each corpus
+  // vector to exactly queries×8 rows that map-side-combine straight
+  // back down to (query, vector) partial sums — no raw-vector
+  // shuffle, no pair blowup beyond the explicit query bound. Distances
+  // stay 1e12-scaled BIGINTs end to end (bit-identical cross-engine);
+  // top-5 tie-breaks on neighbor_id.
+  val v09 = Q(
+    "v09_pq_adc_search",
+    s"""WITH $pqCodesCtes,
+      |q AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id % 50 = 0
+      |      ORDER BY vec_id LIMIT $V01Queries),
+      |qx AS (SELECT ex.vec_id AS q_id, ex.pos, ex.x
+      |       FROM ex JOIN q ON ex.vec_id = q.q_id),
+      |lut AS (SELECT qx.q_id, CAST((qx.pos-1)//$SubDims AS BIGINT) AS sub,
+      |    cm.label AS code,
+      |    CAST(SUM(round((qx.x::DOUBLE-cm.m)*(qx.x::DOUBLE-cm.m)*1e12)::BIGINT)
+      |      AS BIGINT) AS ds
+      |  FROM qx JOIN cm ON qx.pos = cm.pos
+      |  GROUP BY qx.q_id, (qx.pos-1)//$SubDims, cm.label),
+      |p AS (SELECT l.q_id, a.vec_id AS neighbor_id,
+      |    CAST(SUM(l.ds) AS BIGINT) AS adc_scaled
+      |  FROM a JOIN lut l ON a.sub = l.sub AND a.code = l.code
+      |  WHERE a.vec_id <> l.q_id
+      |  GROUP BY l.q_id, a.vec_id)
+      |SELECT q_id, neighbor_id, rnk, adc_scaled,
+      |  adc_scaled::DOUBLE / 1e12 AS adc_dist
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+      |        ORDER BY adc_scaled, neighbor_id) AS rnk FROM p) z
+      |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    collectCodebook(emb) match {
+      case None =>
+        emb.select(col("vec_id").as("q_id"),
+          col("vec_id").as("neighbor_id"), lit(1).as("rnk"),
+          lit(0L).as("adc_scaled"), lit(0.0).as("adc_dist")).limit(0)
+      case Some((codeIds, cen)) =>
+        // corpus code words: v08's native encoder, exploded to one row
+        // per (vector, subspace) — 8 narrow rows per vector, the 32×-
+        // compressed index relation the ADC scan runs on
+        val f = VectorExprs.pqEncodeStats(col("embedding"), SubDims,
+          codeIds, codeIds.map(l => cen(l).toSeq))
+        val codes = emb.filter(size(col("embedding")) > 0)
+          .select(col("vec_id"), f.as("f"))
+          .filter(col("f").isNotNull)
+          .select(col("vec_id"),
+            posexplode(col("f.codes")).as(Seq("sub0", "code")))
+          .select(col("vec_id"), col("sub0").cast(LongType).as("sub"),
+            col("code"))
+        // codebook rows for the LUT build, re-materialized from the
+        // already-collected driver state (no second corpus agg)
+        val cmDf = codeIds.flatMap(l =>
+            cen(l).indices.map(p => (l, p, cen(l)(p))))
+          .toDF("label", "pos0", "m")
+        val q = emb.filter(col("vec_id") % 50 === 0)
+          .orderBy("vec_id").limit(V01Queries)
+          .select(col("vec_id").as("q_id"))
+        val qx = emb.join(broadcast(q), col("vec_id") === col("q_id"))
+          .select(col("q_id"),
+            posexplode(col("embedding")).as(Seq("pos0", "x")))
+        val diff = col("x").cast(DoubleType) - col("m")
+        val lut = qx.join(broadcast(cmDf), "pos0")
+          .select(col("q_id"),
+            floor(col("pos0") / SubDims).cast(LongType).as("sub"),
+            col("label").as("code"),
+            round(diff * diff * lit(1e12)).cast(LongType).as("term"))
+          .groupBy("q_id", "sub", "code")
+          .agg(sum("term").as("ds"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("adc_scaled"), col("neighbor_id"))
+        codes.join(broadcast(lut), Seq("sub", "code"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy("q_id", "vec_id")
+          .agg(sum("ds").as("adc_scaled"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            col("adc_scaled"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("q_id"), col("neighbor_id"), col("rnk"),
+            col("adc_scaled"),
+            (col("adc_scaled").cast(DoubleType) / lit(1e12))
+              .as("adc_dist"))
+    }
+  }
+
+  val all: Seq[Q] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09)
 }

@@ -277,6 +277,7 @@ class PipelineQueriesSpec extends SparkTestBase {
       queries.SourceQueries.s09, queries.TextDedup.d08,
       queries.VectorSearch.v05, queries.VectorSearch.v06,
       queries.VectorSearch.v07, queries.VectorSearch.v08,
+      queries.VectorSearch.v09, queries.TextDedup.d11,
       queries.SourceQueries.s10, queries.EventAnalytics.e18)
       .foreach { q =>
         assert(q.run(spark, dir).count() === 0L, s"${q.name} not empty")
@@ -558,5 +559,82 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(out(6L).getAs[String]("masked") ===
       "customer Customer#000000006 email <EMAIL> phone <PHONE> " +
         "segment AUTOMOBILE")
+  }
+
+  test("d11: a span shared across docs counts as duplicated in BOTH, " +
+      "within-source-unique spans don't, sub-8-token docs have zero " +
+      "spans, heavy = dup fraction >= 1/2") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pq").toFile.getAbsolutePath
+    val span = "one two three four five six seven eight" // 8 tokens
+    Seq(
+      (1L, span, "en", "s1"),                 // 1 span, dup with doc 2
+      (2L, s"zero $span", "en", "s1"),        // 2 spans, 1 dup
+      (3L, "a b c d e f g h i j", "en", "s2"), // 3 spans, all unique
+      (4L, "too short here", "en", "s2"))      // < 8 tokens -> 0 spans
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = queries.TextDedup.d11.run(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("s1").getAs[Long]("n_docs") === 2L)
+    assert(out("s1").getAs[Long]("spans_total") === 3L)
+    assert(out("s1").getAs[Long]("dup_spans_total") === 2L)
+    assert(out("s1").getAs[Double]("dup_span_ratio") === 2.0 / 3.0)
+    // doc 1: 1/1 dup; doc 2: 1/2 dup — both at or above the bar
+    assert(out("s1").getAs[Long]("n_heavy_docs") === 2L)
+    assert(out("s2").getAs[Long]("n_docs") === 2L)
+    assert(out("s2").getAs[Long]("spans_total") === 3L)
+    assert(out("s2").getAs[Long]("dup_spans_total") === 0L)
+    assert(out("s2").getAs[Double]("dup_span_ratio") === 0.0)
+    assert(out("s2").getAs[Long]("n_heavy_docs") === 0L)
+  }
+
+  test("d11: a span repeated only WITHIN one doc is not cross-doc " +
+      "duplicated (df counts distinct docs, not instances)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pq").toFile.getAbsolutePath
+    val span = "one two three four five six seven eight"
+    // doc 1 contains the 8-token span twice (17 tokens, 10 spans; the
+    // two exact-span instances hash equal but df = 1 doc)
+    Seq((1L, s"$span x $span", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = queries.TextDedup.d11.run(spark, dir).collect().head
+    assert(r.getAs[Long]("spans_total") === 10L)
+    assert(r.getAs[Long]("dup_spans_total") === 0L)
+    assert(r.getAs[Long]("n_heavy_docs") === 0L)
+  }
+
+  test("v09: ADC distance is code-word distance — same-code neighbors " +
+      "tie at the query's distance to their centroid, cross-code " +
+      "neighbors rank by codebook geometry") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pq").toFile.getAbsolutePath
+    // 16-dim -> 2 subspaces. Label-0: e0/e8 (4 copies incl. the
+    // query vec 0); label-1: e1/e9 (4 copies). Codebook entries are
+    // exactly the cluster points, so ADC(q=c0, code 0-0) = 0 and
+    // ADC(q=c0, code 1-1) = (1+1)e12 per subspace = 4e12 total.
+    def vec(a: Int, b: Int): Array[Float] = {
+      val v = Array.fill(16)(0.0f); v(a) = 1.0f; v(b) = 1.0f; v
+    }
+    val rows = (0 until 4).map(i => (i.toLong, vec(0, 8), 0)) ++
+      (10 until 14).map(i => (i.toLong, vec(1, 9), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = queries.VectorSearch.v09.run(spark, dir).collect()
+      .sortBy(_.getAs[Int]("rnk"))
+    // only vec 0 matches the query spine (vec_id % 50 == 0)
+    assert(out.forall(_.getAs[Long]("q_id") === 0L))
+    assert(out.length === 5)
+    // zero-distance same-code neighbors first, id-ordered
+    assert(out.take(3).map(_.getAs[Long]("neighbor_id")).toSeq ===
+      Seq(1L, 2L, 3L))
+    assert(out.take(3).forall(_.getAs[Long]("adc_scaled") === 0L))
+    // then the nearest cross-code neighbors at exactly 4e12
+    assert(out.drop(3).map(_.getAs[Long]("neighbor_id")).toSeq ===
+      Seq(10L, 11L))
+    assert(out.drop(3).forall(_.getAs[Long]("adc_scaled") ===
+      4000000000000L))
+    assert(out(3).getAs[Double]("adc_dist") === 4.0)
   }
 }
