@@ -699,10 +699,12 @@ object VectorSearch {
   // shuffle, no pair blowup beyond the explicit query bound. Distances
   // stay 1e12-scaled BIGINTs end to end (bit-identical cross-engine);
   // top-5 tie-breaks on neighbor_id.
-  val v09 = Q(
-    "v09_pq_adc_search",
-    s"""WITH $pqCodesCtes,
-      |q AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id % 50 = 0
+
+  /** Shared oracle CTE chain for the ADC query side (v09 + v10):
+    * `q` bounded spine → `qx` query elements → `lut` per-(query,
+    * subspace, code) scaled squared distances. */
+  private val pqLutCtes =
+    s"""q AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id % 50 = 0
       |      ORDER BY vec_id LIMIT $V01Queries),
       |qx AS (SELECT ex.vec_id AS q_id, ex.pos, ex.x
       |       FROM ex JOIN q ON ex.vec_id = q.q_id),
@@ -711,7 +713,12 @@ object VectorSearch {
       |    CAST(SUM(round((qx.x::DOUBLE-cm.m)*(qx.x::DOUBLE-cm.m)*1e12)::BIGINT)
       |      AS BIGINT) AS ds
       |  FROM qx JOIN cm ON qx.pos = cm.pos
-      |  GROUP BY qx.q_id, (qx.pos-1)//$SubDims, cm.label),
+      |  GROUP BY qx.q_id, (qx.pos-1)//$SubDims, cm.label)""".stripMargin
+
+  val v09 = Q(
+    "v09_pq_adc_search",
+    s"""WITH $pqCodesCtes,
+      |$pqLutCtes,
       |p AS (SELECT l.q_id, a.vec_id AS neighbor_id,
       |    CAST(SUM(l.ds) AS BIGINT) AS adc_scaled
       |  FROM a JOIN lut l ON a.sub = l.sub AND a.code = l.code
@@ -730,37 +737,9 @@ object VectorSearch {
           col("vec_id").as("neighbor_id"), lit(1).as("rnk"),
           lit(0L).as("adc_scaled"), lit(0.0).as("adc_dist")).limit(0)
       case Some((codeIds, cen)) =>
-        // corpus code words: v08's native encoder, exploded to one row
-        // per (vector, subspace) — 8 narrow rows per vector, the 32×-
-        // compressed index relation the ADC scan runs on
-        val f = VectorExprs.pqEncodeStats(col("embedding"), SubDims,
-          codeIds, codeIds.map(l => cen(l).toSeq))
-        val codes = emb.filter(size(col("embedding")) > 0)
-          .select(col("vec_id"), f.as("f"))
-          .filter(col("f").isNotNull)
-          .select(col("vec_id"),
-            posexplode(col("f.codes")).as(Seq("sub0", "code")))
-          .select(col("vec_id"), col("sub0").cast(LongType).as("sub"),
-            col("code"))
-        // codebook rows for the LUT build, re-materialized from the
-        // already-collected driver state (no second corpus agg)
-        val cmDf = codeIds.flatMap(l =>
-            cen(l).indices.map(p => (l, p, cen(l)(p))))
-          .toDF("label", "pos0", "m")
-        val q = emb.filter(col("vec_id") % 50 === 0)
-          .orderBy("vec_id").limit(V01Queries)
-          .select(col("vec_id").as("q_id"))
-        val qx = emb.join(broadcast(q), col("vec_id") === col("q_id"))
-          .select(col("q_id"),
-            posexplode(col("embedding")).as(Seq("pos0", "x")))
-        val diff = col("x").cast(DoubleType) - col("m")
-        val lut = qx.join(broadcast(cmDf), "pos0")
-          .select(col("q_id"),
-            floor(col("pos0") / SubDims).cast(LongType).as("sub"),
-            col("label").as("code"),
-            round(diff * diff * lit(1e12)).cast(LongType).as("term"))
-          .groupBy("q_id", "sub", "code")
-          .agg(sum("term").as("ds"))
+        val codes = pqCorpusCodes(emb, codeIds, cen)
+          .select("vec_id", "sub", "code")
+        val lut = pqQueryLut(s, emb, codeIds, cen)
         val w = Window.partitionBy("q_id")
           .orderBy(col("adc_scaled"), col("neighbor_id"))
         codes.join(broadcast(lut), Seq("sub", "code"))
@@ -778,5 +757,134 @@ object VectorSearch {
     }
   }
 
-  val all: Seq[Q] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09)
+  /** Corpus PQ code words (v09 + v10): v08's native encoder, exploded
+    * to one row per (vector, subspace) — 8 narrow rows per vector plus
+    * the coarse cell (= label, v02/v04's inverted-list key), the 32×-
+    * compressed index relation the ADC scan runs on. One definition so
+    * the searcher can never disagree with the encoder on a code. */
+  private def pqCorpusCodes(emb: DataFrame, codeIds: Seq[Int],
+      cen: Map[Int, Array[Double]]): DataFrame = {
+    val f = VectorExprs.pqEncodeStats(col("embedding"), SubDims,
+      codeIds, codeIds.map(l => cen(l).toSeq))
+    emb.filter(size(col("embedding")) > 0)
+      .select(col("vec_id"), col("label"), f.as("f"))
+      .filter(col("f").isNotNull)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("f.codes")).as(Seq("sub0", "code")))
+      .select(col("vec_id"), col("label"),
+        col("sub0").cast(LongType).as("sub"), col("code"))
+  }
+
+  /** Per-query ADC lookup table (v09 + v10): (q_id, sub, code) → the
+    * exact 1e12-scaled squared distance from the query's subvector to
+    * that codebook entry, for v01's bounded query spine. Codebook rows
+    * re-materialize from the already-collected driver state (no second
+    * corpus agg); output is #queries × 8 subs × #codes rows — always
+    * broadcastable. */
+  private def pqQueryLut(s: SparkSession, emb: DataFrame,
+      codeIds: Seq[Int], cen: Map[Int, Array[Double]]): DataFrame = {
+    import s.implicits._
+    val cmDf = codeIds.flatMap(l =>
+        cen(l).indices.map(p => (l, p, cen(l)(p))))
+      .toDF("label", "pos0", "m")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .orderBy("vec_id").limit(V01Queries)
+      .select(col("vec_id").as("q_id"))
+    val qx = emb.join(broadcast(q), col("vec_id") === col("q_id"))
+      .select(col("q_id"),
+        posexplode(col("embedding")).as(Seq("pos0", "x")))
+    val diff = col("x").cast(DoubleType) - col("m")
+    qx.join(broadcast(cmDf), "pos0")
+      .select(col("q_id"),
+        floor(col("pos0") / SubDims).cast(LongType).as("sub"),
+        col("label").as("code"),
+        round(diff * diff * lit(1e12)).cast(LongType).as("term"))
+      .groupBy("q_id", "sub", "code")
+      .agg(sum("term").as("ds"))
+  }
+
+  // ---------------------------------------------------------------
+  // v10 IVF-PQ search (Jégou et al. 2011 §V; the FAISS IVFPQ index) —
+  // the two pruning ideas composed, which is what actually runs at
+  // billion scale: v04's coarse probe decides WHICH inverted lists to
+  // scan (nprobe=2 cells per query) and v09's ADC decides HOW to
+  // score them (8 table lookups per corpus vector, never touching
+  // raw floats). The probe needs no extra distance pass: a cell's
+  // coarse distance is exactly the sum of that code's LUT entries
+  // over all 8 subspaces (the same rounded 1e12-scale terms, summed
+  // in a different grouping) — so probing and scoring share ONE
+  // distance definition and stay bit-identical cross-engine.
+  //
+  // 100 TB shape: the corpus relation is the 8-byte code word + cell
+  // key (partition the index by cell and only probed partitions are
+  // read); probe (queries×nprobe rows) and lut (queries×8×k rows)
+  // both broadcast; the candidate join is a plain equi-join on the
+  // cell key, fan-out bounded by the query spine × probed-list sizes,
+  // and partial sums map-side combine to (query, vector) before the
+  // only shuffle. Top-5 tie-breaks on neighbor_id.
+  val v10 = Q(
+    "v10_ivfpq_search",
+    s"""WITH $pqCodesCtes,
+      |$pqLutCtes,
+      |probe AS (SELECT q_id, cell FROM (
+      |    SELECT q_id, code AS cell,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id
+      |        ORDER BY CAST(SUM(ds) AS BIGINT), code) AS rnk
+      |    FROM lut GROUP BY q_id, code) t
+      |  WHERE rnk <= 2),
+      |cand AS (SELECT a.vec_id, e2.label, a.sub, a.code
+      |         FROM a JOIN embeddings e2 ON a.vec_id = e2.vec_id),
+      |p AS (SELECT l.q_id, c.vec_id AS neighbor_id, c.label AS cell,
+      |    CAST(SUM(l.ds) AS BIGINT) AS adc_scaled
+      |  FROM cand c
+      |  JOIN probe pr ON pr.cell = c.label AND c.vec_id <> pr.q_id
+      |  JOIN lut l ON l.q_id = pr.q_id AND l.sub = c.sub AND l.code = c.code
+      |  GROUP BY l.q_id, c.vec_id, c.label)
+      |SELECT q_id, neighbor_id, cell, rnk, adc_scaled,
+      |  adc_scaled::DOUBLE / 1e12 AS adc_dist
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+      |        ORDER BY adc_scaled, neighbor_id) AS rnk FROM p) z
+      |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    collectCodebook(emb) match {
+      case None =>
+        emb.select(col("vec_id").as("q_id"),
+          col("vec_id").as("neighbor_id"), col("label").as("cell"),
+          lit(1).as("rnk"), lit(0L).as("adc_scaled"),
+          lit(0.0).as("adc_dist")).limit(0)
+      case Some((codeIds, cen)) =>
+        val codes = pqCorpusCodes(emb, codeIds, cen)
+        // the lut feeds BOTH the probe decision and the ADC scoring
+        // join — pin so the query-spine scan + LUT agg runs once
+        val lut = graft.operators.Pin(pqQueryLut(s, emb, codeIds, cen))
+        // coarse probe FROM the lut: cell distance = Σ_sub ds — v04's
+        // rounded-term coarse distance in a different grouping
+        val wProbe = Window.partitionBy("q_id")
+          .orderBy(col("cd"), col("cell"))
+        val probe = lut.groupBy("q_id", "code")
+          .agg(sum("ds").as("cd"))
+          .select(col("q_id"), col("code").as("cell"), col("cd"))
+          .withColumn("rnk", row_number().over(wProbe))
+          .filter(col("rnk") <= 2)
+          .select("q_id", "cell")
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("adc_scaled"), col("neighbor_id"))
+        codes.join(broadcast(probe),
+            codes("label") === col("cell") &&
+              codes("vec_id") =!= col("q_id"))
+          .join(broadcast(lut), Seq("q_id", "sub", "code"))
+          .groupBy("q_id", "vec_id", "label")
+          .agg(sum("ds").as("adc_scaled"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            col("label").as("cell"), col("adc_scaled"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("q_id"), col("neighbor_id"), col("cell"),
+            col("rnk"), col("adc_scaled"),
+            (col("adc_scaled").cast(DoubleType) / lit(1e12))
+              .as("adc_dist"))
+    }
+  }
+
+  val all: Seq[Q] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10)
 }

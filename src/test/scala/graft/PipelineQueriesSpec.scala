@@ -277,7 +277,8 @@ class PipelineQueriesSpec extends SparkTestBase {
       queries.SourceQueries.s09, queries.TextDedup.d08,
       queries.VectorSearch.v05, queries.VectorSearch.v06,
       queries.VectorSearch.v07, queries.VectorSearch.v08,
-      queries.VectorSearch.v09, queries.TextDedup.d11,
+      queries.VectorSearch.v09, queries.VectorSearch.v10,
+      queries.TextDedup.d11,
       queries.SourceQueries.s10, queries.EventAnalytics.e18)
       .foreach { q =>
         assert(q.run(spark, dir).count() === 0L, s"${q.name} not empty")
@@ -636,5 +637,40 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(out.drop(3).forall(_.getAs[Long]("adc_scaled") ===
       4000000000000L))
     assert(out(3).getAs[Double]("adc_dist") === 4.0)
+  }
+
+  test("v10: IVF-PQ probes nprobe=2 nearest cells only — a farther " +
+      "third cell's vectors never enter the candidate set, and probed " +
+      "candidates score by ADC") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pq").toFile.getAbsolutePath
+    // 16-dim -> 2 subspaces, 3 cells. Query vec 0 sits exactly on
+    // cell 0's centroid; cell 1 is at coarse distance 4e12 (1+1 per
+    // subspace), cell 2 at 1e13 (1+4 per subspace) — so nprobe=2
+    // probes cells {0, 1} and every cell-2 vector is pruned before
+    // scoring, whatever its ADC distance would have been.
+    def vec(a: Int, b: Int, s: Float): Array[Float] = {
+      val v = Array.fill(16)(0.0f); v(a) = s; v(b) = s; v
+    }
+    val rows = (0 until 3).map(i => (i.toLong, vec(0, 8, 1.0f), 0)) ++
+      (10 until 13).map(i => (i.toLong, vec(1, 9, 1.0f), 1)) ++
+      (20 until 23).map(i => (i.toLong, vec(2, 10, 2.0f), 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = queries.VectorSearch.v10.run(spark, dir).collect()
+      .sortBy(_.getAs[Int]("rnk"))
+    // only vec 0 matches the query spine (vec_id % 50 == 0)
+    assert(out.forall(_.getAs[Long]("q_id") === 0L))
+    assert(out.length === 5)
+    // cell-0 neighbors at ADC 0 first (id tie-break), then cell-1 at
+    // exactly 4e12; no cell-2 id (>= 20) anywhere
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq ===
+      Seq(1L, 2L, 10L, 11L, 12L))
+    assert(out.take(2).forall(r => r.getAs[Long]("adc_scaled") === 0L
+      && r.getAs[Int]("cell") === 0))
+    assert(out.drop(2).forall(r =>
+      r.getAs[Long]("adc_scaled") === 4000000000000L
+        && r.getAs[Int]("cell") === 1))
+    assert(out(2).getAs[Double]("adc_dist") === 4.0)
   }
 }
