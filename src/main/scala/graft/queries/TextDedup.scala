@@ -474,56 +474,82 @@ object TextDedup {
   }
 
   // ---------------------------------------------------------------
-  // d04 SimHash — 32-bit Charikar fingerprint over shingle hashes;
-  // candidates by pigeonhole on 4×8-bit pieces (hamming ≤ 3 ⇒ at least
-  // one piece equal), verified with bit_count(xor) ≤ 3. The 32 bit
-  // counters are 32 conditional-sum agg columns over the gram rows —
-  // one codegen'd groupBy, no 32× row blowup. The piece equi-join is
-  // the scale path; at 100 TB you widen to 64 bits and keep the plan.
-  val d04 = Q(
-    "d04_simhash",
-    s"""$gidsCte,
-      |hh AS (SELECT doc_id, (gid & 4294967295) AS h32 FROM g),
-      |bs AS (SELECT doc_id,
-      |${(0 to 31).map(b => s"         SUM(CASE WHEN (h32 >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n")}
-      |       FROM hh GROUP BY doc_id),
-      |sim AS (SELECT doc_id, CAST(
-      |${(0 to 31).map(b => s"         (CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" +\n")}
-      |         AS BIGINT) AS simhash
-      |        FROM bs)
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-      |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin) {
-    (s, dir) =>
-      val hh = gids(s, dir, distinct = true)
-        .select(col("doc_id"),
-          col("gid").bitwiseAND(lit(4294967295L)).as("h32"))
-      val bitSums = (0 to 31).map(b =>
-        sum(when(expr(s"shiftright(h32, $b) & 1") === 1, 1).otherwise(-1))
-          .as(s"s$b"))
-      val assemble = (0 to 31)
-        .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
-        .reduce(_ + _)
-      val sim = Pin(hh // feeds both sides of the piece join
-        .groupBy("doc_id")
-        .agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"), assemble.as("simhash")))
-      // pigeonhole: hamming<=3 over 4 pieces => >=1 piece identical
-      val pieces = sim
-        .withColumn("p", explode(sequence(lit(0), lit(3))))
-        .select(col("doc_id"), col("simhash"), col("p"),
-          expr("(simhash div shiftleft(1L, p*8)) % 256").as("piece"))
-      val cand = pieces.toDF("doc_a", "sim_a", "p", "piece")
-        .join(pieces.toDF("doc_b", "sim_b", "p", "piece"), Seq("p", "piece"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .distinct()
-      cand
-        .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS INT)"))
-        .filter(col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
+  // d04 SimHash — Charikar fingerprint over shingle hashes;
+  // candidates by pigeonhole on 4 pieces (hamming ≤ 3 ⇒ at least one
+  // piece equal), verified with bit_count(xor) ≤ 3. The bit counters
+  // are conditional-sum agg columns over the gram rows — one codegen'd
+  // groupBy, no per-bit row blowup. The piece equi-join is the scale
+  // path, and PIECE WIDTH is the scale knob: a piece addresses 2^width
+  // buckets, so expected bucket population is N/2^width and candidate
+  // volume is Σ_bucket pop² — 8-bit pieces (256 buckets) saturate
+  // around 10^5 docs (measured: d04's steady state went 2.9 s at 50k
+  // docs → 151 s at 500k on the Heaps-law corpus, pure bucket-pair
+  // algebra), while 15-bit pieces (32k buckets) keep the same corpus
+  // at ~7.7 docs/bucket. d04 keeps the 32-bit/8-bit-piece shape;
+  // d12 is the SAME construction at 60/15 — the plan does not change,
+  // only the two width constants.
+  private def simhashQ(name: String, bits: Int): Q = {
+    val nPieces = 4
+    val pw = bits / nPieces // piece width in bits
+    require(pw * nPieces == bits, s"$bits bits must split into $nPieces")
+    val mask = (1L << bits) - 1
+    Q(name,
+      s"""$gidsCte,
+        |hh AS (SELECT doc_id, (gid & $mask) AS h FROM g),
+        |bs AS (SELECT doc_id,
+        |${(0 until bits).map(b => s"         SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n")}
+        |       FROM hh GROUP BY doc_id),
+        |sim AS (SELECT doc_id, CAST(
+        |${(0 until bits).map(b => s"         (CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" +\n")}
+        |         AS BIGINT) AS simhash
+        |        FROM bs)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin) {
+      (s, dir) =>
+        val hh = gids(s, dir, distinct = true)
+          .select(col("doc_id"),
+            col("gid").bitwiseAND(lit(mask)).as("h"))
+        val bitSums = (0 until bits).map(b =>
+          sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1))
+            .as(s"s$b"))
+        val assemble = (0 until bits)
+          .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _)
+        val sim = Pin(hh // feeds both sides of the piece join
+          .groupBy("doc_id")
+          .agg(bitSums.head, bitSums.tail: _*)
+          .select(col("doc_id"), assemble.as("simhash")))
+        // pigeonhole: hamming<=3 over 4 pieces => >=1 piece identical
+        val pieces = sim
+          .withColumn("p", explode(sequence(lit(0), lit(nPieces - 1))))
+          .select(col("doc_id"), col("simhash"), col("p"),
+            expr(s"(simhash div shiftleft(1L, p*$pw)) % ${1L << pw}")
+              .as("piece"))
+        val cand = pieces.toDF("doc_a", "sim_a", "p", "piece")
+          .join(pieces.toDF("doc_b", "sim_b", "p", "piece"),
+            Seq("p", "piece"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b", "sim_a", "sim_b")
+          .distinct()
+        cand
+          .withColumn("hamming",
+            expr("CAST(bit_count(sim_a ^ sim_b) AS INT)"))
+          .filter(col("hamming") <= 3)
+          .select("doc_a", "doc_b", "hamming")
+    }
   }
+
+  val d04 = simhashQ("d04_simhash", 32)
+
+  // d12 — d04's documented 100 TB configuration made real: the full
+  // 60-bit shingle hash, 4×15-bit pieces (32k buckets each). Hamming
+  // ≤ 3 over 60 bits is a TIGHTER near-dup criterion than over 32, so
+  // d12 is both the scale path and the high-precision tier; measured
+  // on the 500k-doc Heaps corpus it collapses d04's 151 s bucket-pair
+  // blowup back to near-linear growth.
+  val d12 = simhashQ("d12_simhash_wide", 60)
 
   // ---------------------------------------------------------------
   // d05 winnowing fingerprint — per-doc rolling fingerprint = min
@@ -761,5 +787,5 @@ object TextDedup {
   }
 
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12)
 }

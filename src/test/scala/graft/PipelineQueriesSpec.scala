@@ -278,7 +278,7 @@ class PipelineQueriesSpec extends SparkTestBase {
       queries.VectorSearch.v05, queries.VectorSearch.v06,
       queries.VectorSearch.v07, queries.VectorSearch.v08,
       queries.VectorSearch.v09, queries.VectorSearch.v10,
-      queries.TextDedup.d11,
+      queries.TextDedup.d11, queries.TextDedup.d12,
       queries.SourceQueries.s10, queries.EventAnalytics.e18)
       .foreach { q =>
         assert(q.run(spark, dir).count() === 0L, s"${q.name} not empty")
@@ -637,6 +637,35 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(out.drop(3).forall(_.getAs[Long]("adc_scaled") ===
       4000000000000L))
     assert(out(3).getAs[Double]("adc_dist") === 4.0)
+  }
+
+  test("d12: wide simhash finds a one-token-mutated copy at small " +
+      "hamming; unrelated docs never pair at <= 3 of 60 bits") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pq").toFile.getAbsolutePath
+    // 100 tokens, one swapped: 3 of 98 shingles change, so the 60-bit
+    // signature moves by only the bits whose shingle-sum sat near zero
+    // (deterministic md5 hashes — the observed hamming is fixed)
+    val base = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val mutated = base.replace("tok50 ", "zzz ")
+    // unrelated doc with a disjoint vocabulary: expected hamming ~30
+    // of 60 — far beyond the threshold
+    val other = (1 to 100).map(i => s"unrel$i").mkString(" ")
+    Seq((1L, base, "en", "a"), (2L, mutated, "en", "a"),
+      (3L, other, "en", "b"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = queries.TextDedup.d12.run(spark, dir).collect()
+    assert(out.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSeq === Seq((1L, 2L)))
+    val h = out.head.getAs[Int]("hamming")
+    assert(h >= 0 && h <= 3, s"mutated-copy hamming $h out of range")
+    // same fixture through d04: the 32-bit tier must also pair 1-2
+    // (d12 is d04 at different width constants, not a new operator)
+    val out04 = queries.TextDedup.d04.run(spark, dir).collect()
+    assert(out04.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSeq ===
+      Seq((1L, 2L)))
   }
 
   test("v10: IVF-PQ probes nprobe=2 nearest cells only — a farther " +
