@@ -33,8 +33,13 @@ def main():
     con = duckdb.connect()
     con.execute("SET threads TO 8")
     for t in TABLES:
+        # driver testdata ships Spark-style parquet DIRS; gen_scale.py
+        # writes flat single files — accept both
+        import os
+        p = f"{d}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet/*.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     for q in queries:
         if q not in oracle:
             print(f"DUCK {q} no_oracle")
