@@ -587,32 +587,45 @@ object TextDedup {
   // widen-to-64-bit note. Vectors pre-scaled to BIGINT once
   // ([[graft.functions.Fns.scaleVec]]); signs are taken on the scaled
   // ints so both engines see identical cells; pair loop is pure
-  // integer multiply-add.
-  /** Bits per d06 orthant band — 2^bits cells per band per label. */
+  // integer multiply-add. CELL WIDTH is the scale knob (same algebra
+  // as d04's piece width): expected cell population is
+  // N/(labels·2^bits), so candidate volume Σ_cell pop² grows
+  // quadratically in N at FIXED bits — measured on the Heaps corpus,
+  // the 4-bit band volume is 1.5M pairs at 20k vectors but 154M at
+  // 200k. Unlike the text operators, vocabulary growth cannot save
+  // this join: the blocking key space is constant. So bits must grow
+  // with log₂(N): d06 keeps 4-bit bands (the loose cos≥0.3 report),
+  // d13 is the SAME construction at 8-bit bands (2560 cells at 10
+  // labels — 13.7M pairs at 200k vectors). A candidate must agree on
+  // all 8 sign bits of a band, so d13 is the high-precision tier:
+  // per-dim sign-agreement probability is 1−θ/π, making 8-bit band
+  // recall ≈96 % for true duplicates (cos≥0.99) and negligible for
+  // the loose cos≈0.3 tail d06 sweeps up.
+  /** Default bits per d06 orthant band — 2^bits cells per band per label. */
   private val D06CellBits = 4
 
   /** Oracle fragment: orthant code over sx[from .. from+bits-1]
     * (1-indexed), bit i set when the scaled component is > 0. */
-  private def orthantSql(from: Int): String =
-    (0 until D06CellBits)
+  private def orthantSql(from: Int, bits: Int): String =
+    (0 until bits)
       .map(i => s"(CASE WHEN sx[${from + i}] > 0 THEN ${1 << i} ELSE 0 END)")
       .mkString("(", " + ", ")")
 
   /** Spark twin of [[orthantSql]] over the `sx` column. */
-  private def orthantCol(from: Int): Column =
-    (0 until D06CellBits)
+  private def orthantCol(from: Int, bits: Int): Column =
+    (0 until bits)
       .map(i => when(element_at(col("sx"), from + i) > 0, lit(1 << i))
         .otherwise(lit(0)))
       .reduce(_ + _)
 
-  val d06 = Q(
-    "d06_embedding_neardup",
+  private def embNearDupQ(name: String, bits: Int): Q = Q(
+    name,
     s"""WITH e AS (SELECT vec_id, label,
       |    list_transform(embedding, x -> round(x::DOUBLE*1e6)::BIGINT) AS sx
       |  FROM embeddings),
       |n AS (SELECT vec_id, label, sx,
       |  CAST(list_sum(list_transform(sx, x -> x*x)) AS BIGINT) AS nn,
-      |  ${orthantSql(1)} AS c1, ${orthantSql(1 + D06CellBits)} AS c2
+      |  ${orthantSql(1, bits)} AS c1, ${orthantSql(1 + bits, bits)} AS c2
       |  FROM e)
       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
       |  CAST(list_sum(list_transform(list_zip(a.sx, b.sx),
@@ -627,31 +640,43 @@ object TextDedup {
       .select(col("vec_id"), col("label"),
         Fns.scaleVec(col("embedding")).as("sx"))
       .withColumn("nn", VectorExprs.normSqIntNative(col("sx")))
-      .withColumn("c1", orthantCol(1))
-      .withColumn("c2", orthantCol(1 + D06CellBits)))
-    // candidate generation: one equi-join per band (the OR in the
-    // oracle's join condition would force a non-equi join in Spark;
-    // union-distinct of per-band equi-joins is the same set with
-    // shuffle-key joins throughout — d03's band pattern)
-    val ids = e.select("vec_id", "label", "c1", "c2")
-    val cand = Seq("c1", "c2").map { c =>
-      ids.select(col("vec_id").as("vec_a"), col("label"), col(c).as("c"))
-        .join(ids.select(col("vec_id").as("vec_b"), col("label"),
-          col(c).as("c")), Seq("label", "c"))
+      .withColumn("c1", orthantCol(1, bits))
+      .withColumn("c2", orthantCol(1 + bits, bits)))
+    // one equi-join per band (the OR in the oracle's join condition
+    // would force a non-equi join in Spark; union-distinct of per-band
+    // equi-joins is the same set — d03's band pattern), with the exact
+    // cosine computed INSIDE the band join. The join sides are the
+    // full (compact) vector rows — N rows per side, not candidates —
+    // so the only shuffles are the two band-key exchanges of the
+    // corpus itself; the candidate blow-up exists solely as the join's
+    // streamed output, consumed by the cosine filter in the same
+    // stage. The previous shape (distinct candidate ids, then re-join
+    // both signature arrays) shuffled the CANDIDATE set three times —
+    // 27 M rows at the 500k-vector scale run vs 2×500k here. A pair
+    // agreeing on both bands computes its cosine twice (bounded 2×
+    // compute); the final distinct dedups it exactly because the
+    // expression is deterministic integer arithmetic.
+    val cos = Fns.cosineFromScaled(
+      VectorExprs.dotIntNative(col("sx_a"), col("sx_b")),
+      col("nn_a"), col("nn_b"))
+    Seq("c1", "c2").map { c =>
+      e.select(col("vec_id").as("vec_a"), col("label"), col(c).as("c"),
+          col("sx").as("sx_a"), col("nn").as("nn_a"))
+        .join(e.select(col("vec_id").as("vec_b"), col("label"),
+          col(c).as("c"), col("sx").as("sx_b"), col("nn").as("nn_b")),
+          Seq("label", "c"))
         .filter(col("vec_a") < col("vec_b"))
-        .select("vec_a", "vec_b", "label")
+        .select(col("vec_a"), col("vec_b"), col("label"),
+          cos.as("cosine"))
+        .filter(col("cosine") >= 0.3)
     }.reduce(_ union _).distinct()
-    // verification: re-attach the two signatures and take exact cosine
-    val a = e.select(col("vec_id").as("vec_a"),
-      col("sx").as("sx_a"), col("nn").as("nn_a"))
-    val b = e.select(col("vec_id").as("vec_b"),
-      col("sx").as("sx_b"), col("nn").as("nn_b"))
-    cand.join(a, "vec_a").join(b, "vec_b")
-      .select(col("vec_a"), col("vec_b"), col("label"),
-        Fns.cosineFromScaled(VectorExprs.dotIntNative(col("sx_a"), col("sx_b")),
-          col("nn_a"), col("nn_b")).as("cosine"))
-      .filter(col("cosine") >= 0.3)
   }
+
+  val d06 = embNearDupQ("d06_embedding_neardup", D06CellBits)
+
+  // d13 — d06's documented 100 TB configuration made real (see the
+  // cell-width scaladoc above): 8-bit orthant bands over dims 1–16.
+  val d13 = embNearDupQ("d13_embedding_neardup_wide", 8)
 
   // ---------------------------------------------------------------
   // d10 dedup APPLY — the step that actually produces the cleaned
@@ -787,5 +812,6 @@ object TextDedup {
   }
 
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12,
+      d13)
 }

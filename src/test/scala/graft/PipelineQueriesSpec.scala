@@ -279,6 +279,7 @@ class PipelineQueriesSpec extends SparkTestBase {
       queries.VectorSearch.v07, queries.VectorSearch.v08,
       queries.VectorSearch.v09, queries.VectorSearch.v10,
       queries.TextDedup.d11, queries.TextDedup.d12,
+      queries.TextDedup.d13,
       queries.SourceQueries.s10, queries.EventAnalytics.e18)
       .foreach { q =>
         assert(q.run(spark, dir).count() === 0L, s"${q.name} not empty")
@@ -666,6 +667,27 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(out04.map(r =>
       (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSeq ===
       Seq((1L, 2L)))
+  }
+
+  test("d13: wide orthant bands pair exact duplicates but drop a " +
+      "moderate-cosine pair that d06's 4-bit bands still catch") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pq").toFile.getAbsolutePath
+    val a = Array.fill(16)(1.0f)
+    // c flips dim 6 (inside d13 band 1 = dims 1-8, and inside d06
+    // band 2 = dims 5-8) and dim 12 (inside d13 band 2 = dims 9-16):
+    // d06 band 1 (dims 1-4) still matches, so d06 keeps the pair;
+    // BOTH d13 bands differ, so d13 never forms the candidate.
+    // cos(a, c) = 12/16 = 0.75 — well above the 0.3 verify threshold.
+    val c = a.clone(); c(5) = -1.0f; c(11) = -1.0f
+    Seq((1L, a, 0), (2L, a.clone(), 0), (3L, c, 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    def pairs(q: Q) = q.run(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(pairs(queries.TextDedup.d06) ===
+      Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs(queries.TextDedup.d13) === Set((1L, 2L)))
   }
 
   test("v10: IVF-PQ probes nprobe=2 nearest cells only — a farther " +
