@@ -105,7 +105,20 @@ class PlanAuditSpec extends SparkTestBase {
       "q05_region_revenue" -> 1,
       "t10_unigram_surprisal" -> 5,
       "v07_kmeans_refine" -> 4,
-      "v08_pq_encode" -> 0)
+      "v08_pq_encode" -> 0,
+      //  d06/d13 (shared builder, round-6 re-plan): the exact cosine
+      //  is computed INSIDE the band joins, so the candidate set never
+      //  shuffles — at this SF AQE broadcasts the band joins and the
+      //  only exchange is the final distinct's agg. A second exchange
+      //  appearing here means the in-join verify regressed to the old
+      //  materialize-candidates-then-re-join-arrays shape (the one
+      //  that went >19 min at the 500k-vector scale run)          -> 1
+      //  d12: d04's construction at 60/15-bit width — signature agg
+      //  feeds the pin; piece self-join broadcasts at this SF; the
+      //  candidate distinct is the one exchange                   -> 1
+      "d06_embedding_neardup" -> 1,
+      "d12_simhash_wide" -> 1,
+      "d13_embedding_neardup_wide" -> 1)
     val got = audited.map { case (name, _) =>
       name -> executedShuffleCount(build(name))
     }
