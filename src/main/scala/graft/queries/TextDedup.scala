@@ -215,23 +215,37 @@ object TextDedup {
       // below exchange-free.
       val par = s.sparkContext.defaultParallelism
       val h = cappedGids(s, dir)
-      // n is doc-grain (tiny): two agg passes over pinned h beat the
-      // extra materialization barrier a pin would add
-      val n = h.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // size-ANNOTATED index (PPJoin, Xiao et al. 2008): each index row
+      // carries its doc's post-cap gram count n. Costs one doc_id
+      // exchange + the restore-gid exchange — both at INDEX grain
+      // (16 B rows), an order of magnitude below the candidate set
+      // they optimize. Pinned: the self-join reads it twice.
+      val hn = Pin(h
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy("doc_id")))
+        .repartition(par, col("gid")))
       // candidate pairs ≈ unique groups (little map-side reduction), so
-      // the pair aggregation is the widest stage of the query; the same
-      // parallelism floor keeps it off one core when AQE coalesces the
-      // small shuffle (no-op at scale, where the exchange is ≥ the
-      // advisory size on its own)
-      val pairs = h.toDF("doc_a", "gid")
-        .join(h.toDF("doc_b", "gid"), "gid")
+      // the pair aggregation is the widest stage of the query. The
+      // size filter runs BEFORE that shuffle: J ≥ t forces
+      // min(na,nb) ≥ t·max(na,nb) (inter ≤ min and
+      // inter ≥ t·(na+nb−inter) combine to it), so violating
+      // candidates — ~40 % of rows on the Heaps-law scale corpus —
+      // are dropped in the map stage with output-identical semantics.
+      // Carrying n through the agg (pairs are size-functional) also
+      // removes the two PAIR-grain size joins the old plan paid; at
+      // corpus scale those stop broadcasting and would sort-merge the
+      // 100M-row pair set twice. The parallelism floor keeps the agg
+      // off one core when AQE coalesces the small shuffle (no-op at
+      // scale, where the exchange is ≥ the advisory size on its own).
+      hn.toDF("doc_a", "gid", "na")
+        .join(hn.toDF("doc_b", "gid", "nb"), "gid")
         .filter(col("doc_a") < col("doc_b"))
+        .filter(least(col("na"), col("nb")) >=
+          lit(JaccardMin) * greatest(col("na"), col("nb")))
         .repartition(par, col("doc_a"), col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("inter"))
-      pairs
-        .join(n.toDF("doc_a", "na"), "doc_a")
-        .join(n.toDF("doc_b", "nb"), "doc_b")
+        .agg(count(lit(1)).as("inter"),
+          max("na").as("na"), max("nb").as("nb"))
         .withColumn("union_size", col("na") + col("nb") - col("inter"))
         .withColumn("jaccard",
           col("inter").cast(DoubleType) / col("union_size"))
