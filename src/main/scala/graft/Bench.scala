@@ -2,10 +2,13 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // default 8: measured suite totals at sf0.1 were 16.9/15.4/15.8/17.2 s
-    // for 4/8/16/32 threads (shuffle.partitions = threads) — at MB-scale
-    // inputs the scheduling+AQE floor grows faster than the parallelism
-    // pays; at 100 TB the knob comes from data volume via this env var
+    // default 8: round-6 re-sweep of the FULL 96-query suite at sf0.1
+    // measured 28.4 s (8 thr) vs 32.1 s (32 thr) — scan-compute queries
+    // gain from threads (t07 0.71->0.12 s) but iterative/multi-stage
+    // shapes pay the per-job scheduling+AQE floor per round (d07
+    // 0.96->1.67 s, e16 0.42->1.42 s), and at MB-scale the floor
+    // dominates (COVERAGE.md "Thread-regime sweep"); at 100 TB the
+    // knob comes from data volume via this env var
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
