@@ -160,6 +160,65 @@ object Shingle3Hash60 {
   }
 }
 
+/** Per-position (head, bigram) 60-bit hash pairs in one native pass
+  * (t13's tokenize-once relation): for each adjacent token pair emit
+  * struct(u = hash60(wᵢ), b = hash60(wᵢ ⌴ wᵢ₊₁)), so the bigram-LM
+  * model tables key on 8-byte longs instead of strings — the pinned
+  * scoring relation is 32 B/row at any vocabulary size, and a 60-bit
+  * collision collapses identically in both engines (d02's contract).
+  * Docs with <2 tokens emit an empty array. The md5 read is shared
+  * with [[Shingle3Hash60]] (`digest`/`top60`) so the hashing natives
+  * cannot drift; DuckDB twin: `Fns.hash60Sql` over `t[i]` and
+  * `t[i] || ' ' || t[i+1]`. Interpreted like Shingle3Hash60
+  * (CodegenFallback at DOCUMENT granularity — one call per row, the
+  * inner loop is tight Java over materialized token bytes).
+  */
+case class Gram2PairHash60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("u", LongType, nullable = false),
+    StructField("b", LongType, nullable = false))), containsNull = false)
+
+  override def prettyName: String = "graft_gram2pair60"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val ws = input.asInstanceOf[ArrayData]
+    val n = ws.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val t = ws.getUTF8String(i)
+      toks(i) = if (t == null) Array.emptyByteArray else t.getBytes
+      i += 1
+    }
+    val md = Shingle3Hash60.digest()
+    val out = new Array[Any](n - 1)
+    i = 0
+    while (i < n - 1) {
+      md.reset()
+      md.update(toks(i))
+      val u = Shingle3Hash60.top60(md.digest())
+      md.reset()
+      md.update(toks(i)); md.update(' '.toByte); md.update(toks(i + 1))
+      val b = Shingle3Hash60.top60(md.digest())
+      out(i) = new GenericInternalRow(Array[Any](u, b))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 /** Word-2-gram repetition statistics in ONE native pass per document
   * (t07's inner loop): given the token array, returns
   * struct(n_grams, n_distinct, top, dup) where `top` is the count of
@@ -544,6 +603,11 @@ object VectorExprs {
   def shingleHash60(ws: Column, distinct: Boolean): Column =
     GraftColumnBridge.column(Shingle3Hash60(
       GraftColumnBridge.expression(ws), distinct))
+
+  /** Column wrapper: native (head, bigram) 60-bit hash pairs. */
+  def gram2PairHash60(ws: Column): Column =
+    GraftColumnBridge.column(Gram2PairHash60(
+      GraftColumnBridge.expression(ws)))
 
   /** Column wrapper: native word-2-gram repetition statistics. */
   def gram2Stats(ws: Column): Column =

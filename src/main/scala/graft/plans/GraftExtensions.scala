@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{Gram2Stats, LongArrayDot, Quant8Stats, Shingle3Hash60, Sum128}
+import graft.functions.{Gram2PairHash60, Gram2Stats, LongArrayDot, Quant8Stats, Shingle3Hash60, Sum128}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.shingleFunction)
     ext.injectFunction(GraftExtensions.gram2Function)
     ext.injectFunction(GraftExtensions.quant8Function)
+    ext.injectFunction(GraftExtensions.gram2PairFunction)
   }
 }
 
@@ -82,10 +83,20 @@ object GraftExtensions {
         Quant8Stats(args.head)
       })
 
+  private[plans] val gram2PairFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_gram2pair60"),
+      new ExpressionInfo(classOf[Gram2PairHash60].getName,
+        "graft_gram2pair60"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_gram2pair60 takes exactly 1 argument")
+        Gram2PairHash60(args.head)
+      })
+
   /** Register the functions into an already-running session. */
   def register(spark: SparkSession): Unit =
     Seq(dotFunction, sum128Function, shingleFunction, gram2Function,
-      quant8Function)
+      quant8Function, gram2PairFunction)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry
           .registerFunction(id, info, builder)

@@ -461,6 +461,133 @@ object TextAnalysis {
           phonePat, "<PHONE>").as("masked"))
   }
 
+  // ---------------------------------------------------------------
+  // t12 BM25 retrieval scoring — the classic inverted-index ranking
+  // function (Robertson/Sparck Jones; k1 = 1.2, b = 0.75), scored for
+  // a fixed query-term set against the corpus: the "find me docs
+  // about X" primitive a curation pipeline uses for targeted
+  // sampling/inspection. idf uses the same integer floor-log2 bits
+  // as t10 (length(bin(N)) − length(bin(df))) so the only float math
+  // is the tf normalization — one fixed-order rational expression per
+  // row, bit-identical cross-engine; score ties break on doc_id.
+  //
+  // Scale shape: the postings relation is filtered to the query terms
+  // BEFORE the (doc, term) collapse — at 100 TB the scan's predicate
+  // pushdown makes this |terms|-selective, and everything downstream
+  // (df per term, the ≤|terms| row broadcast, the top-k window
+  // per term) is bounded by the query-set size, not the corpus. The
+  // doc-length side stays narrow (doc_id, dl) and joins the postings
+  // on doc_id — the only corpus-cardinality shuffle.
+  private val Bm25Terms = Seq("join", "vector", "customer", "window")
+  val t12 = Q(
+    "t12_bm25",
+    s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
+      |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |              CAST(SUM(dl) AS BIGINT) AS tot_dl FROM dl),
+      |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM (SELECT doc_id, unnest(t) AS token FROM d)
+      |       WHERE token IN (${sqlList(Bm25Terms).drop(1).dropRight(1)})
+      |       GROUP BY doc_id, token),
+      |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+      |       GROUP BY token),
+      |sc AS (SELECT tf.token, tf.doc_id, tf.tf,
+      |         CAST(length(bin(st.n_docs)) - length(bin(df.df)) AS DOUBLE)
+      |           * (tf.tf::DOUBLE * 2.2)
+      |           / (tf.tf::DOUBLE + 1.2 * (0.25 + 0.75 *
+      |              (dl.dl::DOUBLE / (st.tot_dl::DOUBLE / st.n_docs::DOUBLE))))
+      |           AS score
+      |       FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+      |         JOIN df ON tf.token = df.token CROSS JOIN st)
+      |SELECT token, doc_id, rnk, tf, score
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY token
+      |        ORDER BY score DESC, doc_id) AS rnk FROM sc) t
+      |WHERE rnk <= 10""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir)
+    val dl = d.select(col("doc_id"), size(col("ws")).cast(LongType).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
+    val tf = d.select(col("doc_id"), explode(col("ws")).as("token"))
+      .filter(col("token").isInCollection(Bm25Terms))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val score =
+      (length(bin(col("n_docs"))) - length(bin(col("df"))))
+        .cast(DoubleType) *
+        (col("tf").cast(DoubleType) * lit(2.2)) /
+        (col("tf").cast(DoubleType) + lit(1.2) * (lit(0.25) + lit(0.75) *
+          (col("dl").cast(DoubleType) /
+            (col("tot_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)))))
+    val w = Window.partitionBy("token")
+      .orderBy(col("score").desc, col("doc_id"))
+    tf.join(dl, "doc_id")
+      .join(broadcast(df), "token")
+      .crossJoin(broadcast(st))
+      .withColumn("score", score)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select("token", "doc_id", "rnk", "tf", "score")
+  }
+
+  // ---------------------------------------------------------------
+  // t13 corpus-trained bigram surprisal — t10's LM-quality signal one
+  // order up: P(w2|w1) from corpus bigram/head counts, per-document
+  // mean conditional surprisal in integer floor-log2 bits
+  // (bits(c(w1·)) − bits(c(w1,w2))), plus the novel-bigram ratio
+  // (corpus hapax bigrams — the fluency/garbage discriminator n-gram
+  // LM filters actually use). All sums are integers; the two
+  // divisions happen once per doc on exact inputs.
+  //
+  // Scale shape: identical to t10 with the bigram alphabet — raw
+  // positions collapse FIRST to (doc_id, w1, bigram, dc); that pinned
+  // relation feeds the bigram model, the head-count model, and the
+  // scoring join, so the corpus is tokenized exactly once. The bigram
+  // join key is Zipf-skewed like t10's — AQE skew-split territory;
+  // the head-count join rides the same relation one key shorter.
+  val t13 = Q(
+    "t13_bigram_surprisal",
+    s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, w1h, bgh, CAST(COUNT(*) AS BIGINT) AS dc
+      |       FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |                i -> ${Fns.hash60Sql("t[i]")})) AS w1h,
+      |              unnest(list_transform(range(1, len(t)),
+      |                i -> ${Fns.hash60Sql("t[i] || ' ' || t[i+1]")})) AS bgh
+      |             FROM d)
+      |       GROUP BY doc_id, w1h, bgh),
+      |b AS (SELECT bgh, CAST(SUM(dc) AS BIGINT) AS bn FROM bg
+      |      GROUP BY bgh),
+      |u AS (SELECT w1h, CAST(SUM(dc) AS BIGINT) AS un FROM bg GROUP BY w1h)
+      |SELECT bg.doc_id,
+      |  CAST(SUM(bg.dc) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(bg.dc * (length(bin(u.un)) - length(bin(b.bn))))
+      |    AS BIGINT)::DOUBLE / SUM(bg.dc) AS avg_bigram_surprisal_bits,
+      |  CAST(SUM(CASE WHEN b.bn <= 1 THEN bg.dc ELSE 0 END)
+      |    AS BIGINT)::DOUBLE / SUM(bg.dc) AS novel_ratio
+      |FROM bg JOIN b ON bg.bgh = b.bgh JOIN u ON bg.w1h = u.w1h
+      |GROUP BY bg.doc_id""".stripMargin) { (s, dir) =>
+    // one native pass per doc emits the (head, bigram) 60-bit hash
+    // pairs (Gram2PairHash60 — <2-token docs emit an empty array), so
+    // the pinned scoring relation is 4 longs/row at any vocabulary
+    // size; both engines key on hash60, so a 60-bit collision
+    // collapses identically (the d02 gram contract)
+    val bg = graft.operators.Pin(docs(s, dir)
+      .select(col("doc_id"),
+        explode(VectorExprs.gram2PairHash60(col("ws"))).as("p"))
+      .select(col("doc_id"), col("p.u").as("w1h"), col("p.b").as("bgh"))
+      .groupBy("doc_id", "w1h", "bgh").agg(count(lit(1)).as("dc")))
+    val b = bg.groupBy("bgh").agg(sum("dc").as("bn"))
+    val u = bg.groupBy("w1h").agg(sum("dc").as("un"))
+    bg.join(b, "bgh").join(u, "w1h")
+      .groupBy("doc_id")
+      .agg(sum("dc").as("n_bigrams"),
+        sum(col("dc") *
+          (length(bin(col("un"))) - length(bin(col("bn"))))).as("surp"),
+        sum(when(col("bn") <= 1, col("dc")).otherwise(0L)).as("novel"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("surp").cast(DoubleType) / col("n_bigrams"))
+          .as("avg_bigram_surprisal_bits"),
+        (col("novel").cast(DoubleType) / col("n_bigrams")).as("novel_ratio"))
+  }
+
   val all: Seq[Q] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
 }

@@ -886,5 +886,115 @@ object VectorSearch {
     }
   }
 
-  val all: Seq[Q] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10)
+  // ---------------------------------------------------------------
+  // v11 binary quantization search — 1-bit sign quantization: each
+  // 64-dim vector packs into two 32-bit sign words (bit i set iff
+  // sx[i] > 0), the compression modern vector stores use for the
+  // first-pass scan (32× less memory traffic than the float vector).
+  // Search is two-stage: a compressed-domain hamming pass (two
+  // XOR+popcount per pair — candidates = top-20 by (hamming,
+  // neighbor_id)) then an exact scaled-integer cosine rerank of just
+  // those candidates → top-5. Both ranks carry unique-key tiebreaks
+  // so the candidate sets and final rows are identical cross-engine.
+  //
+  // Scale shape: the hamming pass moves only (vec_id, lo, hi) — 24
+  // bytes/row regardless of dimension — against a bounded broadcast
+  // query set (v01's bound); the wide sx vectors are touched again
+  // only for the ≤ queries×20 candidate rows via an equi-join on
+  // neighbor_id. At 100 TB the first pass is a pure scan of the
+  // packed column (columnar pruning drops the float vectors) and the
+  // rerank reads a LIMIT-bounded row set.
+  private val V11Candidates = 20
+  val v11 = Q(
+    "v11_binary_quant_search",
+    s"""$normCte,
+      |bq AS (SELECT vec_id, sx, n,
+      |  CAST(list_sum(list_transform(range(1,33),
+      |    i -> CASE WHEN sx[i] > 0 THEN (1::BIGINT << (i-1))
+      |         ELSE 0 END)) AS BIGINT) AS lo,
+      |  CAST(list_sum(list_transform(range(33,65),
+      |    i -> CASE WHEN sx[i] > 0 THEN (1::BIGINT << (i-33))
+      |         ELSE 0 END)) AS BIGINT) AS hi
+      |  FROM e),
+      |q AS (SELECT vec_id AS q_id, sx AS q_sx, n AS q_n,
+      |        lo AS q_lo, hi AS q_hi
+      |      FROM bq WHERE vec_id % 50 = 0
+      |      ORDER BY vec_id LIMIT $V01Queries),
+      |h AS (SELECT q.q_id, bq.vec_id AS neighbor_id,
+      |        CAST(bit_count(xor(q.q_lo, bq.lo))
+      |           + bit_count(xor(q.q_hi, bq.hi)) AS BIGINT) AS hamming
+      |      FROM q JOIN bq ON bq.vec_id <> q.q_id),
+      |c AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (
+      |        PARTITION BY q_id ORDER BY hamming, neighbor_id) AS crnk
+      |      FROM h) t WHERE crnk <= $V11Candidates),
+      |r AS (SELECT c.q_id, c.neighbor_id, c.hamming,
+      |        $dotSql::DOUBLE
+      |          / (sqrt(q.q_n::DOUBLE) * sqrt(e.n::DOUBLE)) AS cosine
+      |      FROM c JOIN e ON c.neighbor_id = e.vec_id
+      |        JOIN q ON c.q_id = q.q_id)
+      |SELECT q_id, neighbor_id, rnk, hamming, cosine
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+      |        ORDER BY cosine DESC, neighbor_id) AS rnk FROM r) t
+      |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), Fns.scaleVec(col("embedding")).as("sx"))
+      .withColumn("n", VectorExprs.normSqIntNative(col("sx")))
+    // one 32-bit sign word: sum of literal-shift whens (codegen
+    // collapses this into straight-line bit math — v03's pattern)
+    def word(off: Int): Column = (0 until 32).map { i =>
+      when(element_at(col("sx"), off + i + 1) > 0, lit(1L << i))
+        .otherwise(0L)
+    }.reduce(_ + _)
+    val bq = emb.withColumn("lo", word(0)).withColumn("hi", word(32))
+    // the 20-row query set feeds TWO broadcasts (packed words for the
+    // hamming pass, sx/norm for the rerank) — pinned so the
+    // filter+pack+TakeOrdered job runs once, not once per broadcast
+    val q = graft.operators.Pin(bq.filter(col("vec_id") % 50 === 0)
+      .orderBy("vec_id").limit(V01Queries)
+      .select(col("vec_id").as("q_id"), col("sx").as("q_sx"),
+        col("n").as("q_n"), col("lo").as("q_lo"), col("hi").as("q_hi")))
+    // the packed sign index is a MATERIALIZED artifact (pinned): the
+    // hamming pass streams cached 24-byte rows. Without the barrier
+    // the non-equi join plans as BroadcastNestedLoopJoin — outside
+    // whole-stage codegen — and project-collapsing inlines the
+    // scale+pack expression tree into the per-PAIR interpreted eval:
+    // measured 6.0 s vs 0.9 s for the pack itself at 200k×20 pairs
+    val packed = graft.operators.Pin(bq.select("vec_id", "lo", "hi"))
+    // compressed-domain pass: only the packed words cross the wire
+    val ham = packed
+      .join(broadcast(q.select("q_id", "q_lo", "q_hi")),
+        col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        (bit_count(col("q_lo").bitwiseXOR(col("lo"))) +
+          bit_count(col("q_hi").bitwiseXOR(col("hi"))))
+          .cast(LongType).as("hamming"))
+    val cw = Window.partitionBy("q_id")
+      .orderBy(col("hamming"), col("neighbor_id"))
+    val cand = ham.withColumn("crnk", row_number().over(cw))
+      .filter(col("crnk") <= V11Candidates)
+    val rw = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    // rerank: the corpus STREAMS and the ≤ queries×20 candidate set
+    // broadcasts — left to stats the optimizer broadcasts the corpus
+    // side (its parquet footprint looks small at test SF), which is
+    // exactly backwards at 100 TB. The scale+norm projection sits
+    // AFTER the candidate join, so the per-element BigDecimal
+    // rounding runs on candidate rows only, not the whole corpus
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(cand), "neighbor_id")
+      .select(col("q_id"), col("neighbor_id"), col("hamming"),
+        Fns.scaleVec(col("embedding")).as("sx"))
+      .withColumn("n", VectorExprs.normSqIntNative(col("sx")))
+      .join(broadcast(q.select("q_id", "q_sx", "q_n")), "q_id")
+      .withColumn("cosine", Fns.cosineFromScaled(
+        VectorExprs.dotIntNative(col("q_sx"), col("sx")),
+        col("q_n"), col("n")))
+      .withColumn("rnk", row_number().over(rw))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "neighbor_id", "rnk", "hamming", "cosine")
+  }
+
+  val all: Seq[Q] =
+    Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11)
 }

@@ -280,6 +280,8 @@ class PipelineQueriesSpec extends SparkTestBase {
       queries.VectorSearch.v09, queries.VectorSearch.v10,
       queries.TextDedup.d11, queries.TextDedup.d12,
       queries.TextDedup.d13,
+      queries.TextAnalysis.t12, queries.TextAnalysis.t13,
+      queries.VectorSearch.v11,
       queries.SourceQueries.s10, queries.EventAnalytics.e18)
       .foreach { q =>
         assert(q.run(spark, dir).count() === 0L, s"${q.name} not empty")
@@ -421,6 +423,95 @@ class PipelineQueriesSpec extends SparkTestBase {
     // doc 2 = [a, b]: (3-2) + (3-1) = 3 bits over 2 tokens -> 1.5;
     // b is a hapax -> rare_ratio 0.5
     assert(out(2L) === ((2L, 1.5, 0.5)))
+  }
+
+  test("t12: BM25 — hand-computed idf bits, tf normalization, and " +
+      "per-term ranking on a 5-doc corpus") {
+    // df(join)=2 of N=5 -> idf = len(bin(5)) - len(bin(2)) = 1 bit;
+    // avgdl = 12/5 = 2.4
+    val dir = docsDir(Seq(
+      (1L, "join join join a a a", "en"), (2L, "join b", "en"),
+      (3L, "c c", "en"), (4L, "d", "en"), (5L, "e", "en")))
+    val out = queries.TextAnalysis.t12.run(spark, dir).collect()
+    assert(out.length === 2) // only "join" of the 4 query terms occurs
+    assert(out.forall(_.getAs[String]("token") === "join"))
+    val byRank = out.map(r => r.getAs[Int]("rnk") ->
+      ((r.getAs[Long]("doc_id"), r.getAs[Long]("tf"),
+        r.getAs[Double]("score")))).toMap
+    // same IEEE expression order as both engines' formula
+    def bm25(tf: Double, dl: Double): Double =
+      1.0 * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / (12.0 / 5.0))))
+    // doc1 tf=3 dl=6 outranks doc2 tf=1 dl=2 (tf wins over the
+    // length penalty here)
+    assert(byRank(1) === ((1L, 3L, bm25(3.0, 6.0))))
+    assert(byRank(2) === ((2L, 1L, bm25(1.0, 2.0))))
+  }
+
+  test("t13: bigram surprisal — hand-computed conditional bits, " +
+      "novel ratio, and the 1-token-doc guard") {
+    // corpus bigrams: "a a"x1 (doc1), "a b"x2 (doc1, doc2);
+    // head count u(a)=3. bits: bin(3)=2, bin(1)=1, bin(2)=2.
+    val dir = docsDir(Seq(
+      (1L, "a a b", "en"), (2L, "a b", "en"), (3L, "solo", "en")))
+    val out = queries.TextAnalysis.t13.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"),
+          r.getAs[Double]("avg_bigram_surprisal_bits"),
+          r.getAs[Double]("novel_ratio")))).toMap
+    // doc1: ("a a": 2-1=1 bit, corpus-hapax) + ("a b": 2-2=0) -> avg
+    // 0.5, novel 0.5; doc2: one "a b" -> 0 bits, nothing novel
+    assert(out(1L) === ((2L, 0.5, 0.5)))
+    assert(out(2L) === ((1L, 0.0, 0.0)))
+    // a 1-token doc has no bigram positions: absent, not a
+    // descending-sequence artifact row
+    assert(!out.contains(3L))
+  }
+
+  private def embDir(rows: Seq[(Long, Array[Float], Int)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pq").toFile.getAbsolutePath
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("v11: binary-quant search — hamming counts sign flips, rerank " +
+      "orders by exact cosine, and the candidate cap is a real filter") {
+    // query vec_id=0 (0 % 50 = 0): all-positive signs. Corpus:
+    //  1  = identical            -> hamming 0, cosine 1
+    //  2  = one sign flipped     -> hamming 1
+    //  3  = all flipped          -> hamming 64, cosine -1
+    //  4  = THREE tiny-magnitude flips: cosine ≈ 1 (better than 2's)
+    //       but hamming 3
+    //  10..29 = twenty vectors with two big flips -> hamming 2
+    // top-20 candidates by (hamming, id) = {1, 2, 10..27} — vec 4
+    // ranks below the candidate cap on hamming and must be EXCLUDED
+    // even though its exact cosine (≈0.976) beats every hamming-2
+    // vector's (0.9375) — the approximate contract of the
+    // compressed-domain prefilter.
+    def vec(flips: Seq[Int], mag: Float): Array[Float] =
+      Array.tabulate(64)(i => if (flips.contains(i)) -mag else 0.5f)
+    val rows =
+      Seq((0L, vec(Nil, 0f), 0), (1L, vec(Nil, 0f), 0),
+        (2L, vec(Seq(0), 0.5f), 0), (3L, vec(0 until 64, 0.5f), 0),
+        (4L, vec(Seq(0, 1, 2), 0.001f), 0)) ++
+        (10L to 29L).map(i =>
+          (i, vec(Seq(i.toInt % 32, 32 + i.toInt % 32), 0.5f), 0))
+    val out = queries.VectorSearch.v11.run(spark, embDir(rows))
+      .collect().filter(_.getAs[Long]("q_id") === 0L)
+      .sortBy(_.getAs[Int]("rnk"))
+    assert(out.length === 5)
+    val top = out.head
+    assert(top.getAs[Long]("neighbor_id") === 1L)
+    assert(top.getAs[Long]("hamming") === 0L)
+    // identical vector: cosine 1 up to the sqrt rounding ulp
+    assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-12)
+    // rank 2 = the hamming-1 vector (highest cosine among candidates)
+    assert(out(1).getAs[Long]("neighbor_id") === 2L)
+    // vec 4 (better cosine, hamming rank 21) and vec 3 (hamming 64)
+    // never appear
+    assert(!out.exists(r => Seq(3L, 4L)
+      .contains(r.getAs[Long]("neighbor_id"))))
   }
 
   test("property: takeWeightBudget ≡ per-stratum prefix scan of the " +
