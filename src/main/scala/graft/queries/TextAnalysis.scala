@@ -506,9 +506,13 @@ object TextAnalysis {
     val d = docs(s, dir)
     val dl = d.select(col("doc_id"), size(col("ws")).cast(LongType).as("dl"))
     val st = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
-    val tf = d.select(col("doc_id"), explode(col("ws")).as("token"))
-      .filter(col("token").isInCollection(Bm25Terms))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    // the postings relation feeds BOTH the scores and the df model —
+    // pinned (it is query-term-bounded, so the cache is small by
+    // construction) so the corpus tokenize+filter pass runs once
+    val tf = graft.operators.Pin(
+      d.select(col("doc_id"), explode(col("ws")).as("token"))
+        .filter(col("token").isInCollection(Bm25Terms))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val score =
       (length(bin(col("n_docs"))) - length(bin(col("df"))))

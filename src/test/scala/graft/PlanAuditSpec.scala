@@ -118,7 +118,28 @@ class PlanAuditSpec extends SparkTestBase {
       //  candidate distinct is the one exchange                   -> 1
       "d06_embedding_neardup" -> 1,
       "d12_simhash_wide" -> 1,
-      "d13_embedding_neardup_wide" -> 1)
+      "d13_embedding_neardup_wide" -> 1,
+      //  round-6 additions (audited 2026-08-14):
+      //  t12: pinned postings cache build pays its (doc, term) agg —
+      //       filtered to the query terms BEFORE the collapse;
+      //       outside: the df agg, the 1-row corpus-stats agg, and
+      //       the per-term top-k window (all three query-set- or
+      //       1-row-bounded); the dl join broadcasts at this SF  -> 4
+      //  t13: pinned (doc, w1h, bgh, dc) cache build pays its
+      //       groupBy; outside: bigram-model agg + head-model agg +
+      //       final doc agg. The scoring join broadcasts the models
+      //       at this SF (at scale it shuffles — t10's shape one
+      //       order up); a 5th exchange here means the pinned
+      //       relation stopped feeding one of the passes         -> 4
+      //  v11: packed-index and query pins build exchange-free
+      //       (narrow projection / TakeOrdered); the two exchanges
+      //       are the hamming candidate window and the rerank
+      //       window over the ≤ queries×20 candidate rows — both
+      //       bounded. A third exchange means the rerank stopped
+      //       broadcasting the candidate set                     -> 2
+      "t12_bm25" -> 4,
+      "t13_bigram_surprisal" -> 4,
+      "v11_binary_quant_search" -> 2)
     val got = audited.map { case (name, _) =>
       name -> executedShuffleCount(build(name))
     }

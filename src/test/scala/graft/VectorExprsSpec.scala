@@ -112,6 +112,50 @@ class VectorExprsSpec extends SparkTestBase {
       .head().getSeq[Long](0).length === 2)
   }
 
+  test("property: Gram2PairHash60 ≡ composed hash60 (head, bigram) " +
+      "pairs on random docs (seeded, incl. <2-token edge)") {
+    val rnd = new scala.util.Random(4321)
+    val vocab = Vector("alpha", "beta", "gamma", "δδ", "x", "", "7",
+      "ümlaut", "longer-token-value")
+    val docs = (0 until 200).map { i =>
+      val n = rnd.nextInt(8) // 0..7 tokens, covers the <2 edge
+      (i, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))))
+    }
+    val df = docs.toDF("id", "ws")
+    val positions = when(size(col("ws")) >= 2,
+      sequence(lit(1), size(col("ws")) - 1))
+      .otherwise(array().cast(ArrayType(IntegerType)))
+    val got = df.select(col("id"),
+      VectorExprs.gram2PairHash60(col("ws")).as("native"),
+      transform(positions, i => struct(
+        Fns.hash60(element_at(col("ws"), i)).as("u"),
+        Fns.hash60(concat_ws(" ", element_at(col("ws"), i),
+          element_at(col("ws"), i + 1))).as("b"))).as("ref"))
+      .collect()
+    def pairs(r: org.apache.spark.sql.Row, idx: Int): Seq[(Long, Long)] =
+      r.getSeq[org.apache.spark.sql.Row](idx)
+        .map(p => (p.getLong(0), p.getLong(1)))
+    got.foreach { r =>
+      assert(pairs(r, 1) === pairs(r, 2),
+        s"doc ${r.getInt(0)}: ${docs(r.getInt(0))._2}")
+    }
+  }
+
+  test("graft_gram2pair60 registers on the SQL surface and matches " +
+      "the Column-side native pass") {
+    GraftExtensions.register(spark)
+    Seq("a b c").toDF("text").createOrReplaceTempView("g2p_t")
+    val sql = spark.sql(
+      "SELECT graft_gram2pair60(split(text, ' ')) AS p FROM g2p_t")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(p => (p.getLong(0), p.getLong(1)))
+    val col0 = Seq("a b c").toDF("text")
+      .select(VectorExprs.gram2PairHash60(split(col("text"), " ")).as("p"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(p => (p.getLong(0), p.getLong(1)))
+    assert(sql === col0 && sql.length === 2) // pairs: (a,"a b"), (b,"b c")
+  }
+
   test("normSqIntNative = dot with itself") {
     val df = Seq(Seq(3L, 4L)).toDF("a")
     assert(df.select(VectorExprs.normSqIntNative(col("a")))
