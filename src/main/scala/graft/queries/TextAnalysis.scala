@@ -592,6 +592,78 @@ object TextAnalysis {
         (col("novel").cast(DoubleType) / col("n_bigrams")).as("novel_ratio"))
   }
 
+  // ---------------------------------------------------------------
+  // t14 Zipf-slope corpus audit — the corpus-health diagnostic: per
+  // source, regress log2(frequency) on log2(rank) over the token
+  // vocabulary. Natural text sits near slope −1 (Zipf); a bot-dump or
+  // template source shows up as a flat head (slope → 0) or a cliff.
+  // Both axes use the inventory's integer floor-log2 bits
+  // (length(bin(n))), so the least-squares moments (n, Σx, Σy, Σxy,
+  // Σx²) are exact integer aggregates — order-independent,
+  // bit-identical cross-engine — and the slope is ONE double division
+  // on exact inputs. With ≤ 25-bit values the moment products stay
+  // far under BIGINT range. The log2 quantization steps the
+  // regression but cancels nothing structural: slope is dimensionless
+  // in any shared log base.
+  //
+  // Scale shape: one (source, token) collapse — map-side combinable,
+  // the only corpus-cardinality shuffle — then a per-source rank
+  // window over the VOCABULARY (not the corpus; t08's distinction)
+  // and a 5-long-moment aggregate per source. Degenerate vocabularies
+  // whose ranks all share one bit width (≤1 token) yield NULL slope
+  // via the nullif guard, not a divide-by-zero abort.
+  val t14 = Q(
+    "t14_zipf_audit",
+    """WITH tc AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM (SELECT source, unnest(string_split(text,' ')) AS token
+      |             FROM documents)
+      |       GROUP BY source, token),
+      |r AS (SELECT source, c,
+      |        CAST(length(bin(ROW_NUMBER() OVER (PARTITION BY source
+      |          ORDER BY c DESC, token))) AS BIGINT) AS x,
+      |        CAST(length(bin(c)) AS BIGINT) AS y
+      |      FROM tc),
+      |m AS (SELECT source,
+      |        CAST(COUNT(*) AS BIGINT) AS n_vocab,
+      |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |        CAST(SUM(x*y) AS BIGINT) AS sxy,
+      |        CAST(SUM(x*x) AS BIGINT) AS sxx
+      |      FROM r GROUP BY source),
+      |t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |        CAST(MAX(c) AS BIGINT) AS top_c
+      |      FROM tc GROUP BY source)
+      |SELECT m.source, m.n_vocab, t.n_tokens,
+      |  t.top_c::DOUBLE / t.n_tokens AS top_share,
+      |  CAST(m.n_vocab * m.sxy - m.sx * m.sy AS BIGINT)::DOUBLE
+      |    / nullif(m.n_vocab * m.sxx - m.sx * m.sx, 0)
+      |    AS zipf_slope_bits
+      |FROM m JOIN t ON m.source = t.source""".stripMargin) { (s, dir) =>
+    val tc = graft.operators.Pin(docs(s, dir)
+      .select(col("source"), explode(col("ws")).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c")))
+    val w = Window.partitionBy("source")
+      .orderBy(col("c").desc, col("token"))
+    val m = tc
+      .select(col("source"),
+        length(bin(row_number().over(w))).cast(LongType).as("x"),
+        length(bin(col("c"))).cast(LongType).as("y"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_vocab"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    val t = tc.groupBy("source")
+      .agg(sum("c").as("n_tokens"), max("c").as("top_c"))
+    m.join(t, "source")
+      .select(col("source"), col("n_vocab"), col("n_tokens"),
+        (col("top_c").cast(DoubleType) / col("n_tokens")).as("top_share"),
+        ((col("n_vocab") * col("sxy") - col("sx") * col("sy"))
+          .cast(DoubleType) /
+          nullif(col("n_vocab") * col("sxx") - col("sx") * col("sx"),
+            lit(0L))).as("zipf_slope_bits"))
+  }
+
   val all: Seq[Q] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12,
+      t13, t14)
 }

@@ -995,6 +995,99 @@ object VectorSearch {
       .select("q_id", "neighbor_id", "rnk", "hamming", "cosine")
   }
 
+  // ---------------------------------------------------------------
+  // v12 truncated-dimension recall report — the adaptive-retrieval
+  // question (Matryoshka-style): how much of exact top-5 survives if
+  // ranking uses only the first 16 / 32 of 64 dims? Truth is v01's
+  // OWN plan (pinned, v06's contract); the approx side ranks by
+  // prefix cosine over the scaled-integer slices — same bounded query
+  // set, same unique-key tiebreaks. The report tells you whether a
+  // prefix-dim first pass (4×/2× less scan traffic) can front a
+  // full-dim rerank on this corpus.
+  //
+  // Scale shape: two brute-force passes against the bounded broadcast
+  // query set (v01's bound) over sliced 8·W-byte rows — columnar
+  // pruning cannot skip array suffixes, but the compute and shuffle
+  // rows shrink with W; the hit join and report spine are
+  // queries×5-bounded.
+  private val V12Widths = Seq(16, 32)
+  val v12 = Q(
+    "v12_trunc_recall",
+    s"""$normCte,
+      |q AS (SELECT vec_id AS q_id, sx AS q_sx, n AS q_n
+      |      FROM e WHERE vec_id % 50 = 0
+      |      ORDER BY vec_id LIMIT $V01Queries),
+      |truth AS (SELECT q_id, neighbor_id FROM (
+      |    SELECT q.q_id, e.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+      |        $dotSql::DOUBLE / (sqrt(q.q_n::DOUBLE) * sqrt(e.n::DOUBLE))
+      |          DESC, e.vec_id) AS rnk
+      |    FROM q JOIN e ON e.vec_id <> q.q_id) t
+      |  WHERE rnk <= 5),
+      |${V12Widths.map(w =>
+        s"""a$w AS (SELECT q_id, neighbor_id, $w AS trunc_dims FROM (
+          |    SELECT q.q_id, e.vec_id AS neighbor_id,
+          |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+          |        CAST(list_sum(list_transform(
+          |            list_zip(q.q_sx[1:$w], e.sx[1:$w]),
+          |            x -> x[1]*x[2])) AS BIGINT)::DOUBLE
+          |          / (sqrt(CAST(list_sum(list_transform(q.q_sx[1:$w],
+          |               x -> x*x)) AS BIGINT)::DOUBLE)
+          |           * sqrt(CAST(list_sum(list_transform(e.sx[1:$w],
+          |               x -> x*x)) AS BIGINT)::DOUBLE))
+          |          DESC, e.vec_id) AS rnk
+          |    FROM q JOIN e ON e.vec_id <> q.q_id) t
+          |  WHERE rnk <= 5)""".stripMargin).mkString(",\n")},
+      |ar AS (${V12Widths.map(w => s"SELECT * FROM a$w")
+        .mkString(" UNION ALL ")}),
+      |hits AS (SELECT ar.q_id, ar.trunc_dims,
+      |      CAST(COUNT(*) AS BIGINT) AS c
+      |    FROM truth JOIN ar ON truth.q_id = ar.q_id
+      |      AND truth.neighbor_id = ar.neighbor_id
+      |    GROUP BY ar.q_id, ar.trunc_dims),
+      |spine AS (SELECT q_id, CAST(unnest([${V12Widths.mkString(",")}])
+      |      AS INTEGER) AS trunc_dims FROM q)
+      |SELECT spine.q_id, spine.trunc_dims,
+      |  CAST(COALESCE(hits.c, 0) AS BIGINT) AS n_hits,
+      |  COALESCE(hits.c, 0)::DOUBLE / 5.0 AS recall_at_5
+      |FROM spine LEFT JOIN hits ON spine.q_id = hits.q_id
+      |  AND spine.trunc_dims = hits.trunc_dims""".stripMargin) {
+    (s, dir) =>
+      val truth = graft.operators.Pin(
+        v01.run(s, dir).select("q_id", "neighbor_id"))
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), Fns.scaleVec(col("embedding")).as("sx"))
+      val q = graft.operators.Pin(e.filter(col("vec_id") % 50 === 0)
+        .orderBy("vec_id").limit(V01Queries)
+        .select(col("vec_id").as("q_id"), col("sx").as("q_sx")))
+      def approx(w: Int): DataFrame = {
+        val tx = slice(col("sx"), 1, w)
+        val qx = slice(col("q_sx"), 1, w)
+        val rw = Window.partitionBy("q_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            Fns.cosineFromScaled(
+              VectorExprs.dotIntNative(qx, tx),
+              VectorExprs.normSqIntNative(qx),
+              VectorExprs.normSqIntNative(tx)).as("cosine"))
+          .withColumn("rnk", row_number().over(rw))
+          .filter(col("rnk") <= 5)
+          .select(col("q_id"), col("neighbor_id"),
+            lit(w).as("trunc_dims"))
+      }
+      val ar = V12Widths.map(approx).reduce(_.union(_))
+      val hits = truth.join(ar, Seq("q_id", "neighbor_id"))
+        .groupBy("q_id", "trunc_dims").agg(count(lit(1)).as("c"))
+      val spine = q.select(col("q_id"),
+        explode(typedlit(V12Widths)).as("trunc_dims"))
+      spine.join(hits, Seq("q_id", "trunc_dims"), "left")
+        .select(col("q_id"), col("trunc_dims"),
+          coalesce(col("c"), lit(0L)).as("n_hits"),
+          (coalesce(col("c"), lit(0L)).cast(DoubleType) / lit(5.0))
+            .as("recall_at_5"))
+  }
+
   val all: Seq[Q] =
-    Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11)
+    Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12)
 }

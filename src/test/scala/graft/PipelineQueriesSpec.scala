@@ -281,7 +281,8 @@ class PipelineQueriesSpec extends SparkTestBase {
       queries.TextDedup.d11, queries.TextDedup.d12,
       queries.TextDedup.d13,
       queries.TextAnalysis.t12, queries.TextAnalysis.t13,
-      queries.VectorSearch.v11,
+      queries.TextAnalysis.t14,
+      queries.VectorSearch.v11, queries.VectorSearch.v12,
       queries.SourceQueries.s10, queries.EventAnalytics.e18)
       .foreach { q =>
         assert(q.run(spark, dir).count() === 0L, s"${q.name} not empty")
@@ -512,6 +513,60 @@ class PipelineQueriesSpec extends SparkTestBase {
     // never appear
     assert(!out.exists(r => Seq(3L, 4L)
       .contains(r.getAs[Long]("neighbor_id"))))
+  }
+
+  test("t14: Zipf audit — hand-computed integer-moment slope: steep " +
+      "for a Zipf source, exactly 0 for uniform, NULL when degenerate") {
+    // s1 counts a=8 b=4 c=2 d=1: ranks 1..4, x=bits(rank)=(1,2,2,3),
+    // y=bits(count)=(4,3,2,1) -> slope = (4·17−8·10)/(4·18−64) = −1.5
+    // s2 counts e=f=g=2: y constant -> slope exactly 0
+    // s3 one token: 1 vocab point -> denominator 0 -> NULL
+    val dir = docsDir(Seq(
+      (1L, "a a a a a a a a b b b b c c d", "en"),
+      (2L, "e e f f g g", "en"),
+      (3L, "z", "en")),
+      sources = Seq("s1", "s2", "s3"))
+    val out = queries.TextAnalysis.t14.run(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("s1").getAs[Long]("n_vocab") === 4L)
+    assert(out("s1").getAs[Long]("n_tokens") === 15L)
+    assert(out("s1").getAs[Double]("top_share") === 8.0 / 15)
+    assert(out("s1").getAs[Double]("zipf_slope_bits") === -1.5)
+    assert(out("s2").getAs[Double]("zipf_slope_bits") === 0.0)
+    assert(out("s3").isNullAt(out("s3").fieldIndex("zipf_slope_bits")))
+  }
+
+  test("v12: truncated-dim recall — prefix ranking is blind to " +
+      "suffix-only differences (recall 0) and exact when the signal " +
+      "is in the prefix (recall 1)") {
+    def vec(flips: Seq[Int]): Array[Float] =
+      Array.tabulate(64)(i => if (flips.contains(i)) -0.5f else 0.5f)
+    // case A: all differences live in dims 33..64. Truth = the five
+    // 1-flip vectors {6..10}; every prefix cosine ties at 1.0, so the
+    // truncated rank falls to the neighbor_id tiebreak and picks the
+    // five heavy-flip vectors {1..5} -> recall 0 at BOTH widths.
+    val a = Seq((0L, vec(Nil), 0)) ++
+      (1L to 5L).map(i => (i, vec(32 until 48), 0)) ++
+      (6L to 10L).map(i => (i, vec(Seq(32 + i.toInt)), 0))
+    val outA = queries.VectorSearch.v12.run(spark, embDir(a))
+      .collect().filter(_.getAs[Long]("q_id") === 0L)
+    assert(outA.length === 2) // one row per truncation width
+    outA.foreach { r =>
+      assert(r.getAs[Double]("recall_at_5") === 0.0,
+        s"width ${r.getAs[Int]("trunc_dims")}")
+    }
+    // case B: all differences live in dims 1..2 — visible at width
+    // 16, so truncated ranking reproduces the exact order -> recall 1.
+    val b = Seq((0L, vec(Nil), 0)) ++
+      (1L to 5L).map(i => (i, vec(Seq(0)), 0)) ++
+      (6L to 10L).map(i => (i, vec(Seq(0, 1)), 0))
+    val outB = queries.VectorSearch.v12.run(spark, embDir(b))
+      .collect().filter(_.getAs[Long]("q_id") === 0L)
+    assert(outB.length === 2)
+    outB.foreach { r =>
+      assert(r.getAs[Double]("recall_at_5") === 1.0,
+        s"width ${r.getAs[Int]("trunc_dims")}")
+    }
   }
 
   test("property: takeWeightBudget ≡ per-stratum prefix scan of the " +

@@ -139,7 +139,13 @@ class PlanAuditSpec extends SparkTestBase {
       //       broadcasting the candidate set                     -> 2
       "t12_bm25" -> 4,
       "t13_bigram_surprisal" -> 4,
-      "v11_binary_quant_search" -> 2)
+      "v11_binary_quant_search" -> 2,
+      //  t14: pinned (source, token, count) cache build pays its
+      //       agg; outside: the per-source vocabulary rank window
+      //       (whose source-hash partitioning the moments agg then
+      //       REUSES — no second exchange) and the totals agg — all
+      //       at the VOCABULARY grain, not the corpus            -> 3
+      "t14_zipf_audit" -> 3)
     val got = audited.map { case (name, _) =>
       name -> executedShuffleCount(build(name))
     }
