@@ -459,5 +459,74 @@ object SourceQueries {
       least(target, col("n_tokens") * lit(4L)).as("effective_tokens"))
   }
 
-  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, c01)
+  // ---------------------------------------------------------------
+  // s11 end-to-end curation report — the composition a user of the
+  // engine actually runs: near-dup clusters drop their non-canonical
+  // members (d07's OWN plan), the survivors pass the Gopher quality
+  // gate (t09's plan), and what remains is split-assigned (s02's
+  // plan) — reported per (split, source) with kept-token totals.
+  // Single-sourced like s09/v06/d09: Spark composes the operators'
+  // run() outputs and the oracle nests their oracle SQL as CTEs, so
+  // the composition cannot drift from the components. Removal
+  // precedence: duplicate first, then quality; a NULL quality verdict
+  // (t09's empty-text guard) falls through to 'kept' in BOTH engines
+  // (CASE skips null conditions).
+  //
+  // Scale shape: three doc_id equi-joins over per-doc relations —
+  // each component is already scale-audited; the report adds one
+  // (split, source)-grain aggregate.
+  val s11 = Q(
+    "s11_curation_report",
+    s"""WITH dup AS (${TextDedup.d07.oracle.get}),
+      |qf AS (${TextAnalysis.t09.oracle.get}),
+      |sp AS (${s02.oracle.get}),
+      |base AS (SELECT doc_id, source,
+      |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |j AS (SELECT base.doc_id, base.source, base.n_toks, sp.split,
+      |    CASE WHEN dup.doc_id IS NOT NULL AND NOT dup.is_canonical
+      |           THEN 'dup'
+      |         WHEN NOT qf.keep THEN 'quality'
+      |         ELSE 'kept' END AS status
+      |  FROM base JOIN sp ON base.doc_id = sp.doc_id
+      |    JOIN qf ON base.doc_id = qf.doc_id
+      |    LEFT JOIN dup ON base.doc_id = dup.doc_id)
+      |SELECT split, source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(SUM(CASE WHEN status = 'dup' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_removed_dup,
+      |  CAST(SUM(CASE WHEN status = 'quality' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_removed_quality,
+      |  CAST(SUM(CASE WHEN status = 'kept' THEN n_toks ELSE 0 END)
+      |    AS BIGINT) AS tokens_kept
+      |FROM j GROUP BY split, source""".stripMargin) { (s, dir) =>
+    val dup = TextDedup.d07.run(s, dir)
+      .select(col("doc_id"), col("is_canonical"))
+    val qf = TextAnalysis.t09.run(s, dir).select(col("doc_id"), col("keep"))
+    val sp = s02.run(s, dir).select(col("doc_id"), col("split"))
+    val base = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(Fns.tokens(col("text"))).cast(LongType).as("n_toks"))
+    val status =
+      when(col("is_canonical").isNotNull && !col("is_canonical"), "dup")
+        .when(!col("keep"), "quality")
+        .otherwise("kept")
+    base.join(sp, "doc_id").join(qf, "doc_id")
+      .join(dup, Seq("doc_id"), "left")
+      .withColumn("status", status)
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("status") === "kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("status") === "dup", 1L).otherwise(0L))
+          .as("n_removed_dup"),
+        sum(when(col("status") === "quality", 1L).otherwise(0L))
+          .as("n_removed_quality"),
+        sum(when(col("status") === "kept", col("n_toks")).otherwise(0L))
+          .as("tokens_kept"))
+  }
+
+  val all: Seq[Q] =
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, c01)
 }

@@ -283,7 +283,8 @@ class PipelineQueriesSpec extends SparkTestBase {
       queries.TextAnalysis.t12, queries.TextAnalysis.t13,
       queries.TextAnalysis.t14,
       queries.VectorSearch.v11, queries.VectorSearch.v12,
-      queries.SourceQueries.s10, queries.EventAnalytics.e18)
+      queries.SourceQueries.s10, queries.SourceQueries.s11,
+      queries.EventAnalytics.e18)
       .foreach { q =>
         assert(q.run(spark, dir).count() === 0L, s"${q.name} not empty")
       }
@@ -567,6 +568,42 @@ class PipelineQueriesSpec extends SparkTestBase {
       assert(r.getAs[Double]("recall_at_5") === 1.0,
         s"width ${r.getAs[Int]("trunc_dims")}")
     }
+  }
+
+  test("s11: curation composition — the duplicate member drops " +
+      "before the quality gate, and the report lands at the " +
+      "(split, source) grain") {
+    import spark.implicits._
+    // ids whose s02 hash bucket is on the train side, so the whole
+    // fixture reports under one split (s06's bucket-probing trick)
+    val buckets = spark.range(1, 200)
+      .select(col("id"),
+        (functions.Fns.hash60(col("id").cast("string")) % 100).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val train = buckets.filter(_._2 < 80).keys.toSeq.sorted
+    // 60 words, ≥2 stopwords, mean length in-bounds: passes t09
+    val goodA = (Seq("the", "and") ++ (1 to 58).map(i => s"word$i"))
+      .mkString(" ")
+    // same quality shape, disjoint vocabulary: never minhash-pairs
+    val goodB = (Seq("the", "and") ++ (1 to 58).map(i => s"other$i"))
+      .mkString(" ")
+    val short = "the and tiny" // fails the word-count rule
+    val dir = docsDir(Seq(
+      (train(0), goodA, "en"), // canonical of the dup pair
+      (train(1), goodA, "en"), // identical text -> removed as dup
+      (train(2), short, "en"), // removed by the quality gate
+      (train(3), goodB, "en")), // kept
+      sources = Seq("s", "s", "s", "s"))
+    val out = queries.SourceQueries.s11.run(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("split") === "train")
+    assert(r.getAs[String]("source") === "s")
+    assert(r.getAs[Long]("n_docs") === 4L)
+    assert(r.getAs[Long]("n_kept") === 2L)
+    assert(r.getAs[Long]("n_removed_dup") === 1L)
+    assert(r.getAs[Long]("n_removed_quality") === 1L)
+    assert(r.getAs[Long]("tokens_kept") === 120L)
   }
 
   test("property: takeWeightBudget ≡ per-stratum prefix scan of the " +
