@@ -527,6 +527,54 @@ object SourceQueries {
           .as("tokens_kept"))
   }
 
+  // ---------------------------------------------------------------
+  // s12 canary / leak scan — the exact-substring contamination grain
+  // the s-family was missing (s04 = fingerprint, s06 = n-gram
+  // overlap, s09 = semantic): given a bounded set of canary strings
+  // (eval answers, secrets, injected memorization probes), report per
+  // canary how many documents contain it verbatim, total occurrence
+  // count, and the smallest matching doc_id as the audit entry point.
+  // Occurrences count by exact substring arithmetic —
+  // (len(text) − len(replace(text, canary, ''))) / len(canary) — an
+  // integer in both engines (replace removes non-overlapping matches
+  // left-to-right in both).
+  //
+  // Scale shape: a single corpus scan; the canary set broadcasts as
+  // an exploded literal array (rows = docs × |canaries|, all narrow);
+  // the report aggregate is |canaries|-bounded. Zero-hit canaries
+  // still report on any non-empty corpus (the grouping spine is
+  // docs × canaries, not the matches) — "no leak found" must be a
+  // row with NULL first_doc_id, not an absence.
+  private val Canaries =
+    Seq("table part a", "scan query big", "value fast spark",
+      "canary-724-never-in-corpus")
+  val s12 = Q(
+    "s12_canary_scan",
+    s"""WITH cs AS (SELECT unnest([${Canaries.map(c => s"'$c'")
+        .mkString(",")}]) AS canary),
+      |m AS (SELECT cs.canary, d.doc_id,
+      |    CAST((len(d.text) - len(replace(d.text, cs.canary, '')))
+      |      / len(cs.canary) AS BIGINT) AS occ
+      |  FROM documents d CROSS JOIN cs)
+      |SELECT canary,
+      |  CAST(SUM(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_docs,
+      |  CAST(SUM(occ) AS BIGINT) AS n_occurrences,
+      |  MIN(CASE WHEN occ > 0 THEN doc_id END) AS first_doc_id
+      |FROM m GROUP BY canary""".stripMargin) { (s, dir) =>
+    val occ = ((length(col("text")) -
+      length(replace(col("text"), col("canary")))) /
+      length(col("canary"))).cast(LongType)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(typedlit(Canaries)).as("canary"))
+      .select(col("canary"), col("doc_id"), occ.as("occ"))
+      .groupBy("canary")
+      .agg(sum(when(col("occ") > 0, 1L).otherwise(0L)).as("n_docs"),
+        sum("occ").as("n_occurrences"),
+        min(when(col("occ") > 0, col("doc_id"))).as("first_doc_id"))
+  }
+
   val all: Seq[Q] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, c01)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, c01)
 }

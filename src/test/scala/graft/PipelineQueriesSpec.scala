@@ -284,6 +284,7 @@ class PipelineQueriesSpec extends SparkTestBase {
       queries.TextAnalysis.t14,
       queries.VectorSearch.v11, queries.VectorSearch.v12,
       queries.SourceQueries.s10, queries.SourceQueries.s11,
+      queries.SourceQueries.s12,
       queries.EventAnalytics.e18)
       .foreach { q =>
         assert(q.run(spark, dir).count() === 0L, s"${q.name} not empty")
@@ -604,6 +605,24 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_removed_dup") === 1L)
     assert(r.getAs[Long]("n_removed_quality") === 1L)
     assert(r.getAs[Long]("tokens_kept") === 120L)
+  }
+
+  test("s12: canary scan — non-overlapping occurrence arithmetic, " +
+      "multi-hit docs, and zero-hit canaries still report") {
+    val dir = docsDir(Seq(
+      (1L, "table part a x table part a", "en"), // two hits, one doc
+      (2L, "scan query big", "en"),
+      (3L, "nothing of note", "en")),
+      sources = Seq("s", "s", "s"))
+    val out = queries.SourceQueries.s12.run(spark, dir).collect()
+      .map(r => r.getAs[String]("canary") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_occurrences"),
+          Option(r.get(r.fieldIndex("first_doc_id")))))).toMap
+    assert(out.size === 4) // every canary reports, hits or not
+    assert(out("table part a") === ((1L, 2L, Some(1L))))
+    assert(out("scan query big") === ((1L, 1L, Some(2L))))
+    assert(out("value fast spark") === ((0L, 0L, None)))
+    assert(out("canary-724-never-in-corpus") === ((0L, 0L, None)))
   }
 
   test("property: takeWeightBudget ≡ per-stratum prefix scan of the " +

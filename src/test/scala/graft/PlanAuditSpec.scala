@@ -145,7 +145,17 @@ class PlanAuditSpec extends SparkTestBase {
       //       (whose source-hash partitioning the moments agg then
       //       REUSES — no second exchange) and the totals agg — all
       //       at the VOCABULARY grain, not the corpus            -> 3
-      "t14_zipf_audit" -> 3)
+      "t14_zipf_audit" -> 3,
+      //  s12: one corpus scan, the canary set explodes as a literal
+      //       generator (no join at all); the single exchange is the
+      //       |canaries|-bounded report agg                       -> 1
+      "s12_canary_scan" -> 1,
+      //  v12: truth pin replays v01 (its rank window exchange pays
+      //       inside the cache build); outside: the two per-width
+      //       prefix-rank windows, the hit agg, and the report
+      //       left-join's exchange — all queries×5-bounded past the
+      //       brute-force scans                                   -> 5
+      "v12_trunc_recall" -> 5)
     val got = audited.map { case (name, _) =>
       name -> executedShuffleCount(build(name))
     }
