@@ -1088,6 +1088,129 @@ object VectorSearch {
             .as("recall_at_5"))
   }
 
+  // ---------------------------------------------------------------
+  // v13 hybrid retrieval via Reciprocal Rank Fusion (Cormack/Clarke/
+  // Buettcher 2009) — the standard two-tower merge every RAG/curation
+  // stack runs: a lexical "more-like-this" ranking (idf-weighted
+  // distinct-token overlap against the query document's own tokens)
+  // fused with v01's exact cosine ranking over the SAME bounded query
+  // set (doc_id ≡ vec_id in the corpus), score = Σ 1/(60 + rank) over
+  // the lists where the candidate appears, top-10 per query. Ranks
+  // are integers with unique-key tiebreaks, so the only float math is
+  // the two fixed-order 1/(60+r) divisions — bit-identical
+  // cross-engine.
+  //
+  // Scale shape: the semantic side is v01's broadcast-bounded
+  // brute-force pass. The lexical side never does vocab-×-corpus
+  // work: the pinned DISTINCT postings relation feeds (a) the df
+  // model and (b) the query-token slice, stop-tokens are dropped at
+  // df·10 > N (the posting-list cap that bounds the hub-token join —
+  // d02's DfCap logic in retrieval form), and the ≤|q-docs|·|tokens|
+  // idf-weighted query-token set BROADCASTS into one corpus-postings
+  // equi-join. Fusion joins two rank lists capped at 50/query — the
+  // whole tail of the pipeline is queries×100-bounded.
+  private val RrfK = 60
+  private val RrfPool = 50
+  val v13 = Q(
+    "v13_hybrid_rrf",
+    s"""$normCte,
+      |q AS (SELECT vec_id AS q_id, sx AS q_sx, n AS q_n
+      |      FROM e WHERE vec_id % 50 = 0
+      |      ORDER BY vec_id LIMIT $V01Queries),
+      |sem AS (SELECT q_id, neighbor_id AS doc_id, rnk AS sem_rank
+      |  FROM (SELECT q.q_id, e.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+      |        $dotSql::DOUBLE / (sqrt(q.q_n::DOUBLE) * sqrt(e.n::DOUBLE))
+      |          DESC, e.vec_id) AS rnk
+      |    FROM q JOIN e ON e.vec_id <> q.q_id) t
+      |  WHERE rnk <= $RrfPool),
+      |post AS (SELECT DISTINCT doc_id,
+      |    unnest(string_split(text, ' ')) AS token FROM documents),
+      |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM post
+      |       GROUP BY token),
+      |qtok AS (SELECT p.doc_id AS q_id, p.token,
+      |    CAST(length(bin(st.n_docs)) - length(bin(df.df)) AS BIGINT)
+      |      AS idf_bits
+      |  FROM post p JOIN q ON p.doc_id = q.q_id
+      |    JOIN df ON p.token = df.token CROSS JOIN st
+      |  WHERE df.df * 10 <= st.n_docs),
+      |lexs AS (SELECT qtok.q_id, c.doc_id,
+      |    CAST(SUM(qtok.idf_bits) AS BIGINT) AS lex
+      |  FROM qtok JOIN post c ON c.token = qtok.token
+      |    AND c.doc_id <> qtok.q_id
+      |  GROUP BY qtok.q_id, c.doc_id),
+      |lex AS (SELECT q_id, doc_id, rnk AS lex_rank
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY lex DESC, doc_id) AS rnk FROM lexs) t
+      |  WHERE rnk <= $RrfPool),
+      |fused AS (SELECT COALESCE(lex.q_id, sem.q_id) AS q_id,
+      |    COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+      |    lex.lex_rank, sem.sem_rank,
+      |    COALESCE(1::DOUBLE / ($RrfK + lex.lex_rank), 0::DOUBLE)
+      |      + COALESCE(1::DOUBLE / ($RrfK + sem.sem_rank), 0::DOUBLE)
+      |      AS rrf_score
+      |  FROM lex FULL JOIN sem ON lex.q_id = sem.q_id
+      |    AND lex.doc_id = sem.doc_id)
+      |SELECT q_id, doc_id, rrf_rank, rrf_score, lex_rank, sem_rank
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+      |    ORDER BY rrf_score DESC, doc_id) AS rrf_rank FROM fused) t
+      |WHERE rrf_rank <= 10""".stripMargin) { (s, dir) =>
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), Fns.scaleVec(col("embedding")).as("sx"))
+      .withColumn("n", VectorExprs.normSqIntNative(col("sx")))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .orderBy("vec_id").limit(V01Queries)
+      .select(col("vec_id").as("q_id"), col("sx").as("q_sx"),
+        col("n").as("q_n"))
+    val semW = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("doc_id"))
+    val sem = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        Fns.cosineFromScaled(
+          VectorExprs.dotIntNative(col("q_sx"), col("sx")),
+          col("q_n"), col("n")).as("cosine"))
+      .withColumn("sem_rank", row_number().over(semW))
+      .filter(col("sem_rank") <= RrfPool)
+      .select("q_id", "doc_id", "sem_rank")
+    val d = Tables.load(s, dir, "documents")
+    // pinned: feeds the df model, the query-token slice, and the
+    // candidate join — the corpus tokenizes exactly once
+    val post = graft.operators.Pin(
+      d.select(col("doc_id"), explode(Fns.tokens(col("text")))
+        .as("token")).distinct())
+    val st = d.agg(count(lit(1)).as("n_docs"))
+    val df = post.groupBy("token").agg(count(lit(1)).as("df"))
+    // query-token idf set: ≤ |q-docs|·|doc tokens| rows — broadcasts
+    val qtok = post
+      .join(broadcast(q.select(col("q_id"))),
+        col("doc_id") === col("q_id"))
+      .select(col("q_id"), col("token"))
+      .join(df, "token").crossJoin(broadcast(st))
+      .filter(col("df") * 10 <= col("n_docs"))
+      .select(col("q_id"), col("token"),
+        (length(bin(col("n_docs"))) - length(bin(col("df"))))
+          .cast(LongType).as("idf_bits"))
+    val lexW = Window.partitionBy("q_id")
+      .orderBy(col("lex").desc, col("doc_id"))
+    val lex = post.join(broadcast(qtok), "token")
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy("q_id", "doc_id").agg(sum("idf_bits").as("lex"))
+      .withColumn("lex_rank", row_number().over(lexW))
+      .filter(col("lex_rank") <= RrfPool)
+      .select("q_id", "doc_id", "lex_rank")
+    val rrfW = Window.partitionBy("q_id")
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("sem_rank")), lit(0.0)))
+      .withColumn("rrf_rank", row_number().over(rrfW))
+      .filter(col("rrf_rank") <= 10)
+      .select("q_id", "doc_id", "rrf_rank", "rrf_score",
+        "lex_rank", "sem_rank")
+  }
+
   val all: Seq[Q] =
-    Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12)
+    Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13)
 }

@@ -283,6 +283,7 @@ class PipelineQueriesSpec extends SparkTestBase {
       queries.TextAnalysis.t12, queries.TextAnalysis.t13,
       queries.TextAnalysis.t14,
       queries.VectorSearch.v11, queries.VectorSearch.v12,
+      queries.VectorSearch.v13,
       queries.SourceQueries.s10, queries.SourceQueries.s11,
       queries.SourceQueries.s12,
       queries.EventAnalytics.e18)
@@ -569,6 +570,63 @@ class PipelineQueriesSpec extends SparkTestBase {
       assert(r.getAs[Double]("recall_at_5") === 1.0,
         s"width ${r.getAs[Int]("trunc_dims")}")
     }
+  }
+
+  test("v13: hybrid RRF — both-list fusion outranks either single " +
+      "list, stop-tokens are df-capped out of the lexical side, and " +
+      "one-sided candidates survive the full outer fusion") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pq").toFile.getAbsolutePath
+    // 26 docs. n_docs = 26 so the stop cap keeps df <= 2 tokens:
+    // alpha/beta/zeta (df 2, idf bits = len(bin(26)) - len(bin(2)) = 3)
+    // are kept; "common" (df 23) is capped out, so docs 3..24 share
+    // nothing lexical with the query despite the verbatim overlap.
+    val docRows =
+      Seq((0L, "alpha beta zeta common", "en"),
+        (1L, "alpha gamma", "en"),
+        (2L, "beta delta", "en"),
+        (25L, "zeta filler25", "en")) ++
+        (3L to 24L).map(i => (i, s"common filler$i", "en"))
+    docRows.toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    // embeddings for ids 0..24 only — doc 25 is lexical-only. Query
+    // id 0 = e_x; id 2 = e_x (cos 1, sem rank 1); id 5 tilts slightly
+    // (cos ~0.995, rank 2); everyone else is e_y (cos 0, ranks 3.. in
+    // id order: doc1 r3, doc3 r4, doc4 r5, ...).
+    def vec(x: Float, y: Float): Array[Float] =
+      Array.tabulate(64)(i => if (i == 0) x else if (i == 1) y else 0f)
+    val embRows =
+      Seq((0L, vec(1f, 0f), 0), (2L, vec(1f, 0f), 0),
+        (5L, vec(1f, 0.1f), 0)) ++
+        (Seq(1L) ++ (3L to 24L).filter(_ != 5L))
+          .map(i => (i, vec(0f, 1f), 0))
+    embRows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = queries.VectorSearch.v13.run(spark, dir).collect()
+      .sortBy(_.getAs[Int]("rrf_rank"))
+    assert(out.length === 10) // one query (id 0), top-10
+    assert(out.forall(_.getAs[Long]("q_id") === 0L))
+    assert(!out.exists(_.getAs[Long]("doc_id") === 0L)) // self excluded
+    def ranks(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"),
+        Option(r.get(r.fieldIndex("lex_rank"))),
+        Option(r.get(r.fieldIndex("sem_rank"))))
+    // doc2 is in BOTH lists (lex r2: tie with doc1 broken by id;
+    // sem r1) -> 1/62 + 1/61 beats doc1's lex r1 + sem r3.
+    assert(ranks(out(0)) === ((2L, Some(2), Some(1))))
+    assert(ranks(out(1)) === ((1L, Some(1), Some(3))))
+    // doc5: semantic-only (cos ~0.995) -> null lex_rank survives
+    assert(ranks(out(2)) === ((5L, None, Some(2))))
+    // doc25: lexical-only (zeta, no embedding) -> null sem_rank
+    assert(ranks(out(3)) === ((25L, Some(3), None)))
+    // the capped "common" token contributes nothing: docs 3..24 all
+    // have NULL lex_rank (sem-only tail, ranked by id tiebreak)
+    assert(out.drop(4).map(_.getAs[Long]("doc_id")).toSeq ===
+      Seq(3L, 4L, 6L, 7L, 8L, 9L))
+    assert(out.drop(4).forall(r => r.isNullAt(r.fieldIndex("lex_rank"))))
+    // fused score is exactly the two fixed-order divisions
+    assert(out(0).getAs[Double]("rrf_score") === 1.0 / 62 + 1.0 / 61)
+    assert(out(3).getAs[Double]("rrf_score") === 1.0 / 63)
   }
 
   test("s11: curation composition — the duplicate member drops " +

@@ -155,7 +155,15 @@ class PlanAuditSpec extends SparkTestBase {
       //       prefix-rank windows, the hit agg, and the report
       //       left-join's exchange — all queries×5-bounded past the
       //       brute-force scans                                   -> 5
-      "v12_trunc_recall" -> 5)
+      "v12_trunc_recall" -> 5,
+      //  v13: pinned DISTINCT postings cache build pays its distinct
+      //       agg; outside: the sem rank window, the 1-row doc-count
+      //       agg, the df agg feeding the broadcast qtok build, the
+      //       lex (q,doc) agg + rank window (one exchange — the
+      //       window reuses the agg's partitioning only when keys
+      //       align, here they don't), the full-outer fusion's two
+      //       exchanges, and the final rrf window              -> 9
+      "v13_hybrid_rrf" -> 9)
     val got = audited.map { case (name, _) =>
       name -> executedShuffleCount(build(name))
     }
