@@ -374,12 +374,39 @@ case class Quant8Stats(child: Expression)
   * a half boundary (0.49999999999999994 + 0.5 == 1.0 in IEEE → 1,
   * where both engines return 0). BigDecimal.valueOf preserves the
   * shortest decimal form of the exact double, so HALF_UP here equals
-  * Spark's own Round expression bit-for-bit; the integral fast path
-  * keeps the common case off the BigDecimal allocation. */
-private[functions] object ExactRound {
+  * Spark's own Round expression bit-for-bit.
+  *
+  * Perf: BigDecimal.valueOf goes through Double.toString — ~1 µs per
+  * call, and the PQ/k-means natives round millions of terms per pass
+  * (measured ~0.8 s of v08's 1.1 s at sf0.1). The decision only ever
+  * DIFFERS from pure-double floor/compare inside a band around the
+  * half boundary narrower than the shortest-decimal error (≤ ulp/2),
+  * so everything outside a 4·ulp guard band takes the primitive path
+  * and only near-half values pay the BigDecimal; the results are
+  * bit-identical (property-sweep spec over magnitudes, signs, and
+  * ±k·ulp half-boundary neighborhoods). Correctness of the guard:
+  * the fraction f = x − floor(x) is exact for |x| < 2^53, and for
+  * |f − 0.5| > 4·ulp(x) the shortest decimal of x (error ≤ ulp/2)
+  * lies strictly on the same side of the representable half boundary,
+  * so the HALF_UP decision matches; at ulp ≥ 0.5 fractions are
+  * exactly 0 or 0.5, both handled (integral fast path / slow path). */
+private[graft] object ExactRound {
   def halfUp(x: Double): Long =
     if (x == math.floor(x)) x.toLong
-    else java.math.BigDecimal.valueOf(x)
+    else if (x < 0) -halfUp(-x) // HALF_UP is away-from-zero symmetric
+    else {
+      val fl = math.floor(x)
+      val f = x - fl
+      val guard = math.max(1e-9, 4 * math.ulp(x))
+      if (f >= 0.5 + guard) fl.toLong + 1L
+      else if (f <= 0.5 - guard) fl.toLong
+      else slow(x)
+    }
+
+  /** The reference semantics (kept verbatim): shortest-decimal
+    * HALF_UP — also the property-spec's oracle for the fast path. */
+  def slow(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
 }
 

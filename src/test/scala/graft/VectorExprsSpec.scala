@@ -316,4 +316,42 @@ class VectorExprsSpec extends SparkTestBase {
       .collect().head.getInt(0)
     assert(withNull === 1)
   }
+
+  test("ExactRound fast path ≡ shortest-decimal BigDecimal HALF_UP " +
+      "(magnitude sweep, signs, ±k·ulp half-boundary neighborhoods)") {
+    import graft.functions.ExactRound
+    def check(x: Double): Unit = {
+      val want =
+        try Some(ExactRound.slow(x)) catch { case _: Throwable => None }
+      want.foreach { w =>
+        assert(ExactRound.halfUp(x) === w, s"x=$x (${x.toString})")
+      }
+    }
+    // the documented traps
+    check(0.49999999999999994) // one ulp below 0.5: must round to 0
+    check(-63.5) // half away from zero, not Math.round's ceiling
+    check(2.5); check(-2.5); check(0.5); check(-0.5)
+    // exact half boundaries and their ±k·ulp neighbors across the
+    // magnitudes the natives actually produce (1e12-scaled terms)
+    for (mag <- Seq(1.0, 1e3, 1e6, 1e9, 1e12, 4e12, 1.6e13, 1e15);
+         k <- -5 to 5) {
+      val half = math.floor(mag) + 0.5
+      var v = half
+      if (k < 0) (1 to -k).foreach(_ => v = math.nextDown(v))
+      if (k > 0) (1 to k).foreach(_ => v = math.nextUp(v))
+      check(v); check(-v)
+    }
+    // seeded random sweep at mixed magnitudes (the property body)
+    val rnd = new scala.util.Random(42)
+    (1 to 200000).foreach { _ =>
+      val x = (rnd.nextDouble() - 0.5) *
+        math.pow(10, rnd.nextInt(16).toDouble)
+      check(x)
+    }
+    // squared-diff·1e12 shapes exactly as PqEncodeStats computes them
+    (1 to 50000).foreach { _ =>
+      val d = (rnd.nextFloat() - rnd.nextFloat()).toDouble
+      check(d * d * 1e12)
+    }
+  }
 }
