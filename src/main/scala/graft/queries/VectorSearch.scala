@@ -1211,6 +1211,99 @@ object VectorSearch {
         "lex_rank", "sem_rank")
   }
 
+  // ---------------------------------------------------------------
+  // d14 SemDeDup-style semantic dedup (Abbas et al. 2023,
+  // arXiv:2303.09540) — the embedding-space dedup tier the d-family
+  // was missing: d06/d13 REPORT near-dup pairs via orthant-LSH
+  // blocking; this one makes the per-item KEEP/DROP decision with
+  // k-means-cell blocking, the paper's scheme. Every vector is
+  // assigned to its nearest per-label centroid (v07's exact
+  // rounded-term argmin — ONE centroid definition across the vector
+  // tier), then a vector is dropped iff a lower-id ε-neighbor
+  // (cosine ≥ 0.4) exists in its cell; the minimum id of each
+  // ε-connected chain has no lower neighbor, so exactly the chain
+  // minima survive — d07's min-id canonical rule without paying the
+  // transitive closure (the paper's greedy epsilon-dedup, made
+  // order-deterministic). dup_of = the smallest such neighbor (the
+  // audit pointer), NULL for kept rows.
+  //
+  // Scale shape: assignment is the native zero-shuffle CentroidArgmin
+  // pass over driver-baked centroids (k·d doubles — Lloyd's sync
+  // point); candidate pairs exist ONLY inside a cell equi-join with
+  // the cosine computed in-join (d06's shape — no candidate
+  // materialization), and k-means cells are size-balanced by
+  // construction (measured 41–63 members/cell at sf0.01), unlike raw
+  // labels a skewed corpus could blow up. The decision agg is one
+  // groupBy on the dropped side only.
+  private val D14Tau = 0.4
+  val d14 = Q(
+    "d14_semantic_dedup",
+    s"""WITH ex AS (
+      |  SELECT vec_id, label, generate_subscripts(embedding,1) AS pos,
+      |    unnest(embedding) AS x
+      |  FROM embeddings),
+      |cen AS (SELECT label, pos,
+      |    CAST(SUM(round(x::DOUBLE*1e9)::BIGINT) AS BIGINT) AS sxs,
+      |    COUNT(*) AS c
+      |  FROM ex GROUP BY label, pos),
+      |cm AS (SELECT label, pos, sxs::DOUBLE / (c * 1e9) AS m FROM cen),
+      |d AS (SELECT ex.vec_id, cm.label AS cell,
+      |    CAST(SUM(round((ex.x::DOUBLE - cm.m)*(ex.x::DOUBLE - cm.m)*1e12)::BIGINT)
+      |      AS BIGINT) AS ds
+      |  FROM ex JOIN cm ON ex.pos = cm.pos
+      |  GROUP BY ex.vec_id, cm.label),
+      |a AS (SELECT vec_id, cell FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY ds, cell) AS rnk FROM d) t
+      |  WHERE rnk = 1),
+      |n AS (SELECT vec_id,
+      |    list_transform(embedding, x -> round(x::DOUBLE*1e6)::BIGINT) AS sx,
+      |    CAST(list_sum(list_transform(
+      |      list_transform(embedding, x -> round(x::DOUBLE*1e6)::BIGINT),
+      |      x -> x*x)) AS BIGINT) AS nn
+      |  FROM embeddings),
+      |m AS (SELECT a.vec_id, a.cell, n.sx, n.nn
+      |      FROM a JOIN n ON a.vec_id = n.vec_id),
+      |p AS (SELECT b.vec_id, MIN(u.vec_id) AS dup_of
+      |  FROM m u JOIN m b ON u.cell = b.cell AND u.vec_id < b.vec_id
+      |  WHERE CAST(list_sum(list_transform(list_zip(u.sx, b.sx),
+      |      x -> x[1]*x[2])) AS BIGINT)::DOUBLE
+      |    / (sqrt(u.nn::DOUBLE) * sqrt(b.nn::DOUBLE)) >= $D14Tau
+      |  GROUP BY b.vec_id)
+      |SELECT m.vec_id, m.cell, p.dup_of, p.dup_of IS NULL AS kept
+      |FROM m LEFT JOIN p ON m.vec_id = p.vec_id""".stripMargin) {
+    (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      collectCodebook(emb) match {
+        case None =>
+          emb.select(col("vec_id"), col("label").as("cell"),
+            col("vec_id").as("dup_of"), lit(true).as("kept")).limit(0)
+        case Some((cells, cen)) =>
+          val best = VectorExprs.centroidArgmin(col("embedding"),
+            cells, cells.map(l => cen(l).toSeq))
+          // pinned: both self-join sides and the final left join read
+          // it — assignment + scale + norm run once per vector
+          val m = graft.operators.Pin(emb
+            .select(col("vec_id"), Fns.scaleVec(col("embedding")).as("sx"),
+              best.as("cell"))
+            .filter(col("cell").isNotNull)
+            .withColumn("nn", VectorExprs.normSqIntNative(col("sx"))))
+          val cos = Fns.cosineFromScaled(
+            VectorExprs.dotIntNative(col("sx_u"), col("sx_b")),
+            col("nn_u"), col("nn_b"))
+          val p = m.select(col("vec_id").as("u_id"), col("cell"),
+              col("sx").as("sx_u"), col("nn").as("nn_u"))
+            .join(m.select(col("vec_id").as("b_id"), col("cell"),
+              col("sx").as("sx_b"), col("nn").as("nn_b")), Seq("cell"))
+            .filter(col("u_id") < col("b_id") && cos >= D14Tau)
+            .groupBy("b_id").agg(min("u_id").as("dup_of"))
+          m.join(p, col("vec_id") === col("b_id"), "left")
+            .select(col("vec_id"), col("cell"), col("dup_of"),
+              col("dup_of").isNull.as("kept"))
+      }
+  }
+
   val all: Seq[Q] =
-    Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13)
+    Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13,
+      d14)
 }

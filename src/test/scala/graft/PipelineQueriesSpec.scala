@@ -283,7 +283,7 @@ class PipelineQueriesSpec extends SparkTestBase {
       queries.TextAnalysis.t12, queries.TextAnalysis.t13,
       queries.TextAnalysis.t14,
       queries.VectorSearch.v11, queries.VectorSearch.v12,
-      queries.VectorSearch.v13,
+      queries.VectorSearch.v13, queries.VectorSearch.d14,
       queries.SourceQueries.s10, queries.SourceQueries.s11,
       queries.SourceQueries.s12,
       queries.EventAnalytics.e18)
@@ -627,6 +627,40 @@ class PipelineQueriesSpec extends SparkTestBase {
     // fused score is exactly the two fixed-order divisions
     assert(out(0).getAs[Double]("rrf_score") === 1.0 / 62 + 1.0 / 61)
     assert(out(3).getAs[Double]("rrf_score") === 1.0 / 63)
+  }
+
+  test("d14: semantic dedup — chain minima survive, the exists-rule " +
+      "drops against dropped neighbors too, and cells block cross-" +
+      "cluster pairs") {
+    // cell 0 (label 0): unit circle at 0°/60°/120° in dims (0,1) —
+    // cos(1,2)=0.5 ≥ τ, cos(2,3)=0.5 ≥ τ, cos(1,3)=−0.5 < τ: an
+    // ε-chain. Plus vec 4 at −90° (cos ≤ 0 to all — kept).
+    // cell 1 (label 1): two parallel vectors along dim 2.
+    def v(x: Float, y: Float, z: Float): Array[Float] =
+      Array(x, y, z, 0f)
+    val dir = embDir(Seq(
+      (1L, v(1f, 0f, 0f), 0),
+      (2L, v(0.5f, 0.866f, 0f), 0),
+      (3L, v(-0.5f, 0.866f, 0f), 0),
+      (4L, v(0f, -1f, 0f), 0),
+      (5L, v(0f, 0f, 5f), 1),
+      (6L, v(0f, 0f, 4.5f), 1)))
+    val out = queries.VectorSearch.d14.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Boolean]("kept"),
+          Option(r.get(r.fieldIndex("dup_of")))))).toMap
+    assert(out.size === 6)
+    assert(out(1L) === ((true, None))) // chain minimum survives
+    assert(out(2L) === ((false, Some(1L))))
+    // 3 is far from 1 (cos −0.5) but near DROPPED 2 — the ∃-rule
+    // still drops it, pointing at 2 (the d07-canonical approximation
+    // without the transitive closure)
+    assert(out(3L) === ((false, Some(2L))))
+    assert(out(4L) === ((true, None))) // dissimilar cell-mate kept
+    assert(out(5L) === ((true, None)))
+    // 6 ∥ 5 (cos 1) in cell 1 — cross-cell pairs with cell 0 never
+    // even form candidates
+    assert(out(6L) === ((false, Some(5L))))
   }
 
   test("s11: curation composition — the duplicate member drops " +

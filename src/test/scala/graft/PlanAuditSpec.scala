@@ -163,7 +163,14 @@ class PlanAuditSpec extends SparkTestBase {
       //       window reuses the agg's partitioning only when keys
       //       align, here they don't), the full-outer fusion's two
       //       exchanges, and the final rrf window              -> 9
-      "v13_hybrid_rrf" -> 9)
+      "v13_hybrid_rrf" -> 9,
+      //  d14: the centroid agg pays in the driver-collect job (v08's
+      //       codebook pattern, not in the returned plan); the pinned
+      //       assignment relation builds exchange-free (scan + native
+      //       argmin + scale + norm); the cell self-join broadcasts at
+      //       this SF; the two exchanges are the dropped-side min agg
+      //       and the final left join's                           -> 2
+      "d14_semantic_dedup" -> 2)
     val got = audited.map { case (name, _) =>
       name -> executedShuffleCount(build(name))
     }
