@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.functions.Fns
+import graft.functions.{Fns, VectorExprs}
 import graft.operators.ContextCompaction
 import graft.sources.TimerSource
 import org.apache.spark.sql.functions._
@@ -575,6 +575,95 @@ object SourceQueries {
         min(when(col("occ") > 0, col("doc_id"))).as("first_doc_id"))
   }
 
+  // ---------------------------------------------------------------
+  // s13 DSIR importance weights (Xie et al. 2023, arXiv:2302.03169,
+  // "Data Selection for Language Models via Importance Resampling") —
+  // the weight-and-select primitive for steering a corpus toward a
+  // target distribution: per document, the log importance ratio
+  // log p_target(x)/p_source(x) under bag-of-hashed-bigram unigram
+  // models (the paper's feature space), here with target = the
+  // English slice and source = the whole corpus. Bigrams hash to
+  // 8192 buckets (the paper's bounded feature space), counts get
+  // add-one smoothing, and the log runs in the inventory's integer
+  // floor-log2 bits — so the whole weight is exact integer algebra:
+  //   Σ_bkt dc·(bits(ct+1) − bits(cs+1) + bits(Ns) − bits(Nt)).
+  // Selection is a deterministic per-source top-10 by (weight,
+  // doc_id) — the Gumbel resampling step made reproducible, with the
+  // per-domain quota keeping the rank window partitioned.
+  //
+  // Scale shape: the corpus collapses ONCE to (doc, source, lang,
+  // bucket, count) — pinned; both models aggregate to ≤8192 rows by
+  // construction (the hashing trick's whole point) and BROADCAST into
+  // the scoring join, so the only corpus-cardinality shuffles are the
+  // bucket collapse, the per-doc score agg, and the per-source rank
+  // window. No vocabulary-size term anywhere.
+  private val DsirBuckets = 8192
+  private val DsirQuota = 10
+  val s13 = Q(
+    "s13_dsir_weights",
+    s"""WITH d AS (SELECT doc_id, lang, source, string_split(text,' ') AS t
+      |       FROM documents),
+      |bg AS (SELECT doc_id, lang, source, bh % $DsirBuckets AS bkt,
+      |    CAST(COUNT(*) AS BIGINT) AS dc
+      |  FROM (SELECT doc_id, lang, source,
+      |      unnest(list_transform(range(1, len(t)),
+      |        i -> ${Fns.hash60Sql("t[i] || ' ' || t[i+1]")})) AS bh
+      |    FROM d)
+      |  GROUP BY doc_id, lang, source, bh % $DsirBuckets),
+      |tm AS (SELECT bkt, CAST(SUM(dc) AS BIGINT) AS ct FROM bg
+      |       WHERE lang = 'en' GROUP BY bkt),
+      |sm AS (SELECT bkt, CAST(SUM(dc) AS BIGINT) AS cs FROM bg
+      |       GROUP BY bkt),
+      |tot AS (SELECT CAST(SUM(CASE WHEN lang = 'en' THEN dc ELSE 0 END)
+      |          AS BIGINT) AS nt,
+      |        CAST(SUM(dc) AS BIGINT) AS ns FROM bg),
+      |sc AS (SELECT bg.doc_id, bg.source,
+      |    CAST(SUM(bg.dc) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(bg.dc * (length(bin(COALESCE(tm.ct, 0) + 1))
+      |      - length(bin(sm.cs + 1))
+      |      + length(bin(tot.ns)) - length(bin(tot.nt))))
+      |      AS BIGINT) AS log_ratio_bits
+      |  FROM bg JOIN sm ON bg.bkt = sm.bkt
+      |    LEFT JOIN tm ON bg.bkt = tm.bkt CROSS JOIN tot
+      |  GROUP BY bg.doc_id, bg.source)
+      |SELECT doc_id, source, n_bigrams, log_ratio_bits, sel_rank,
+      |  sel_rank <= $DsirQuota AS selected
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY log_ratio_bits DESC, doc_id) AS sel_rank FROM sc)
+      |  z""".stripMargin) { (s, dir) =>
+    val bg = graft.operators.Pin(Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(VectorExprs.gram2PairHash60(Fns.tokens(col("text"))))
+          .as("p"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        (col("p.b") % DsirBuckets).as("bkt"))
+      .groupBy("doc_id", "lang", "source", "bkt")
+      .agg(count(lit(1)).as("dc")))
+    val tm = bg.filter(col("lang") === "en")
+      .groupBy("bkt").agg(sum("dc").as("ct"))
+    val sm = bg.groupBy("bkt").agg(sum("dc").as("cs"))
+    val tot = bg.agg(
+      sum(when(col("lang") === "en", col("dc")).otherwise(0L)).as("nt"),
+      sum("dc").as("ns"))
+    def bits(c: org.apache.spark.sql.Column) =
+      length(bin(c)).cast(LongType)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("log_ratio_bits").desc, col("doc_id"))
+    bg.join(broadcast(sm), "bkt")
+      .join(broadcast(tm), Seq("bkt"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id", "source")
+      .agg(sum("dc").as("n_bigrams"),
+        sum(col("dc") * (bits(coalesce(col("ct"), lit(0L)) + 1)
+          - bits(col("cs") + 1) + bits(col("ns")) - bits(col("nt"))))
+          .as("log_ratio_bits"))
+      .withColumn("sel_rank", row_number().over(w))
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+        col("log_ratio_bits"), col("sel_rank"),
+        (col("sel_rank") <= DsirQuota).as("selected"))
+  }
+
   val all: Seq[Q] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, c01)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
+      c01)
 }

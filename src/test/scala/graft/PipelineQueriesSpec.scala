@@ -285,7 +285,7 @@ class PipelineQueriesSpec extends SparkTestBase {
       queries.VectorSearch.v11, queries.VectorSearch.v12,
       queries.VectorSearch.v13, queries.VectorSearch.d14,
       queries.SourceQueries.s10, queries.SourceQueries.s11,
-      queries.SourceQueries.s12,
+      queries.SourceQueries.s12, queries.SourceQueries.s13,
       queries.EventAnalytics.e18)
       .foreach { q =>
         assert(q.run(spark, dir).count() === 0L, s"${q.name} not empty")
@@ -715,6 +715,34 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(out("scan query big") === ((1L, 1L, Some(2L))))
     assert(out("value fast spark") === ((0L, 0L, None)))
     assert(out("canary-724-never-in-corpus") === ((0L, 0L, None)))
+  }
+
+  test("s13: DSIR weights — target-shared bigrams score up, " +
+      "target-absent bigrams cancel to the smoothing floor, exact " +
+      "integer bits arithmetic") {
+    val dir = docsDir(Seq(
+      (1L, "aa bb aa bb aa", "en"), // 4 bigrams, all target-heavy
+      (2L, "aa bb cc", "en"),
+      (3L, "xx yy xx yy", "de"), // 3 bigrams, none in target
+      (4L, "aa bb dd", "de")), // one target-shared bigram
+      sources = Seq("s", "s", "s", "s"))
+    // models: target (en) aa-bb:3 bb-aa:2 bb-cc:1, Nt=6; source
+    // aa-bb:4 bb-aa:2 bb-cc:1 xx-yy:2 yy-xx:1 bb-dd:1, Ns=11.
+    // constant bits(11)−bits(6) = 4−3 = 1 per bigram occurrence.
+    // doc1: 2·(bits(4)−bits(5)+1) + 2·(bits(3)−bits(3)+1) = 4
+    // doc2: (3−3+1) + (bits(2)−bits(2)+1)                 = 2
+    // doc3: 2·(bits(1)−bits(3)+1) + (bits(1)−bits(2)+1)   = 0
+    // doc4: (3−3+1) + (bits(1)−bits(2)+1)                 = 1
+    val out = queries.SourceQueries.s13.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("log_ratio_bits"),
+          r.getAs[Int]("sel_rank"), r.getAs[Boolean]("selected"))))
+      .toMap
+    assert(out.size === 4)
+    assert(out(1L) === ((4L, 4L, 1, true)))
+    assert(out(2L) === ((2L, 2L, 2, true)))
+    assert(out(4L) === ((2L, 1L, 3, true)))
+    assert(out(3L) === ((3L, 0L, 4, true)))
   }
 
   test("property: takeWeightBudget ≡ per-stratum prefix scan of the " +

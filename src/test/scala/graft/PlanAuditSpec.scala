@@ -170,7 +170,14 @@ class PlanAuditSpec extends SparkTestBase {
       //       argmin + scale + norm); the cell self-join broadcasts at
       //       this SF; the two exchanges are the dropped-side min agg
       //       and the final left join's                           -> 2
-      "d14_semantic_dedup" -> 2)
+      "d14_semantic_dedup" -> 2,
+      //  s13: pinned (doc, source, lang, bucket, count) cache build
+      //       pays its collapse; outside: the two ≤8192-row model
+      //       aggs + the 1-row totals agg (all broadcast into the
+      //       scoring join — the hashing trick keeps them bounded),
+      //       the per-doc score agg, and the per-source rank
+      //       window                                              -> 6
+      "s13_dsir_weights" -> 6)
     val got = audited.map { case (name, _) =>
       name -> executedShuffleCount(build(name))
     }
