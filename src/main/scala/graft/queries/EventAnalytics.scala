@@ -620,6 +620,62 @@ object EventAnalytics {
           (col("n").cast(DoubleType) / col("n_to"))).as("lift"))
   }
 
+  // ---------------------------------------------------------------
+  // e19 hourly anomaly detection — the monitoring primitive over the
+  // event bus (the reference's health-monitor rollup one step
+  // further): per (event_type, hour) count, flag hours whose count
+  // exceeds the trailing-24-observed-hours baseline by more than 3
+  // standard deviations. The z-test runs in EXACT INTEGER algebra —
+  // no float mean/variance whose summation order could differ
+  // cross-engine: with n/Σc/Σc² from the frame,
+  //   spike ⇔ n ≥ 6 ∧ (n·c − Σc) > 0 ∧ (n·c − Σc)² > 9·(n·Σc² − (Σc)²)
+  // is (c − μ) > 3σ cleared of denominators. A zero-variance baseline
+  // makes any strict increase a spike (rhs = 0). Hours with zero
+  // events of a type are ABSENT, so the frame spans the last ≤24
+  // observed hours — the sparse-series semantics; a calendar fill
+  // would densify but needs a spine join.
+  //
+  // Scale shape: one (type, hour) collapse (map-side combinable —
+  // the only corpus-cardinality shuffle), then the rank window runs
+  // at the BUCKET grain, partitioned by type: no global sort, frames
+  // are 24 rows.
+  val e19 = Q(
+    "e19_hourly_anomaly",
+    """WITH hc AS (SELECT event_type,
+      |    CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS bucket_ms,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |z AS (SELECT event_type, bucket_ms, n_events,
+      |    CAST(COUNT(*) OVER w AS BIGINT) AS n_baseline,
+      |    CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT) AS sc,
+      |    CAST(COALESCE(SUM(n_events*n_events) OVER w, 0) AS BIGINT) AS scc
+      |  FROM hc
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ms
+      |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, bucket_ms, n_events, n_baseline,
+      |  sc AS baseline_sum,
+      |  (n_baseline >= 6 AND (n_baseline*n_events - sc) > 0
+      |    AND (n_baseline*n_events - sc)*(n_baseline*n_events - sc)
+      |      > 9 * (n_baseline*scc - sc*sc)) AS is_spike
+      |FROM z""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("event_type").orderBy("bucket_ms")
+      .rowsBetween(-24, -1)
+    val hc = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr("(ts div 3600000000000) * 3600000").as("bucket_ms"))
+      .agg(count(lit(1)).as("n_events"))
+    val dev = col("n_baseline") * col("n_events") - col("sc")
+    hc.withColumn("n_baseline", count(lit(1)).over(w))
+      .withColumn("sc", coalesce(sum("n_events").over(w), lit(0L)))
+      .withColumn("scc",
+        coalesce(sum(col("n_events") * col("n_events")).over(w), lit(0L)))
+      .select(col("event_type"), col("bucket_ms"), col("n_events"),
+        col("n_baseline"), col("sc").as("baseline_sum"),
+        (col("n_baseline") >= 6 && dev > 0 &&
+          dev * dev > lit(9) * (col("n_baseline") * col("scc") -
+            col("sc") * col("sc"))).as("is_spike"))
+  }
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
-    e11, e12, e13, e14, e15, e16, e17, e18)
+    e11, e12, e13, e14, e15, e16, e17, e18, e19)
 }

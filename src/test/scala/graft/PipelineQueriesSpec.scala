@@ -774,6 +774,39 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(got === expect)
   }
 
+  test("e19: hourly anomaly — 5x spike over a flat baseline flags, " +
+      "steady hours and short-history types don't, integer z-algebra") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pq").toFile.getAbsolutePath
+    def rows(tpe: String, hour: Int, n: Int, idBase: Long) =
+      (1 to n).map(i => (idBase + i,
+        new java.sql.Timestamp(hour.toLong * 3600000L), 1L, tpe))
+    // type x: hours 0..25 flat at 10 events, hour 26 spikes to 50
+    // type y: only 3 observed hours (1,1,9) — never enough baseline
+    val evs =
+      (0 to 25).flatMap(h => rows("x", h, 10, h * 100L)) ++
+        rows("x", 26, 50, 2600L) ++
+        rows("y", 0, 1, 10000L) ++ rows("y", 1, 1, 10100L) ++
+        rows("y", 2, 9, 10200L)
+    evs.toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val out = queries.EventAnalytics.e19.run(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("bucket_ms") / 3600000L) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_baseline"),
+          r.getAs[Boolean]("is_spike")))).toMap
+    assert(out.size === 30)
+    // the spike hour: 24-observed-hour baseline, flat 10s, c=50
+    assert(out(("x", 26L)) === ((50L, 24L, true)))
+    // steady hours never flag (n·c − Σc = 0 fails the strict >0)
+    (1 to 25).foreach { h =>
+      assert(out(("x", h.toLong))._3 === false, s"hour $h")
+    }
+    assert(out(("x", 0L)) === ((10L, 0L, false))) // no history
+    // y's 9-event jump has only 2 baseline hours (< 6) — no verdict
+    assert(out(("y", 2L)) === ((9L, 2L, false)))
+  }
+
   test("property: e18 ≡ plain Scala transition counter on random " +
       "event streams (seeded)") {
     import spark.implicits._

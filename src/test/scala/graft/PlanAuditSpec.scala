@@ -177,7 +177,10 @@ class PlanAuditSpec extends SparkTestBase {
       //       scoring join — the hashing trick keeps them bounded),
       //       the per-doc score agg, and the per-source rank
       //       window                                              -> 6
-      "s13_dsir_weights" -> 6)
+      "s13_dsir_weights" -> 6,
+      //  e19: one (type, hour) collapse (map-side combinable) + the
+      //       per-type trailing window at the bucket grain        -> 2
+      "e19_hourly_anomaly" -> 2)
     val got = audited.map { case (name, _) =>
       name -> executedShuffleCount(build(name))
     }
