@@ -203,6 +203,73 @@ object EventStream {
       control: Dataset[AgentEvent]): Dataset[AgentEvent] =
     events.unionByName(control)
 
+  // --- streaming anomaly detection --------------------------------
+
+  /** e19's verdict row, live: emitted when an hour bucket CLOSES
+    * (a later bucket's first event arrives for the type). */
+  case class AnomalyUpdate(eventType: String, bucketMs: Long,
+      nEvents: Long, nBaseline: Long, baselineSum: Long,
+      isSpike: Boolean)
+
+  /** Per-type detector state: the trailing ≤24 CLOSED (bucket, count)
+    * pairs plus the currently-filling bucket. Bounded by construction
+    * — 25 pairs of longs per event type, however long the stream
+    * runs. */
+  case class AnomState(ring: Seq[(Long, Long)], curBucket: Long,
+      curCount: Long)
+
+  /** Streaming twin of the batch `e19_hourly_anomaly` query: per
+    * event type, count events into hour buckets and, when a bucket
+    * closes, test it against the trailing 24 OBSERVED buckets with
+    * the same exact-integer z algebra —
+    *   spike ⇔ n ≥ 6 ∧ (n·c − Σc) > 0 ∧ (n·c − Σc)² > 9·(n·Σc² − (Σc)²)
+    * ((c − μ) > 3σ cleared of denominators; no float variance). A
+    * bucket closes on ADVANCE — the first event of a later bucket —
+    * so the verdict is emitted exactly once per closed bucket; events
+    * arriving for an already-closed bucket are dropped (the watermark
+    * analog, same lateness contract as `windowedTypeCounts`). The
+    * currently-filling bucket never emits — its verdict belongs to
+    * the batch query over the ingested store.
+    *
+    * Scale shape: one state row of ≤25 (long, long) pairs per event
+    * TYPE (not per event) — Spark's state store shards by key; the
+    * per-batch fold is event-time-ordered for the same reason
+    * sessionize's is (intra-group batch order is an arbitrary
+    * partition interleave). */
+  def anomalies(events: Dataset[AgentEvent])(
+      implicit spark: SparkSession): Dataset[AnomalyUpdate] = {
+    import spark.implicits._
+    val zero = AnomState(Vector.empty, Long.MinValue, 0L)
+    events
+      .groupByKey(_.eventType)
+      .flatMapGroupsWithState[AnomState, AnomalyUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (tpe, it, state: GroupState[AnomState]) =>
+          var s = state.getOption.getOrElse(zero)
+          val out = scala.collection.mutable.ListBuffer[AnomalyUpdate]()
+          def close(): Unit = if (s.curBucket != Long.MinValue) {
+            val n = s.ring.size.toLong
+            val sc = s.ring.iterator.map(_._2).sum
+            val scc = s.ring.iterator.map(p => p._2 * p._2).sum
+            val dev = n * s.curCount - sc
+            out += AnomalyUpdate(tpe, s.curBucket, s.curCount, n, sc,
+              n >= 6 && dev > 0 && dev * dev > 9 * (n * scc - sc * sc))
+            s = s.copy(
+              ring = (s.ring :+ (s.curBucket -> s.curCount)).takeRight(24))
+          }
+          it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val b = (e.ts.getTime / 3600000L) * 3600000L
+            if (b == s.curBucket) s = s.copy(curCount = s.curCount + 1)
+            else if (b > s.curBucket) {
+              close()
+              s = s.copy(curBucket = b, curCount = 1L)
+            } // b < curBucket: late for a closed bucket — dropped
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Bounded history ring (`event_bus.py:215,226-227,299`): the
     * newest `maxHistory` events per stream of the materialized history
     * table — retention expressed as a query, so the sink table can be

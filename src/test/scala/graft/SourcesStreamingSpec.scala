@@ -666,6 +666,47 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("anomalies: streaming e19 twin — bucket closes on advance " +
+      "across microbatches, spike verdict matches the batch algebra, " +
+      "late events for closed buckets drop") {
+    val input = MemoryStream[AgentEvent](spark)
+    val q = EventStream.anomalies(input.toDS())(spark)
+      .writeStream.format("memory").queryName("anom")
+      .outputMode("append").start()
+    def hourEvs(tpe: String, hour: Int, n: Int): Seq[AgentEvent] =
+      (1 to n).map(i => ev(tpe, "s", hour.toLong * 3600000L + i))
+    try {
+      // batch 1: x hours 0..12 flat at 10 — hour 12 stays OPEN here
+      input.addData((0 to 12).flatMap(h => hourEvs("x", h, 10)): _*)
+      q.processAllAvailable()
+      assert(spark.table("anom").count() === 12) // 0..11 closed
+      // batch 2 resumes the state: hours 13..25 flat, hour 26 = 50
+      // (the spike), hour 27 closes it; y gets 3 short-history hours
+      input.addData(((13 to 25).flatMap(h => hourEvs("x", h, 10)) ++
+        hourEvs("x", 26, 50) ++ hourEvs("x", 27, 1) ++
+        hourEvs("y", 0, 1) ++ hourEvs("y", 1, 1) ++
+        hourEvs("y", 2, 9) ++ hourEvs("y", 3, 1)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("anom")
+        .as[EventStream.AnomalyUpdate].collect()
+        .map(u => (u.eventType, u.bucketMs / 3600000L) -> u).toMap
+      assert(rows.size === 30) // x 0..26 + y 0..2 closed; 27/3 open
+      val spike = rows(("x", 26L))
+      assert(spike.nEvents === 50L && spike.nBaseline === 24L &&
+        spike.baselineSum === 240L && spike.isSpike)
+      (1 to 25).foreach(h =>
+        assert(!rows(("x", h.toLong)).isSpike, s"hour $h"))
+      assert(rows(("x", 0L)).nBaseline === 0L)
+      assert(rows(("y", 2L)).nEvents === 9L &&
+        rows(("y", 2L)).nBaseline === 2L && !rows(("y", 2L)).isSpike)
+      // lateness: an x event for long-closed hour 5 must change
+      // nothing — no re-emission, no extra row
+      input.addData(hourEvs("x", 5, 1): _*)
+      q.processAllAvailable()
+      assert(spark.table("anom").count() === 30)
+    } finally q.stop()
+  }
+
   test("fromJsonl file stream: reference-layout debug-log replay, " +
       "every field parses non-null (event_bus.py:150-162)") {
     val dir = Files.createTempDirectory("evjsonl").toFile
