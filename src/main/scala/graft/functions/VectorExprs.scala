@@ -566,6 +566,77 @@ case class PqEncodeStats(child: Expression, subDims: Int,
       : Expression = copy(child = newChild)
 }
 
+/** The ADC table-lookup scan (Jégou et al. 2011 §IV) in ONE native
+  * pass per corpus vector: given the vector's PQ code word
+  * ([[PqEncodeStats]] `codes`, array<int>) and the per-query lookup
+  * tables as LITERALS (queries × (subspaces·codes) scaled squared
+  * distances — driver state bounded by the query-set contract, the
+  * same sync point the codebook already is), emit the per-query ADC
+  * distance array: adc[q] = Σ_sub lut[q][sub·k + idx(code_sub)].
+  * Integer sums of the oracle's own rounded per-(q, sub, code) terms,
+  * in a fixed order — order-independent, bit-identical.
+  *
+  * This replaces the (sub, code) equi-join + re-aggregation shape:
+  * the corpus relation is scanned ONCE and never joins — the fan-out
+  * to queries exists only as the emitted array, consumed by
+  * posexplode in the same stage. A code id absent from the LUT (can
+  * only happen on a codebook/LUT mismatch bug) yields a null entry
+  * rather than a silent 0.
+  */
+case class PqAdcLut(child: Expression, codeIds: Seq[Int],
+    lut: Seq[Seq[Long]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<int> codes, got $t")
+  }
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = true)
+
+  override def prettyName: String = "graft_pq_adc"
+
+  @transient private lazy val idx
+      : java.util.HashMap[Integer, Integer] = {
+    val m = new java.util.HashMap[Integer, Integer]()
+    codeIds.zipWithIndex.foreach { case (c, i) =>
+      m.put(Integer.valueOf(c), Integer.valueOf(i))
+    }
+    m
+  }
+  @transient private lazy val k = codeIds.length
+  @transient private lazy val lutArr: Array[Array[Long]] =
+    lut.map(_.toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val codes = input.asInstanceOf[ArrayData]
+    val nSubs = codes.numElements()
+    val out = new Array[Any](lutArr.length)
+    var q = 0
+    while (q < lutArr.length) {
+      val t = lutArr(q)
+      var s = 0L
+      var ok = true
+      var sub = 0
+      while (ok && sub < nSubs) {
+        val ci = idx.get(codes.getInt(sub))
+        val pos = sub * k + (if (ci == null) -1 else ci.intValue())
+        if (ci == null || pos >= t.length) ok = false
+        else s += t(pos)
+        sub += 1
+      }
+      out(q) = if (ok) s else null
+      q += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 /** t05's rolling document fingerprint in ONE native pass: the
   * order-sensitive Karp–Rabin fold h ← (h·31 + hash60(wᵢ) mod 1000003)
   * mod 1000003, seeded with the first token's hash. The composed path
@@ -654,6 +725,14 @@ object VectorExprs {
       centroids: Seq[Seq[Double]]): Column =
     GraftColumnBridge.column(CentroidArgmin(
       GraftColumnBridge.expression(x), cells, centroids))
+
+  /** Column wrapper: native ADC table-lookup scan over a PQ code
+    * word. Like [[centroidArgmin]], the per-query LUTs are literals
+    * born from driver state — no SQL-surface registration. */
+  def pqAdcLut(codes: Column, codeIds: Seq[Int],
+      lut: Seq[Seq[Long]]): Column =
+    GraftColumnBridge.column(PqAdcLut(
+      GraftColumnBridge.expression(codes), codeIds, lut))
 
   /** Column wrapper: native product-quantization encode. Like
     * [[centroidArgmin]], codebook parameters are literals born from a

@@ -539,12 +539,14 @@ object VectorSearch {
       cells, cells.map(l => cen(l).toSeq))
     // pinned: two consumers (membership stats and the re-average)
     // would otherwise each pay the k-way distance scan. A null
-    // embedding assigns a null cell — dropped, as the oracle's
-    // explode never emits it.
+    // embedding assigns a null cell (argmin is null-safe), so the
+    // null-drop filters the INPUT column — filtering `cell` would
+    // push the predicate below the projection and re-run the native
+    // argmin per row.
     val assigned = graft.operators.Pin(
-      emb.select(col("vec_id"), col("label"), col("embedding"),
-        best.as("cell"))
-        .filter(col("cell").isNotNull))
+      emb.filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          best.as("cell")))
     val mem = assigned.groupBy("cell").agg(
       count(lit(1)).as("n_members"),
       sum(when(col("label") =!= col("cell"), 1L).otherwise(0L))
@@ -640,10 +642,13 @@ object VectorSearch {
       val f = VectorExprs.pqEncodeStats(col("embedding"), SubDims,
         codeIds, codeIds.map(l => cen(l).toSeq))
       // empty vectors produce no oracle rows (unnest emits nothing)
-      // and a null vector encodes to null — both filtered
+      // and null vectors fail the size predicate (size(null) is null)
+      // — one filter covers both, ON THE INPUT COLUMN: a filter on
+      // the encode output would push below the projection and
+      // re-evaluate the whole native pass per row (plan-audited 2×
+      // encode before this shape)
       emb.filter(size(col("embedding")) > 0)
         .select(col("vec_id"), col("label"), f.as("f"))
-        .filter(col("f").isNotNull)
         .select(col("vec_id"), col("label"),
           concat_ws("-", col("f.codes").cast(ArrayType(StringType)))
             .as("codes"),
@@ -729,7 +734,6 @@ object VectorSearch {
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
       |        ORDER BY adc_scaled, neighbor_id) AS rnk FROM p) z
       |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
-    import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
     collectCodebook(emb) match {
       case None =>
@@ -737,17 +741,14 @@ object VectorSearch {
           col("vec_id").as("neighbor_id"), lit(1).as("rnk"),
           lit(0L).as("adc_scaled"), lit(0.0).as("adc_dist")).limit(0)
       case Some((codeIds, cen)) =>
-        val codes = pqCorpusCodes(emb, codeIds, cen)
-          .select("vec_id", "sub", "code")
-        val lut = pqQueryLut(s, emb, codeIds, cen)
+        // the LUT is driver state (queries × 8 subs × k codes longs —
+        // bounded by the query-set contract like the codebook itself),
+        // baked into ONE native scan pass: encode + 8 table lookups
+        // per query, the corpus never joins (PqAdcLut scaladoc)
+        val (qIds, lut) = collectAdcLut(emb, codeIds, cen)
         val w = Window.partitionBy("q_id")
           .orderBy(col("adc_scaled"), col("neighbor_id"))
-        codes.join(broadcast(lut), Seq("sub", "code"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .groupBy("q_id", "vec_id")
-          .agg(sum("ds").as("adc_scaled"))
-          .select(col("q_id"), col("vec_id").as("neighbor_id"),
-            col("adc_scaled"))
+        pqAdcRows(emb, codeIds, cen, qIds, lut)
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 5)
           .select(col("q_id"), col("neighbor_id"), col("rnk"),
@@ -757,50 +758,73 @@ object VectorSearch {
     }
   }
 
-  /** Corpus PQ code words (v09 + v10): v08's native encoder, exploded
-    * to one row per (vector, subspace) — 8 narrow rows per vector plus
-    * the coarse cell (= label, v02/v04's inverted-list key), the 32×-
-    * compressed index relation the ADC scan runs on. One definition so
-    * the searcher can never disagree with the encoder on a code. */
-  private def pqCorpusCodes(emb: DataFrame, codeIds: Seq[Int],
-      cen: Map[Int, Array[Double]]): DataFrame = {
-    val f = VectorExprs.pqEncodeStats(col("embedding"), SubDims,
-      codeIds, codeIds.map(l => cen(l).toSeq))
-    emb.filter(size(col("embedding")) > 0)
-      .select(col("vec_id"), col("label"), f.as("f"))
-      .filter(col("f").isNotNull)
-      .select(col("vec_id"), col("label"),
-        posexplode(col("f.codes")).as(Seq("sub0", "code")))
-      .select(col("vec_id"), col("label"),
-        col("sub0").cast(LongType).as("sub"), col("code"))
+  /** Driver-computed ADC lookup tables for v01's bounded query spine:
+    * per query, the flat (sub·k + codeIdx) → scaled squared distance
+    * array, with the oracle's exact arithmetic — per-dimension
+    * HALF_UP-rounded 1e12-scale terms ([[graft.functions.ExactRound]],
+    * the same decisions as Spark's round() and DuckDB's) summed per
+    * (query, sub, code) as integers. Null query elements contribute no
+    * term (the oracle's SUM skips the null rounded term). Returns the
+    * query ids (the explode-position → q_id map) and the LUTs. */
+  private def collectAdcLut(emb: DataFrame, codeIds: Seq[Int],
+      cen: Map[Int, Array[Double]]): (Seq[Long], Seq[Seq[Long]]) = {
+    val k = codeIds.length
+    val qRows = emb.filter(col("vec_id") % 50 === 0)
+      .orderBy("vec_id").limit(V01Queries)
+      .select("vec_id", "embedding").collect()
+    val built = qRows.map { r =>
+      val xs = r.getSeq[Any](1)
+      val nSubs = (xs.length + SubDims - 1) / SubDims
+      val t = new Array[Long](nSubs * k)
+      var sub = 0
+      while (sub < nSubs) {
+        var ci = 0
+        while (ci < k) {
+          val m = cen(codeIds(ci))
+          var s = 0L
+          var i = sub * SubDims
+          val hi = math.min(xs.length, i + SubDims)
+          while (i < hi) {
+            xs(i) match {
+              case f: java.lang.Float if i < m.length =>
+                val d = f.toDouble - m(i)
+                s += graft.functions.ExactRound.halfUp(d * d * 1e12)
+              case _ => () // null element or past-codebook-width: no term
+            }
+            i += 1
+          }
+          t(sub * k + ci) = s
+          ci += 1
+        }
+        sub += 1
+      }
+      (r.getLong(0), t.toSeq)
+    }
+    (built.map(_._1).toSeq, built.map(_._2).toSeq)
   }
 
-  /** Per-query ADC lookup table (v09 + v10): (q_id, sub, code) → the
-    * exact 1e12-scaled squared distance from the query's subvector to
-    * that codebook entry, for v01's bounded query spine. Codebook rows
-    * re-materialize from the already-collected driver state (no second
-    * corpus agg); output is #queries × 8 subs × #codes rows — always
-    * broadcastable. */
-  private def pqQueryLut(s: SparkSession, emb: DataFrame,
-      codeIds: Seq[Int], cen: Map[Int, Array[Double]]): DataFrame = {
-    import s.implicits._
-    val cmDf = codeIds.flatMap(l =>
-        cen(l).indices.map(p => (l, p, cen(l)(p))))
-      .toDF("label", "pos0", "m")
-    val q = emb.filter(col("vec_id") % 50 === 0)
-      .orderBy("vec_id").limit(V01Queries)
-      .select(col("vec_id").as("q_id"))
-    val qx = emb.join(broadcast(q), col("vec_id") === col("q_id"))
-      .select(col("q_id"),
-        posexplode(col("embedding")).as(Seq("pos0", "x")))
-    val diff = col("x").cast(DoubleType) - col("m")
-    qx.join(broadcast(cmDf), "pos0")
-      .select(col("q_id"),
-        floor(col("pos0") / SubDims).cast(LongType).as("sub"),
-        col("label").as("code"),
-        round(diff * diff * lit(1e12)).cast(LongType).as("term"))
-      .groupBy("q_id", "sub", "code")
-      .agg(sum("term").as("ds"))
+  /** Shared v09/v10 scan: one native encode + ADC pass per corpus
+    * vector, exploded to (q_id, neighbor_id, label, adc_scaled) rows.
+    * The queries×corpus fan-out exists only as the emitted array —
+    * consumed by posexplode in the same stage; self-pairs drop. */
+  private def pqAdcRows(emb: DataFrame, codeIds: Seq[Int],
+      cen: Map[Int, Array[Double]], qIds: Seq[Long],
+      lut: Seq[Seq[Long]]): DataFrame = {
+    val f = VectorExprs.pqEncodeStats(col("embedding"), SubDims,
+      codeIds, codeIds.map(l => cen(l).toSeq))
+    // size(null) is null → the one input-column filter covers empty
+    // AND null vectors; filtering the encode output instead would
+    // re-evaluate the native pass per row (v08's comment)
+    emb.filter(size(col("embedding")) > 0)
+      .select(col("vec_id"), col("label"), f.as("f"))
+      .select(col("vec_id"), col("label"),
+        posexplode(VectorExprs.pqAdcLut(col("f.codes"), codeIds, lut))
+          .as(Seq("qp", "adc_scaled")))
+      .filter(col("adc_scaled").isNotNull)
+      .withColumn("q_id", element_at(typedlit(qIds), col("qp") + 1))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("label"), col("qp"), col("adc_scaled"))
   }
 
   // ---------------------------------------------------------------
@@ -853,29 +877,30 @@ object VectorSearch {
           lit(1).as("rnk"), lit(0L).as("adc_scaled"),
           lit(0.0).as("adc_dist")).limit(0)
       case Some((codeIds, cen)) =>
-        val codes = pqCorpusCodes(emb, codeIds, cen)
-        // the lut feeds BOTH the probe decision and the ADC scoring
-        // join — pin so the query-spine scan + LUT agg runs once
-        val lut = graft.operators.Pin(pqQueryLut(s, emb, codeIds, cen))
-        // coarse probe FROM the lut: cell distance = Σ_sub ds — v04's
-        // rounded-term coarse distance in a different grouping
-        val wProbe = Window.partitionBy("q_id")
-          .orderBy(col("cd"), col("cell"))
-        val probe = lut.groupBy("q_id", "code")
-          .agg(sum("ds").as("cd"))
-          .select(col("q_id"), col("code").as("cell"), col("cd"))
-          .withColumn("rnk", row_number().over(wProbe))
-          .filter(col("rnk") <= 2)
-          .select("q_id", "cell")
+        val (qIds, lut) = collectAdcLut(emb, codeIds, cen)
+        // coarse probe FROM the driver LUT: a cell's coarse distance
+        // is exactly Σ_sub of that code's LUT entries (v04's
+        // rounded-term distance in a different grouping) — pure
+        // integer sums over driver state, (cd, cell) tie-break as the
+        // oracle's ORDER BY. probe(qp) = the ≤2 cells to scan.
+        val k = codeIds.length
+        val probe: Seq[Seq[Int]] = lut.map { t =>
+          val nSubs = t.length / k
+          codeIds.zipWithIndex.map { case (cid, ci) =>
+            var s = 0L
+            (0 until nSubs).foreach(sub => s += t(sub * k + ci))
+            (s, cid)
+          }.sortBy(identity).take(2).map(_._2)
+        }
         val w = Window.partitionBy("q_id")
           .orderBy(col("adc_scaled"), col("neighbor_id"))
-        codes.join(broadcast(probe),
-            codes("label") === col("cell") &&
-              codes("vec_id") =!= col("q_id"))
-          .join(broadcast(lut), Seq("q_id", "sub", "code"))
-          .groupBy("q_id", "vec_id", "label")
-          .agg(sum("ds").as("adc_scaled"))
-          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        pqAdcRows(emb, codeIds, cen, qIds, lut)
+          // probed-cells membership: a literal queries×2 array — the
+          // partition-pruning predicate at scale (only probed cells'
+          // partitions are read when the index is cell-partitioned)
+          .filter(array_contains(
+            element_at(typedlit(probe), col("qp") + 1), col("label")))
+          .select(col("q_id"), col("neighbor_id"),
             col("label").as("cell"), col("adc_scaled"))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 5)
@@ -1282,11 +1307,13 @@ object VectorSearch {
           val best = VectorExprs.centroidArgmin(col("embedding"),
             cells, cells.map(l => cen(l).toSeq))
           // pinned: both self-join sides and the final left join read
-          // it — assignment + scale + norm run once per vector
+          // it — assignment + scale + norm run once per vector. The
+          // null-vector drop filters the INPUT column (v07's lesson:
+          // a filter on `cell` re-runs the native argmin per row).
           val m = graft.operators.Pin(emb
+            .filter(col("embedding").isNotNull)
             .select(col("vec_id"), Fns.scaleVec(col("embedding")).as("sx"),
               best.as("cell"))
-            .filter(col("cell").isNotNull)
             .withColumn("nn", VectorExprs.normSqIntNative(col("sx"))))
           val cos = Fns.cosineFromScaled(
             VectorExprs.dotIntNative(col("sx_u"), col("sx_b")),

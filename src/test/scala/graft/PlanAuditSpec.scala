@@ -180,7 +180,16 @@ class PlanAuditSpec extends SparkTestBase {
       "s13_dsir_weights" -> 6,
       //  e19: one (type, hour) collapse (map-side combinable) + the
       //       per-type trailing window at the bucket grain        -> 2
-      "e19_hourly_anomaly" -> 2)
+      "e19_hourly_anomaly" -> 2,
+      //  v09/v10: the ADC LUT is driver state baked into one native
+      //       scan pass (codebook + query collects run in driver
+      //       jobs, not the returned plan); the queries×corpus
+      //       fan-out exists only as the emitted array consumed by
+      //       posexplode in the same stage — the ONE exchange is the
+      //       top-5 rank window. A second exchange means the scan
+      //       regressed to the (sub, code) join + re-agg shape    -> 1
+      "v09_pq_adc_search" -> 1,
+      "v10_ivfpq_search" -> 1)
     val got = audited.map { case (name, _) =>
       name -> executedShuffleCount(build(name))
     }
