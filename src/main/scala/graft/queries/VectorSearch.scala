@@ -1259,7 +1259,12 @@ object VectorSearch {
   // materialization), and k-means cells are size-balanced by
   // construction (measured 41–63 members/cell at sf0.01), unlike raw
   // labels a skewed corpus could blow up. The decision agg is one
-  // groupBy on the dropped side only.
+  // groupBy on the dropped side only. Cost is Σ cell²·d, so k MUST
+  // scale with the corpus to hold cell size constant (the paper's own
+  // regime: 11k clusters for 1.3B docs) — with this table's fixed
+  // k = 10 labels the pair join grows quadratically past ~10× (the
+  // COVERAGE second-wave scale table documents the measured cliff);
+  // at production scale feed cells from a v07 refinement with k ∝ N.
   private val D14Tau = 0.4
   val d14 = Q(
     "d14_semantic_dedup",
