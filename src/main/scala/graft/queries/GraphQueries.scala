@@ -94,5 +94,94 @@ object GraphQueries {
       GraphOps.degrees(nodes, edges(s, dir))
   }
 
-  val all: Seq[Q] = Seq(g01, g02)
+  // ---------------------------------------------------------------
+  // g03 PageRank over the transition graph (Brin/Page 1998) — the
+  // node-importance ranking on the behavioral graph the g-family
+  // analyzes: which event types are the "hubs" user flows concentrate
+  // into. 5 damped iterations (d = 0.85) in EXACT INTEGER arithmetic
+  // on 1e12-scaled ranks — every step is floor division on
+  // non-negative BIGINTs, identical in both engines (no float
+  // summation order, no convergence-epsilon ambiguity):
+  //   r₀(v)    = S // N                       (S = 1e12)
+  //   rᵢ(v)    = (0.15·S) // N + Σ_u ((rᵢ₋₁(u)·17) // 20 · c(u,v)) // out(u)
+  // Dangling nodes leak their mass (the simplified variant; the
+  // oracle and the engine leak identically). Contributions sum as
+  // integers — order-independent.
+  //
+  // Scale shape: the corpus-cardinality work is the transition
+  // collapse (one window + one map-side-combinable groupBy — e18's
+  // grain, shared semantics). The transition matrix is |types|²
+  // rows — bounded, closed-set driver state exactly like the k-means
+  // codebook (v07's sync point) — so the 5 iterations run as driver
+  // integer arithmetic instead of 10+ scheduled no-op shuffles over a
+  // 64-row relation; the oracle unrolls the same five steps as CTEs.
+  private val PrS = 1000000000000L
+  private val PrBase = 150000000000L // 0.15 · S, exact
+  private val PrIters = 5
+  val g03 = Q(
+    "g03_pagerank",
+    s"""WITH t AS (SELECT user_id, event_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |                          ORDER BY event_id) AS prev
+      |  FROM events),
+      |tr AS (SELECT prev AS src, event_type AS dst,
+      |         CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM t WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |o AS (SELECT src AS v, CAST(SUM(c) AS BIGINT) AS cnt
+      |      FROM tr GROUP BY src),
+      |nd AS (SELECT DISTINCT event_type AS v FROM events),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nd),
+      |p0 AS (SELECT v, $PrS // nn.n AS r FROM nd CROSS JOIN nn),
+      |${(1 to PrIters).map(i =>
+        s"""p$i AS (SELECT nd.v, ($PrBase // nn.n)
+          |    + COALESCE(s$i.cb, 0) AS r
+          |  FROM nd CROSS JOIN nn LEFT JOIN
+          |    (SELECT tr.dst AS v,
+          |       CAST(SUM((((p${i - 1}.r * 17) // 20) * tr.c) // o.cnt)
+          |         AS BIGINT) AS cb
+          |     FROM p${i - 1} JOIN tr ON p${i - 1}.v = tr.src
+          |       JOIN o ON o.v = tr.src
+          |     GROUP BY tr.dst) s$i ON s$i.v = nd.v)""".stripMargin)
+        .mkString(",\n")}
+      |SELECT v AS event_type, r AS rank_scaled,
+      |  r::DOUBLE / 1e12 AS pagerank
+      |FROM p$PrIters""".stripMargin) { (s, dir) =>
+    val byUser = Window.partitionBy("user_id").orderBy("event_id")
+    val ev = Tables.load(s, dir, "events")
+    val tr = ev
+      .select(col("event_type").as("dst"),
+        lag("event_type", 1).over(byUser).as("src"))
+      .filter(col("src").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+    // |types|²-bounded driver state (closed event-type set — the
+    // codebook justification); the corpus-scale window+collapse above
+    // ran distributed
+    val nodes = ev.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted
+    if (nodes.isEmpty) {
+      ev.select(col("event_type"), lit(0L).as("rank_scaled"),
+        lit(0.0).as("pagerank")).limit(0)
+    } else {
+      val edgeRows = tr.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val out = edgeRows.groupBy(_._1).map { case (u, es) =>
+        u -> es.map(_._3).sum
+      }
+      val n = nodes.length.toLong
+      var rank: Map[String, Long] = nodes.map(_ -> PrS / n).toMap
+      (1 to PrIters).foreach { _ =>
+        val contrib = scala.collection.mutable.Map.empty[String, Long]
+          .withDefaultValue(0L)
+        edgeRows.foreach { case (u, v, c) =>
+          contrib(v) += (((rank(u) * 17) / 20) * c) / out(u)
+        }
+        rank = nodes.map(v => v -> (PrBase / n + contrib(v))).toMap
+      }
+      import s.implicits._
+      nodes.toSeq.map(v => (v, rank(v), rank(v).toDouble / 1e12))
+        .toDF("event_type", "rank_scaled", "pagerank")
+    }
+  }
+
+  val all: Seq[Q] = Seq(g01, g02, g03)
 }

@@ -807,6 +807,33 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(out(("y", 2L)) === ((9L, 2L, false)))
   }
 
+  test("g03: PageRank — a symmetric 2-cycle is the exact fixed point, " +
+      "a dangling sink accumulates while its source decays, integer " +
+      "floor arithmetic to the last digit") {
+    import spark.implicits._
+    def evDir(rows: Seq[(Long, Long, String)]): String = {
+      val dir = Files.createTempDirectory("pq").toFile.getAbsolutePath
+      rows.toDF("user_id", "event_id", "event_type")
+        .write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    def ranks(dir: String): Map[String, Long] =
+      queries.GraphQueries.g03.run(spark, dir).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          r.getAs[Long]("rank_scaled")).toMap
+    // case A: a→b and b→a (one user: a,b,a) — perfectly symmetric,
+    // so r stays S/2 forever: 75e9 base + ((5e11·17)//20)·c//out
+    // = 75e9 + 425e9 = 5e11 at every iteration, both nodes.
+    val a = ranks(evDir(Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"))))
+    assert(a === Map("a" -> 500000000000L, "b" -> 500000000000L))
+    // case B: a→b only; b dangles (leaks). r0 = 5e11 each.
+    // i1: r(a) = 75e9; r(b) = 75e9 + (5e11·17)//20 = 5e11.
+    // i2+: contrib from a is ((75e9·17)//20) = 63_750_000_000,
+    // stable → r(b) = 138_750_000_000 from i2 on.
+    val b = ranks(evDir(Seq((1L, 1L, "a"), (1L, 2L, "b"))))
+    assert(b === Map("a" -> 75000000000L, "b" -> 138750000000L))
+  }
+
   test("property: e18 ≡ plain Scala transition counter on random " +
       "event streams (seeded)") {
     import spark.implicits._
