@@ -1335,7 +1335,113 @@ object VectorSearch {
       }
   }
 
+  // ---------------------------------------------------------------
+  // v14 retrieval-metrics report — the ranking-quality scoreboard a
+  // retrieval stack actually publishes (v06's recall@5 one level up):
+  // MRR and NDCG of the lossy tiers (v03 LSH ANN, v13 hybrid RRF)
+  // against v01's exact top-5 truth, per (method, query). Both
+  // metrics stay EXACT-integer until the final division: reciprocal
+  // rank is S // first_hit_rank on 1e12-scaled S, and the DCG
+  // discount is the inventory's integer floor-log2 bits —
+  // gain(rank) = S // bits(rank+1) — summed as BIGINTs (the
+  // float-log2 discount would hang NDCG on cross-engine summation
+  // order; the bits discount is the same retrieval-order-sensitive
+  // shape, deterministic). IDCG comes from each query's OWN truth
+  // size, so short truth lists (tiny corpora) normalize correctly.
+  //
+  // Single-sourced like d09/s11: Spark composes the three operators'
+  // own run() plans; the oracle embeds their oracle SQL as
+  // parenthesized subqueries (nested WITH — no CTE-name collisions),
+  // so the report can never drift from what the methods compute.
+  // Scale shape: every relation past the method plans is
+  // queries×k-bounded; the joins are (q_id, neighbor_id) equi-joins
+  // on those bounded lists. v03 evaluates every %50 query id
+  // (unbounded with the corpus) — the truth spine restricts the
+  // report to v01's bounded query set.
+  val v14 = Q(
+    "v14_retrieval_metrics",
+    s"""WITH truth AS (SELECT q_id, neighbor_id, rnk
+      |    FROM (${v01.oracle.get}) z),
+      |m3 AS (SELECT 'v03_lsh' AS method, q_id, neighbor_id, rnk
+      |    FROM (${v03.oracle.get}) z),
+      |m13 AS (SELECT 'v13_rrf' AS method, q_id,
+      |      doc_id AS neighbor_id, rrf_rank AS rnk
+      |    FROM (${v13.oracle.get}) z),
+      |m AS (SELECT * FROM m3 UNION ALL SELECT * FROM m13),
+      |hits AS (SELECT m.method, m.q_id, m.rnk
+      |  FROM m JOIN truth t ON m.q_id = t.q_id
+      |    AND m.neighbor_id = t.neighbor_id),
+      |per AS (SELECT method, q_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_hits,
+      |    CAST(MIN(rnk) AS BIGINT) AS first_hit_rank,
+      |    CAST(SUM(1000000000000 //
+      |      CAST(length(bin(rnk + 1)) AS BIGINT)) AS BIGINT) AS dcg
+      |  FROM hits GROUP BY method, q_id),
+      |tn AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS c FROM truth
+      |       GROUP BY q_id),
+      |idcg AS (SELECT q_id,
+      |    CAST(SUM(1000000000000 //
+      |      CAST(length(bin(i + 1)) AS BIGINT)) AS BIGINT) AS idcg
+      |  FROM (SELECT q_id, unnest(range(1, c + 1)) AS i FROM tn)
+      |  GROUP BY q_id),
+      |spine AS (SELECT mm.method, tn.q_id FROM tn CROSS JOIN
+      |  (SELECT unnest(['v03_lsh', 'v13_rrf']) AS method) mm)
+      |SELECT spine.method, spine.q_id,
+      |  CAST(COALESCE(per.n_hits, 0) AS BIGINT) AS n_hits,
+      |  per.first_hit_rank,
+      |  CAST(COALESCE(1000000000000 // per.first_hit_rank, 0)
+      |    AS BIGINT) AS mrr_scaled,
+      |  CAST(COALESCE(per.dcg, 0) AS BIGINT) AS dcg_scaled,
+      |  idcg.idcg AS idcg_scaled,
+      |  COALESCE(per.dcg, 0)::DOUBLE / idcg.idcg::DOUBLE AS ndcg
+      |FROM spine LEFT JOIN per ON spine.method = per.method
+      |    AND spine.q_id = per.q_id
+      |  JOIN idcg ON spine.q_id = idcg.q_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    // S // d via floor(double): divisors here are ≤ 11, where the
+    // double quotient's error (≤ ulp(1e12/2) ≈ 3e-5) can never cross
+    // an integer boundary — exact-divisor cases are exactly
+    // representable — so floor equals the oracle's BIGINT `//`.
+    def floorDiv(d: org.apache.spark.sql.Column) =
+      floor(lit(1e12) / d.cast(DoubleType)).cast(LongType)
+    def bitsDiv(rnk: org.apache.spark.sql.Column) =
+      floorDiv(length(bin(rnk.cast(LongType) + 1)))
+    val truth = graft.operators.Pin(
+      v01.run(s, dir).select("q_id", "neighbor_id", "rnk"))
+    val m = v03.run(s, dir)
+      .select(lit("v03_lsh").as("method"), col("q_id"),
+        col("neighbor_id"), col("rnk"))
+      .union(v13.run(s, dir)
+        .select(lit("v13_rrf").as("method"), col("q_id"),
+          col("doc_id").as("neighbor_id"), col("rrf_rank").as("rnk")))
+    val per = m
+      .join(truth.select("q_id", "neighbor_id"), Seq("q_id", "neighbor_id"))
+      .groupBy("method", "q_id")
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("rnk").cast(LongType)).as("first_hit_rank"),
+        sum(bitsDiv(col("rnk"))).as("dcg"))
+    val tn = truth.groupBy("q_id").agg(count(lit(1)).as("c"))
+    val idcg = tn
+      .select(col("q_id"),
+        explode(sequence(lit(1L), col("c"))).as("i"))
+      .select(col("q_id"), bitsDiv(col("i")).as("term"))
+      .groupBy("q_id").agg(sum("term").as("idcg_scaled"))
+    val spine = tn.select("q_id")
+      .crossJoin(Seq("v03_lsh", "v13_rrf").toDF("method"))
+    spine.join(per, Seq("method", "q_id"), "left")
+      .join(idcg, "q_id")
+      .select(col("method"), col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("first_hit_rank"),
+        coalesce(floorDiv(col("first_hit_rank")), lit(0L))
+          .as("mrr_scaled"),
+        coalesce(col("dcg"), lit(0L)).as("dcg_scaled"),
+        col("idcg_scaled"),
+        (coalesce(col("dcg"), lit(0L)).cast(DoubleType) /
+          col("idcg_scaled").cast(DoubleType)).as("ndcg"))
+  }
+
   val all: Seq[Q] =
     Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13,
-      d14)
+      d14, v14)
 }

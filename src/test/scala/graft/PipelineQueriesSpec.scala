@@ -834,6 +834,46 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(b === Map("a" -> 75000000000L, "b" -> 138750000000L))
   }
 
+  test("v14: retrieval metrics ≡ plain Scala recomputation from the " +
+      "methods' own outputs (MRR, integer-bits DCG, per-query IDCG)") {
+    val dir = "/root/testdata/sf0.001"
+    val S = 1000000000000L
+    def bits(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    val truth = queries.VectorSearch.v01.run(spark, dir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))
+    val truthByQ = truth.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def lists(df: org.apache.spark.sql.DataFrame, id: String,
+        rk: String): Map[(Long, Long), Long] =
+      df.collect().map(r => (r.getAs[Long]("q_id"),
+        r.getAs[Long](id)) -> r.getAs[Int](rk).toLong).toMap
+    val methods = Map(
+      "v03_lsh" -> lists(queries.VectorSearch.v03.run(spark, dir),
+        "neighbor_id", "rnk"),
+      "v13_rrf" -> lists(queries.VectorSearch.v13.run(spark, dir),
+        "doc_id", "rrf_rank"))
+    val got = queries.VectorSearch.v14.run(spark, dir).collect()
+      .map(r => (r.getAs[String]("method"), r.getAs[Long]("q_id")) -> r)
+      .toMap
+    assert(got.size === methods.size * truthByQ.size)
+    for ((method, list) <- methods; (q, tset) <- truthByQ) {
+      val hits = list.collect {
+        case ((`q`, n), rnk) if tset.contains(n) => rnk
+      }.toSeq
+      val dcg = hits.map(r => S / bits(r + 1)).sum
+      val idcg = (1 to tset.size).map(i => S / bits(i + 1L)).sum
+      val row = got((method, q))
+      assert(row.getAs[Long]("n_hits") === hits.size.toLong, s"$method $q")
+      assert(Option(row.get(row.fieldIndex("first_hit_rank"))) ===
+        (if (hits.isEmpty) None else Some(hits.min)), s"$method $q")
+      assert(row.getAs[Long]("mrr_scaled") ===
+        (if (hits.isEmpty) 0L else S / hits.min), s"$method $q")
+      assert(row.getAs[Long]("dcg_scaled") === dcg, s"$method $q")
+      assert(row.getAs[Long]("idcg_scaled") === idcg, s"$method $q")
+      assert(row.getAs[Double]("ndcg") === dcg.toDouble / idcg.toDouble,
+        s"$method $q")
+    }
+  }
+
   test("property: e18 ≡ plain Scala transition counter on random " +
       "event streams (seeded)") {
     import spark.implicits._

@@ -189,7 +189,13 @@ class PlanAuditSpec extends SparkTestBase {
       //       top-5 rank window. A second exchange means the scan
       //       regressed to the (sub, code) join + re-agg shape    -> 1
       "v09_pq_adc_search" -> 1,
-      "v10_ivfpq_search" -> 1)
+      "v10_ivfpq_search" -> 1,
+      //  v14: the three method plans pay their own exchanges (v01's
+      //       truth window inside the pin build; v03's bucket join +
+      //       rank window; v13's audited 9); the metric tail past
+      //       them — hit join, per-(method, q) agg, idcg explode agg,
+      //       spine + report joins — is queries×k-bounded
+      "v14_retrieval_metrics" -> 13)
     val got = audited.map { case (name, _) =>
       name -> executedShuffleCount(build(name))
     }
