@@ -400,6 +400,86 @@ object Multimodal {
     spark.createDataFrame(rdd, sniffedSchema)
   }
 
+  // --- PDF header-metadata tier -----------------------------------
+  // The document sibling of the audio/video sniffers (SURVEY §2.1's
+  // pdf tool row, metadata grain): version, page/object counts, and
+  // the linearization flag come off the raw bytes with no PDF
+  // library. Page counting scans for uncompressed `/Type /Page`
+  // dictionaries (the standard codec-free heuristic) — pages stored
+  // inside compressed object streams (PDF 1.5+ xref streams)
+  // undercount, which is the honest limit of the zero-dependency
+  // rule, the same degrade contract as the codec-less video tier.
+
+  val pdfSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("pdf_version", StringType, nullable = true),
+    StructField("n_pages", LongType, nullable = true),
+    StructField("n_objects", LongType, nullable = true),
+    StructField("linearized", BooleanType, nullable = true)))
+
+  private def isPdfWs(c: Int): Boolean =
+    c == ' ' || c == '\r' || c == '\n' || c == '\t' || c == 0 || c == 12
+
+  /** Parsed PDF header facts of one blob; all-null = not a PDF. */
+  private[graft] def sniffPdf(b: Array[Byte]): Row = {
+    if (b == null || b.length < 8 || !ascii(b, 0, "%PDF-"))
+      return Row(null, null, null, null)
+    // version: the chars after "%PDF-" up to the first whitespace
+    // (bounded at 8 — real versions are "1.0".."2.0")
+    val vEnd = (5 until math.min(b.length, 13))
+      .find(i => isPdfWs(b(i) & 0xff)).getOrElse(math.min(b.length, 13))
+    val version = new String(b, 5, vEnd - 5, "US-ASCII")
+    // /Type <ws*> /Page not followed by a letter -> one page object;
+    // "/Pages" (the tree node) must NOT count
+    var pages = 0L
+    var objs = 0L
+    var i = 0
+    while (i < b.length) {
+      if ((b(i) & 0xff) == '/' && ascii(b, i, "/Type")) {
+        var j = i + 5
+        while (j < b.length && isPdfWs(b(j) & 0xff)) j += 1
+        if (ascii(b, j, "/Page")) {
+          val nxt = if (j + 5 < b.length) b(j + 5) & 0xff else -1
+          if (!(nxt >= 'A' && nxt <= 'Z') && !(nxt >= 'a' && nxt <= 'z'))
+            pages += 1
+        }
+      }
+      // "N G obj" headers: the token `obj` delimited by whitespace
+      if ((b(i) & 0xff) == 'o' && ascii(b, i, "obj") &&
+          i > 0 && isPdfWs(b(i - 1) & 0xff) &&
+          (i + 3 >= b.length || isPdfWs(b(i + 3) & 0xff) ||
+            (b(i + 3) & 0xff) == '<'))
+        objs += 1
+      i += 1
+    }
+    // a linearized PDF declares /Linearized in its first-page dict,
+    // which the spec requires near the file head
+    val head = math.min(b.length, 2048)
+    var lin = false
+    i = 0
+    while (!lin && i + 11 <= head) {
+      if ((b(i) & 0xff) == '/' && ascii(b, i, "/Linearized")) lin = true
+      i += 1
+    }
+    Row(version, pages, objs, lin)
+  }
+
+  /** PDF header metadata for every media row — [[sniffMetadata]]'s
+    * shape for the document tier; non-PDF blobs degrade to all-null
+    * fields (format dispatch stays with [[sniffMetadata]]). */
+  def pdfMetadata(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content").rdd.mapPartitions {
+      rows =>
+        rows.map { r =>
+          val bytes =
+            if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          Row.fromSeq(r.getLong(0) +: sniffPdf(bytes).toSeq)
+        }
+    }
+    spark.createDataFrame(rdd, pdfSchema)
+  }
+
   /** Frame-sampling shape for time-media: pick every `stride`-th frame
     * index up to `durationMs` — pure metadata arithmetic, no decode;
     * the exploded (media_id, frame_idx) rows drive a later batched

@@ -84,6 +84,38 @@ class MultimodalSpec extends SparkTestBase {
     assert(f(1).getAs[Long]("n_bytes") === 0L)
   }
 
+  test("pdf metadata: version, uncompressed page objects (tree node " +
+      "and /Pages excluded), obj-token count, linearized flag, " +
+      "non-PDF null degrade") {
+    val pdf = ("%PDF-1.7\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n" +
+      "4 0 obj\n<</Type/Page /Parent 2 0 R >>\nendobj\n" + // no-space form
+      "trailer\n<< /Root 1 0 R >>\n%%EOF").getBytes("US-ASCII")
+    val r = Multimodal.sniffPdf(pdf)
+    assert(r.getString(0) === "1.7")
+    assert(r.getLong(1) === 2L) // two /Type /Page; /Pages NOT counted
+    assert(r.getLong(2) === 4L) // four "N G obj" headers
+    assert(r.getBoolean(3) === false)
+    val lin = ("%PDF-1.4\n1 0 obj\n<< /Linearized 1 /N 1 >>\nendobj\n" +
+      "%%EOF").getBytes("US-ASCII")
+    val rl = Multimodal.sniffPdf(lin)
+    assert(rl.getString(0) === "1.4" && rl.getBoolean(3))
+    assert(rl.getLong(1) === 0L)
+    // DataFrame tier: non-PDF and null content degrade to all-null
+    val rows = java.util.Arrays.asList(
+      Row(1L, "document", null, null, null, pdf),
+      Row(2L, "document", null, null, null, "not a pdf".getBytes),
+      Row(3L, "document", null, null, null, null))
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val out = Multimodal.pdfMetadata(media).orderBy("media_id").collect()
+    assert(out(0).getAs[String]("pdf_version") === "1.7")
+    assert(out(0).getAs[Long]("n_pages") === 2L)
+    assert(out(1).isNullAt(out(1).fieldIndex("pdf_version")))
+    assert(out(2).isNullAt(out(2).fieldIndex("n_pages")))
+  }
+
   test("sampleFrameIndexes: metadata-only frame sampling") {
     val rows = java.util.Arrays.asList(
       Row(7L, "video", null, null, 1000L, null))
