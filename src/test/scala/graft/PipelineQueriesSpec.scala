@@ -267,8 +267,8 @@ class PipelineQueriesSpec extends SparkTestBase {
     Seq.empty[(Long, Array[Float], Int)]
       .toDF("vec_id", "embedding", "label")
       .write.parquet(s"$dir/embeddings.parquet")
-    Seq.empty[(Long, Long, String)]
-      .toDF("user_id", "event_id", "event_type")
+    Seq.empty[(Long, Long, String, java.sql.Timestamp)]
+      .toDF("user_id", "event_id", "event_type", "ts")
       .write.parquet(s"$dir/events.parquet")
     // per-row / filtered queries: empty in, empty out
     Seq(queries.TextAnalysis.t09, queries.TextAnalysis.t10,
@@ -286,7 +286,8 @@ class PipelineQueriesSpec extends SparkTestBase {
       queries.VectorSearch.v13, queries.VectorSearch.d14,
       queries.SourceQueries.s10, queries.SourceQueries.s11,
       queries.SourceQueries.s12, queries.SourceQueries.s13,
-      queries.EventAnalytics.e18)
+      queries.VectorSearch.v14, queries.GraphQueries.g03,
+      queries.EventAnalytics.e18, queries.EventAnalytics.e19)
       .foreach { q =>
         assert(q.run(spark, dir).count() === 0L, s"${q.name} not empty")
       }
