@@ -579,9 +579,12 @@ case class PqEncodeStats(child: Expression, subDims: Int,
   * This replaces the (sub, code) equi-join + re-aggregation shape:
   * the corpus relation is scanned ONCE and never joins — the fan-out
   * to queries exists only as the emitted array, consumed by
-  * posexplode in the same stage. A code id absent from the LUT (can
-  * only happen on a codebook/LUT mismatch bug) yields a null entry
-  * rather than a silent 0.
+  * posexplode in the same stage. JOIN semantics are preserved
+  * exactly: a (sub, code) pair with no LUT entry — a corpus vector
+  * with more subspaces than the query's LUT covers, or a code id the
+  * LUT never saw — contributes NOTHING to that query's sum (the
+  * oracle's equi-join simply has no matching row), yielding the same
+  * partial sum, never a null or a poisoned total.
   */
 case class PqAdcLut(child: Expression, codeIds: Seq[Int],
     lut: Seq[Seq[Long]])
@@ -618,16 +621,16 @@ case class PqAdcLut(child: Expression, codeIds: Seq[Int],
     while (q < lutArr.length) {
       val t = lutArr(q)
       var s = 0L
-      var ok = true
       var sub = 0
-      while (ok && sub < nSubs) {
+      while (sub < nSubs) {
         val ci = idx.get(codes.getInt(sub))
-        val pos = sub * k + (if (ci == null) -1 else ci.intValue())
-        if (ci == null || pos >= t.length) ok = false
-        else s += t(pos)
+        if (ci != null) {
+          val pos = sub * k + ci.intValue()
+          if (pos < t.length) s += t(pos) // absent pair: join no-match
+        }
         sub += 1
       }
-      out(q) = if (ok) s else null
+      out(q) = s
       q += 1
     }
     new GenericArrayData(out)

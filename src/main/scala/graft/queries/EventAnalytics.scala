@@ -629,11 +629,16 @@ object EventAnalytics {
   // no float mean/variance whose summation order could differ
   // cross-engine: with n/Σc/Σc² from the frame,
   //   spike ⇔ n ≥ 6 ∧ (n·c − Σc) > 0 ∧ (n·c − Σc)² > 9·(n·Σc² − (Σc)²)
-  // is (c − μ) > 3σ cleared of denominators. A zero-variance baseline
-  // makes any strict increase a spike (rhs = 0). Hours with zero
-  // events of a type are ABSENT, so the frame spans the last ≤24
-  // observed hours — the sparse-series semantics; a calendar fill
-  // would densify but needs a spine join.
+  // is (c − μ) > 3σ cleared of denominators. The squared/products
+  // side runs in DECIMAL(38,0) (oracle: HUGEINT) — Σc² and dev²
+  // exceed 64 bits once hourly counts pass ~10⁸, wrapping silently in
+  // non-ANSI BIGINT while the oracle errors (the e18/g03 overflow
+  // lesson); 38 digits covers counts to ~10¹⁷/hour, beyond any event
+  // volume, and past THAT both engines error identically instead of
+  // diverging. A zero-variance baseline makes any strict increase a
+  // spike (rhs = 0). Hours with zero events of a type are ABSENT, so
+  // the frame spans the last ≤24 observed hours — the sparse-series
+  // semantics; a calendar fill would densify but needs a spine join.
   //
   // Scale shape: one (type, hour) collapse (map-side combinable —
   // the only corpus-cardinality shuffle), then the rank window runs
@@ -648,32 +653,40 @@ object EventAnalytics {
       |z AS (SELECT event_type, bucket_ms, n_events,
       |    CAST(COUNT(*) OVER w AS BIGINT) AS n_baseline,
       |    CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT) AS sc,
-      |    CAST(COALESCE(SUM(n_events*n_events) OVER w, 0) AS BIGINT) AS scc
+      |    CAST(COALESCE(SUM(CAST(n_events AS HUGEINT) * n_events)
+      |      OVER w, 0) AS HUGEINT) AS scc
       |  FROM hc
       |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ms
       |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
       |SELECT event_type, bucket_ms, n_events, n_baseline,
       |  sc AS baseline_sum,
-      |  (n_baseline >= 6 AND (n_baseline*n_events - sc) > 0
-      |    AND (n_baseline*n_events - sc)*(n_baseline*n_events - sc)
-      |      > 9 * (n_baseline*scc - sc*sc)) AS is_spike
+      |  (n_baseline >= 6
+      |    AND (CAST(n_baseline AS HUGEINT)*n_events - sc) > 0
+      |    AND (CAST(n_baseline AS HUGEINT)*n_events - sc)
+      |      * (CAST(n_baseline AS HUGEINT)*n_events - sc)
+      |      > 9 * (CAST(n_baseline AS HUGEINT)*scc
+      |             - CAST(sc AS HUGEINT)*sc)) AS is_spike
       |FROM z""".stripMargin) { (s, dir) =>
+    val dec38 = DecimalType(38, 0)
     val w = Window.partitionBy("event_type").orderBy("bucket_ms")
       .rowsBetween(-24, -1)
     val hc = Tables.load(s, dir, "events")
       .groupBy(col("event_type"),
         expr("(ts div 3600000000000) * 3600000").as("bucket_ms"))
       .agg(count(lit(1)).as("n_events"))
-    val dev = col("n_baseline") * col("n_events") - col("sc")
+    val dev =
+      col("n_baseline").cast(dec38) * col("n_events") - col("sc")
     hc.withColumn("n_baseline", count(lit(1)).over(w))
       .withColumn("sc", coalesce(sum("n_events").over(w), lit(0L)))
-      .withColumn("scc",
-        coalesce(sum(col("n_events") * col("n_events")).over(w), lit(0L)))
+      .withColumn("scc", coalesce(
+        sum(col("n_events").cast(dec38) * col("n_events")).over(w),
+        lit(0).cast(dec38)))
       .select(col("event_type"), col("bucket_ms"), col("n_events"),
         col("n_baseline"), col("sc").as("baseline_sum"),
         (col("n_baseline") >= 6 && dev > 0 &&
-          dev * dev > lit(9) * (col("n_baseline") * col("scc") -
-            col("sc") * col("sc"))).as("is_spike"))
+          dev * dev > lit(9) * (col("n_baseline").cast(dec38) *
+            col("scc") - col("sc").cast(dec38) * col("sc")))
+          .as("is_spike"))
   }
 
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,

@@ -106,7 +106,13 @@ object GraphQueries {
   //   rᵢ(v)    = (0.15·S) // N + Σ_u ((rᵢ₋₁(u)·17) // 20 · c(u,v)) // out(u)
   // Dangling nodes leak their mass (the simplified variant; the
   // oracle and the engine leak identically). Contributions sum as
-  // integers — order-independent.
+  // integers — order-independent. The per-edge term evaluates in the
+  // overflow-free split form (exact identity, since c ≤ out):
+  //   floor(r17·c/out) = (r17 // out)·c + floor((r17 % out)·c / out)
+  // where only the remainder product can exceed 64 bits — it runs in
+  // HUGEINT (oracle) / BigInt (driver), bounded by out² < 2^126, so
+  // a hot edge with billions of transitions neither wraps silently
+  // here nor aborts the oracle (the e18 overflow lesson).
   //
   // Scale shape: the corpus-cardinality work is the transition
   // collapse (one window + one map-side-combinable groupBy — e18's
@@ -137,7 +143,10 @@ object GraphQueries {
           |    + COALESCE(s$i.cb, 0) AS r
           |  FROM nd CROSS JOIN nn LEFT JOIN
           |    (SELECT tr.dst AS v,
-          |       CAST(SUM((((p${i - 1}.r * 17) // 20) * tr.c) // o.cnt)
+          |       CAST(SUM(
+          |         ((((p${i - 1}.r * 17) // 20) // o.cnt) * tr.c)
+          |         + CAST((CAST(((p${i - 1}.r * 17) // 20) % o.cnt
+          |             AS HUGEINT) * tr.c) // o.cnt AS BIGINT))
           |         AS BIGINT) AS cb
           |     FROM p${i - 1} JOIN tr ON p${i - 1}.v = tr.src
           |       JOIN o ON o.v = tr.src
@@ -173,7 +182,11 @@ object GraphQueries {
         val contrib = scala.collection.mutable.Map.empty[String, Long]
           .withDefaultValue(0L)
         edgeRows.foreach { case (u, v, c) =>
-          contrib(v) += (((rank(u) * 17) / 20) * c) / out(u)
+          val r17 = (rank(u) * 17) / 20
+          val ou = out(u)
+          // overflow-free split (scaladoc identity); the remainder
+          // product runs in BigInt exactly as the oracle's HUGEINT
+          contrib(v) += (r17 / ou) * c + ((BigInt(r17 % ou) * c) / ou).toLong
         }
         rank = nodes.map(v => v -> (PrBase / n + contrib(v))).toMap
       }

@@ -459,9 +459,14 @@ object VectorSearch {
   // into BIGINTs (v02's construction) — bit-identical cross-engine;
   // argmin tie-breaks on cell id via struct ordering, mirroring the
   // oracle's ORDER BY ds, cell.
-  val v07 = Q(
-    "v07_kmeans_refine",
-    """WITH ex AS (
+  /** Shared oracle CTE chain for k-means cell assignment (v07 + d14
+    * — ONE centroid/argmin definition across the vector tier, the
+    * same single-sourcing contract as [[pqCodesCtes]]): `ex` element
+    * rows → `cen`/`cm` exact scaled-integer per-label centroid means
+    * → `d` per-(vector, cell) rounded-term distance → `a` argmin cell
+    * (ties → smallest cell, the oracle's ORDER BY ds, cell). */
+  private val kmAssignCtes =
+    """ex AS (
       |  SELECT vec_id, label, generate_subscripts(embedding,1) AS pos,
       |    unnest(embedding) AS x
       |  FROM embeddings),
@@ -478,7 +483,11 @@ object VectorSearch {
       |a AS (SELECT vec_id, cell FROM (
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
       |      ORDER BY ds, cell) AS rnk FROM d) t
-      |  WHERE rnk = 1),
+      |  WHERE rnk = 1)""".stripMargin
+
+  val v07 = Q(
+    "v07_kmeans_refine",
+    s"""WITH $kmAssignCtes,
       |ax AS (SELECT a.cell, ex.pos, ex.x
       |  FROM ex JOIN a ON ex.vec_id = a.vec_id),
       |ncm AS (SELECT cell, pos,
@@ -538,13 +547,14 @@ object VectorSearch {
     val best = VectorExprs.centroidArgmin(col("embedding"),
       cells, cells.map(l => cen(l).toSeq))
     // pinned: two consumers (membership stats and the re-average)
-    // would otherwise each pay the k-way distance scan. A null
-    // embedding assigns a null cell (argmin is null-safe), so the
-    // null-drop filters the INPUT column — filtering `cell` would
-    // push the predicate below the projection and re-run the native
-    // argmin per row.
+    // would otherwise each pay the k-way distance scan. NULL and
+    // EMPTY embeddings both drop — the oracle's unnest emits no rows
+    // for either, so they exist in no `a` assignment — and the one
+    // size predicate covers both (size(null) is null) ON THE INPUT
+    // COLUMN: filtering `cell` would push the predicate below the
+    // projection and re-run the native argmin per row.
     val assigned = graft.operators.Pin(
-      emb.filter(col("embedding").isNotNull)
+      emb.filter(size(col("embedding")) > 0)
         .select(col("vec_id"), col("label"), col("embedding"),
           best.as("cell")))
     val mem = assigned.groupBy("cell").agg(
@@ -764,41 +774,56 @@ object VectorSearch {
     * HALF_UP-rounded 1e12-scale terms ([[graft.functions.ExactRound]],
     * the same decisions as Spark's round() and DuckDB's) summed per
     * (query, sub, code) as integers. Null query elements contribute no
-    * term (the oracle's SUM skips the null rounded term). Returns the
-    * query ids (the explode-position → q_id map) and the LUTs. */
+    * term (the oracle's SUM skips the null rounded term); a NULL query
+    * embedding consumes its LIMIT slot (the oracle's `q` CTE has no
+    * null filter) but builds no LUT — the query is absent from the
+    * output, exactly as the oracle's unnest emits nothing for it.
+    * Returns the query ids (the explode-position → q_id map) and the
+    * LUTs. */
   private def collectAdcLut(emb: DataFrame, codeIds: Seq[Int],
       cen: Map[Int, Array[Double]]): (Seq[Long], Seq[Seq[Long]]) = {
     val k = codeIds.length
     val qRows = emb.filter(col("vec_id") % 50 === 0)
       .orderBy("vec_id").limit(V01Queries)
       .select("vec_id", "embedding").collect()
-    val built = qRows.map { r =>
-      val xs = r.getSeq[Any](1)
-      val nSubs = (xs.length + SubDims - 1) / SubDims
-      val t = new Array[Long](nSubs * k)
-      var sub = 0
-      while (sub < nSubs) {
-        var ci = 0
-        while (ci < k) {
-          val m = cen(codeIds(ci))
-          var s = 0L
-          var i = sub * SubDims
-          val hi = math.min(xs.length, i + SubDims)
-          while (i < hi) {
-            xs(i) match {
-              case f: java.lang.Float if i < m.length =>
-                val d = f.toDouble - m(i)
+    val built = qRows.flatMap { r =>
+      // null AND empty query embeddings consume their LIMIT slot but
+      // build no LUT: the oracle's unnest emits no rows for either,
+      // so the query is absent from its lut CTE and from the output
+      if (r.isNullAt(1) || r.getSeq[Any](1).isEmpty) None
+      else {
+        val xs = r.getSeq[Any](1)
+        val nSubs = (xs.length + SubDims - 1) / SubDims
+        val t = new Array[Long](nSubs * k)
+        var sub = 0
+        while (sub < nSubs) {
+          var ci = 0
+          while (ci < k) {
+            val m = cen(codeIds(ci))
+            var s = 0L
+            var i = sub * SubDims
+            val hi = math.min(xs.length, i + SubDims)
+            while (i < hi) {
+              // float AND double element layouts (both accepted by the
+              // natives' checkInputDataTypes; the oracle casts ::DOUBLE)
+              val xi: java.lang.Double = xs(i) match {
+                case f: java.lang.Float => f.toDouble
+                case d: java.lang.Double => d
+                case _ => null // null element: no term (oracle SUM skip)
+              }
+              if (xi != null && i < m.length) {
+                val d = xi.doubleValue() - m(i)
                 s += graft.functions.ExactRound.halfUp(d * d * 1e12)
-              case _ => () // null element or past-codebook-width: no term
+              }
+              i += 1
             }
-            i += 1
+            t(sub * k + ci) = s
+            ci += 1
           }
-          t(sub * k + ci) = s
-          ci += 1
+          sub += 1
         }
-        sub += 1
+        Some((r.getLong(0), t.toSeq))
       }
-      (r.getLong(0), t.toSeq)
     }
     (built.map(_._1).toSeq, built.map(_._2).toSeq)
   }
@@ -820,7 +845,6 @@ object VectorSearch {
       .select(col("vec_id"), col("label"),
         posexplode(VectorExprs.pqAdcLut(col("f.codes"), codeIds, lut))
           .as(Seq("qp", "adc_scaled")))
-      .filter(col("adc_scaled").isNotNull)
       .withColumn("q_id", element_at(typedlit(qIds), col("qp") + 1))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
@@ -1268,24 +1292,7 @@ object VectorSearch {
   private val D14Tau = 0.4
   val d14 = Q(
     "d14_semantic_dedup",
-    s"""WITH ex AS (
-      |  SELECT vec_id, label, generate_subscripts(embedding,1) AS pos,
-      |    unnest(embedding) AS x
-      |  FROM embeddings),
-      |cen AS (SELECT label, pos,
-      |    CAST(SUM(round(x::DOUBLE*1e9)::BIGINT) AS BIGINT) AS sxs,
-      |    COUNT(*) AS c
-      |  FROM ex GROUP BY label, pos),
-      |cm AS (SELECT label, pos, sxs::DOUBLE / (c * 1e9) AS m FROM cen),
-      |d AS (SELECT ex.vec_id, cm.label AS cell,
-      |    CAST(SUM(round((ex.x::DOUBLE - cm.m)*(ex.x::DOUBLE - cm.m)*1e12)::BIGINT)
-      |      AS BIGINT) AS ds
-      |  FROM ex JOIN cm ON ex.pos = cm.pos
-      |  GROUP BY ex.vec_id, cm.label),
-      |a AS (SELECT vec_id, cell FROM (
-      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-      |      ORDER BY ds, cell) AS rnk FROM d) t
-      |  WHERE rnk = 1),
+    s"""WITH $kmAssignCtes,
       |n AS (SELECT vec_id,
       |    list_transform(embedding, x -> round(x::DOUBLE*1e6)::BIGINT) AS sx,
       |    CAST(list_sum(list_transform(
@@ -1312,11 +1319,14 @@ object VectorSearch {
           val best = VectorExprs.centroidArgmin(col("embedding"),
             cells, cells.map(l => cen(l).toSeq))
           // pinned: both self-join sides and the final left join read
-          // it — assignment + scale + norm run once per vector. The
-          // null-vector drop filters the INPUT column (v07's lesson:
-          // a filter on `cell` re-runs the native argmin per row).
+          // it — assignment + scale + norm run once per vector. NULL
+          // and EMPTY embeddings both drop (the oracle's unnest emits
+          // no rows for either, so they never reach the `a`
+          // assignment or the output), via one size predicate on the
+          // INPUT column (v07's lesson: a filter on `cell` re-runs
+          // the native argmin per row).
           val m = graft.operators.Pin(emb
-            .filter(col("embedding").isNotNull)
+            .filter(size(col("embedding")) > 0)
             .select(col("vec_id"), Fns.scaleVec(col("embedding")).as("sx"),
               best.as("cell"))
             .withColumn("nn", VectorExprs.normSqIntNative(col("sx"))))

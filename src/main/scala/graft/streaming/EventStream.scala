@@ -250,10 +250,15 @@ object EventStream {
           def close(): Unit = if (s.curBucket != Long.MinValue) {
             val n = s.ring.size.toLong
             val sc = s.ring.iterator.map(_._2).sum
-            val scc = s.ring.iterator.map(p => p._2 * p._2).sum
-            val dev = n * s.curCount - sc
+            // products in BigInt — Σc² and dev² pass 64 bits once
+            // hourly counts pass ~1e8 (the batch e19 runs these in
+            // DECIMAL(38,0) for the same reason)
+            val scc = s.ring.iterator
+              .map(p => BigInt(p._2) * p._2).sum
+            val dev = BigInt(n) * s.curCount - sc
             out += AnomalyUpdate(tpe, s.curBucket, s.curCount, n, sc,
-              n >= 6 && dev > 0 && dev * dev > 9 * (n * scc - sc * sc))
+              n >= 6 && dev > 0 &&
+                dev * dev > 9 * (n * scc - BigInt(sc) * sc))
             s = s.copy(
               ring = (s.ring :+ (s.curBucket -> s.curCount)).takeRight(24))
           }

@@ -875,6 +875,60 @@ class PipelineQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("v09/v10 degenerate vectors: a null query slot drops without " +
+      "crashing, empty vectors vanish, and a longer corpus vector " +
+      "scores a partial sum (the oracle's join semantics)") {
+    import spark.implicits._
+    // id 0 is the %50 query slot and its embedding is NULL — the old
+    // LUT collect NPE'd here; the oracle just emits no rows for it.
+    // id 3 is empty (absent everywhere); id 4 is LONGER than the
+    // query span — its extra subspaces have no LUT entries and must
+    // contribute nothing, not poison the neighbor to null.
+    val rows: Seq[(Long, Option[Array[Float]], Int)] = Seq(
+      (0L, None, 0),
+      (1L, Some(Array.fill(8)(0.5f)), 0),
+      (2L, Some(Array.fill(8)(-0.5f)), 1),
+      (3L, Some(Array.empty[Float]), 0),
+      (4L, Some(Array.fill(16)(0.5f)), 1),
+      (50L, Some(Array.fill(8)(0.4f)), 0)) // the only live query
+    val dir = Files.createTempDirectory("pq").toFile.getAbsolutePath
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val v09 = queries.VectorSearch.v09.run(spark, dir).collect()
+    assert(v09.nonEmpty)
+    assert(v09.forall(_.getAs[Long]("q_id") === 50L)) // null slot gone
+    val neighbors = v09.map(_.getAs[Long]("neighbor_id")).toSet
+    assert(neighbors.contains(4L)) // longer vector: partial sum, kept
+    assert(!neighbors.contains(3L)) // empty vector: absent
+    val v10 = queries.VectorSearch.v10.run(spark, dir).collect()
+    assert(v10.forall(_.getAs[Long]("q_id") === 50L))
+  }
+
+  test("d14/v07: empty-array embeddings are absent from assignment " +
+      "(oracle's unnest emits no rows for them)") {
+    val dir = embDir(Seq(
+      (1L, Array.fill(4)(1.0f), 0),
+      (2L, Array.empty[Float], 0), // must not appear anywhere
+      (3L, Array.fill(4)(-1.0f), 1)))
+    val d14 = queries.VectorSearch.d14.run(spark, dir).collect()
+    assert(d14.map(_.getAs[Long]("vec_id")).toSet === Set(1L, 3L))
+    val v07 = queries.VectorSearch.v07.run(spark, dir).collect()
+    assert(v07.map(_.getAs[Long]("n_members")).sum === 2L)
+  }
+
+  test("property: g03's overflow-free split contribution ≡ BigInt " +
+      "reference on edge counts past 64-bit products (seeded)") {
+    val rnd = new scala.util.Random(99)
+    (1 to 20000).foreach { _ =>
+      val out = 1L + (rnd.nextLong() & Long.MaxValue) % (Long.MaxValue / 2)
+      val c = 1L + (rnd.nextLong() & Long.MaxValue) % out // c <= out
+      val r17 = (rnd.nextLong() & Long.MaxValue) % 850000000001L
+      val split = (r17 / out) * c + ((BigInt(r17 % out) * c) / out).toLong
+      val ref = (BigInt(r17) * c / out).toLong
+      assert(split === ref, s"r17=$r17 c=$c out=$out")
+    }
+  }
+
   test("property: e18 ≡ plain Scala transition counter on random " +
       "event streams (seeded)") {
     import spark.implicits._
