@@ -405,10 +405,12 @@ object Multimodal {
   // pdf tool row, metadata grain): version, page/object counts, and
   // the linearization flag come off the raw bytes with no PDF
   // library. Page counting scans for uncompressed `/Type /Page`
-  // dictionaries (the standard codec-free heuristic) — pages stored
-  // inside compressed object streams (PDF 1.5+ xref streams)
-  // undercount, which is the honest limit of the zero-dependency
-  // rule, the same degrade contract as the codec-less video tier.
+  // dictionaries (the standard codec-free heuristic); stream bodies
+  // (`stream`..`endstream`) are skipped so compressed bytes can't
+  // false-positive the counters. Pages stored inside compressed
+  // object streams (PDF 1.5+ xref streams) still undercount — the
+  // honest limit of the zero-dependency rule, the same degrade
+  // contract as the codec-less video tier.
 
   val pdfSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -430,27 +432,44 @@ object Multimodal {
       .find(i => isPdfWs(b(i) & 0xff)).getOrElse(math.min(b.length, 13))
     val version = new String(b, 5, vEnd - 5, "US-ASCII")
     // /Type <ws*> /Page not followed by a letter -> one page object;
-    // "/Pages" (the tree node) must NOT count
+    // "/Pages" (the tree node) must NOT count. Bytes between a
+    // `stream` keyword and its `endstream` are BINARY DATA (content
+    // streams, images, xref streams) and are skipped wholesale —
+    // counting there produced false positives on real PDFs where
+    // compressed bytes happen to spell '/Type /Page' or ' obj '.
     var pages = 0L
     var objs = 0L
     var i = 0
     while (i < b.length) {
-      if ((b(i) & 0xff) == '/' && ascii(b, i, "/Type")) {
-        var j = i + 5
-        while (j < b.length && isPdfWs(b(j) & 0xff)) j += 1
-        if (ascii(b, j, "/Page")) {
-          val nxt = if (j + 5 < b.length) b(j + 5) & 0xff else -1
-          if (!(nxt >= 'A' && nxt <= 'Z') && !(nxt >= 'a' && nxt <= 'z'))
-            pages += 1
+      if ((b(i) & 0xff) == 's' && ascii(b, i, "stream") &&
+          !(i >= 3 && ascii(b, i - 3, "endstream")) &&
+          i > 0 && ((b(i - 1) & 0xff) == '>' || isPdfWs(b(i - 1) & 0xff))) {
+        // jump past the matching endstream (or EOF on truncation)
+        var k = i + 6
+        var end = -1
+        while (end < 0 && k < b.length) {
+          if ((b(k) & 0xff) == 'e' && ascii(b, k, "endstream")) end = k
+          k += 1
         }
+        i = if (end >= 0) end + 9 else b.length
+      } else {
+        if ((b(i) & 0xff) == '/' && ascii(b, i, "/Type")) {
+          var j = i + 5
+          while (j < b.length && isPdfWs(b(j) & 0xff)) j += 1
+          if (ascii(b, j, "/Page")) {
+            val nxt = if (j + 5 < b.length) b(j + 5) & 0xff else -1
+            if (!(nxt >= 'A' && nxt <= 'Z') && !(nxt >= 'a' && nxt <= 'z'))
+              pages += 1
+          }
+        }
+        // "N G obj" headers: the token `obj` delimited by whitespace
+        if ((b(i) & 0xff) == 'o' && ascii(b, i, "obj") &&
+            i > 0 && isPdfWs(b(i - 1) & 0xff) &&
+            (i + 3 >= b.length || isPdfWs(b(i + 3) & 0xff) ||
+              (b(i + 3) & 0xff) == '<'))
+          objs += 1
+        i += 1
       }
-      // "N G obj" headers: the token `obj` delimited by whitespace
-      if ((b(i) & 0xff) == 'o' && ascii(b, i, "obj") &&
-          i > 0 && isPdfWs(b(i - 1) & 0xff) &&
-          (i + 3 >= b.length || isPdfWs(b(i + 3) & 0xff) ||
-            (b(i + 3) & 0xff) == '<'))
-        objs += 1
-      i += 1
     }
     // a linearized PDF declares /Linearized in its first-page dict,
     // which the spec requires near the file head

@@ -124,6 +124,10 @@ object GraphQueries {
   private val PrS = 1000000000000L
   private val PrBase = 150000000000L // 0.15 · S, exact
   private val PrIters = 5
+  // Hard ceiling on the event-type codebook the driver-side fold
+  // accepts: 4096² edge rows ≈ 16.7 M worst case — comfortably
+  // driver-sized; anything larger fails fast (advisor finding r6).
+  private val MaxPrTypes = 4096
   val g03 = Q(
     "g03_pagerank",
     s"""WITH t AS (SELECT user_id, event_id, event_type,
@@ -164,9 +168,18 @@ object GraphQueries {
       .groupBy("src", "dst").agg(count(lit(1)).as("c"))
     // |types|²-bounded driver state (closed event-type set — the
     // codebook justification); the corpus-scale window+collapse above
-    // ran distributed
-    val nodes = ev.select(col("event_type")).distinct()
-      .collect().map(_.getString(0)).sorted
+    // ran distributed. The closed-set assumption is ENFORCED, not
+    // assumed: collect LIMIT MaxPrTypes+1 and fail fast with a clear
+    // error if the type column turns out to be open-cardinality —
+    // a guard, not a driver OOM.
+    val rawNodes = ev.select(col("event_type")).distinct()
+      .limit(MaxPrTypes + 1).collect()
+    if (rawNodes.length > MaxPrTypes)
+      throw new IllegalStateException(
+        s"g03_pagerank: event_type cardinality exceeds $MaxPrTypes — " +
+          "the driver-side |types|^2 transition fold assumes a closed " +
+          "event-type codebook; run the distributed variant instead")
+    val nodes = rawNodes.map(_.getString(0)).sorted
     if (nodes.isEmpty) {
       ev.select(col("event_type"), lit(0L).as("rank_scaled"),
         lit(0.0).as("pagerank")).limit(0)

@@ -550,7 +550,8 @@ object SourceQueries {
       "canary-724-never-in-corpus")
   val s12 = Q(
     "s12_canary_scan",
-    s"""WITH cs AS (SELECT unnest([${Canaries.map(c => s"'$c'")
+    s"""WITH cs AS (SELECT unnest([${Canaries
+        .map(c => s"'${c.replace("'", "''")}'")
         .mkString(",")}]) AS canary),
       |m AS (SELECT cs.canary, d.doc_id,
       |    CAST((len(d.text) - len(replace(d.text, cs.canary, '')))

@@ -52,12 +52,14 @@ object SharedState {
   case class StateRow(scope: String, scopeId: String, key: String,
       value: String, version: Long)
 
-  /** Per-key machine: the three storage levels for ONE key.
+  /** Per-key machine: the three storage levels for ONE key, plus the
+    * highest seq applied so far (the streaming lateness watermark).
     * Public + simple types so Spark's state encoder can build it. */
   case class KeyState(global: Option[String],
-      stream: Map[String, String], exec: Map[String, String])
+      stream: Map[String, String], exec: Map[String, String],
+      maxSeq: Long)
 
-  private val emptyKs = KeyState(None, Map.empty, Map.empty)
+  private val emptyKs = KeyState(None, Map.empty, Map.empty, -1L)
 
   /** The reference's read-resolution rule (`shared_state.py:152-182`):
     * execution first; stream then global unless ISOLATED. */
@@ -79,8 +81,9 @@ object SharedState {
         ks.copy(stream = ks.stream + (op.streamId -> op.value))
       case _ => ks.copy(exec = ks.exec + (op.executionId -> op.value))
     }
-    (next, StateChange(op.seq, op.key, old, op.value, scope,
-      op.executionId, op.streamId))
+    (next.copy(maxSeq = math.max(ks.maxSeq, op.seq)),
+      StateChange(op.seq, op.key, old, op.value, scope,
+        op.executionId, op.streamId))
   }
 
   private def foldKey(ops: Iterator[StateOp],
@@ -166,7 +169,16 @@ object SharedState {
     * via flatMapGroupsWithState, emitting change rows as they commit —
     * one KeyState per key in the state store (the per-key lock
     * granularity), microbatch arrival order = seq order within a
-    * batch (callers stamp seq; intra-batch the fold sorts by it). */
+    * batch (callers stamp seq; intra-batch the fold sorts by it).
+    *
+    * Cross-batch lateness contract: an op whose seq is ≤ the key's
+    * highest already-applied seq ([[KeyState.maxSeq]]) arrived late —
+    * applying it would violate the documented seq total order (the
+    * batch [[changes]] fold would have applied it earlier). Such ops
+    * are DROPPED, not applied out of order — the same
+    * drop-don't-reorder stance EventStream's watermark anomaly
+    * handling takes. The batch fold is unaffected (one group sees all
+    * ops, sorted). */
   def changesStream(ops: Dataset[StateOp])(
       implicit spark: SparkSession): Dataset[StateChange] = {
     import spark.implicits._
@@ -174,7 +186,9 @@ object SharedState {
       .flatMapGroupsWithState[KeyState, StateChange](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (_, it, state: GroupState[KeyState]) =>
-          val (next, chs) = foldKey(it, state.getOption.getOrElse(emptyKs))
+          val ks0 = state.getOption.getOrElse(emptyKs)
+          val fresh = it.filter(_.seq > ks0.maxSeq)
+          val (next, chs) = foldKey(fresh, ks0)
           state.update(next)
           chs.iterator
       }

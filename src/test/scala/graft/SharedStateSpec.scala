@@ -100,4 +100,25 @@ class SharedStateSpec extends SparkTestBase {
       assert(chs(1).oldValue === Some("v1"))
     } finally q.stop()
   }
+
+  test("streaming twin: a late op (seq <= the key's applied max) is " +
+      "dropped, preserving the seq total order across microbatches") {
+    val input = MemoryStream[StateOp](spark)
+    val q = SharedState.changesStream(input.toDS())
+      .writeStream.format("memory").queryName("sstate_late")
+      .outputMode("append").start()
+    try {
+      input.addData(op(5, "e1", "s1", "shared", "global", "k", "v5"))
+      q.processAllAvailable()
+      // seq=3 arrives AFTER seq=5 committed: dropped, not reordered
+      input.addData(
+        op(3, "e1", "s1", "shared", "global", "k", "v3"),
+        op(6, "e1", "s1", "shared", "global", "k", "v6"))
+      q.processAllAvailable()
+      val chs = spark.table("sstate_late").as[StateChange].collect()
+        .sortBy(_.seq)
+      assert(chs.map(_.seq).toSeq === Seq(5L, 6L))
+      assert(chs(1).oldValue === Some("v5")) // v3 never applied
+    } finally q.stop()
+  }
 }

@@ -116,6 +116,24 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(2).isNullAt(out(2).fieldIndex("n_pages")))
   }
 
+  test("pdf metadata: stream bodies are skipped — binary data can't " +
+      "false-positive the page/object counters") {
+    val pdf = ("%PDF-1.6\n" +
+      "1 0 obj\n<< /Type /Page >>\nendobj\n" +
+      "2 0 obj\n<< /Length 64 >>\nstream\n" +
+      "decoy /Type /Page decoy 9 0 obj more bytes\n" +
+      "endstream\nendobj\n" +
+      "trailer\n%%EOF").getBytes("US-ASCII")
+    val r = Multimodal.sniffPdf(pdf)
+    assert(r.getLong(1) === 1L) // stream-body '/Type /Page' not counted
+    assert(r.getLong(2) === 2L) // stream-body '9 0 obj' not counted
+    // truncated stream (no endstream): skip to EOF, no crash
+    val trunc = ("%PDF-1.6\n1 0 obj\n<< /Length 4 >>\nstream\n" +
+      "/Type /Page").getBytes("US-ASCII")
+    val rt = Multimodal.sniffPdf(trunc)
+    assert(rt.getLong(1) === 0L && rt.getLong(2) === 1L)
+  }
+
   test("sampleFrameIndexes: metadata-only frame sampling") {
     val rows = java.util.Arrays.asList(
       Row(7L, "video", null, null, 1000L, null))
