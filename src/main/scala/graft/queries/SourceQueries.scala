@@ -664,7 +664,66 @@ object SourceQueries {
         (col("sel_rank") <= DsirQuota).as("selected"))
   }
 
+  // ---------------------------------------------------------------
+  // s14 context-window chunking — the doc→training-sequence splitter
+  // every LM data pipeline runs between curation and tokenizer
+  // packing (the upstream half of s05's sequence packing): each
+  // document becomes overlapping windows of [[ChunkTokens]] tokens
+  // advancing by [[ChunkStride]] (16-token overlap preserves
+  // cross-boundary context, the standard long-doc chunking scheme).
+  // A trailing fragment shorter than [[ChunkMinTail]] is dropped —
+  // it is already ≥(ChunkTokens−ChunkStride) covered by the previous
+  // window — unless it is the document's ONLY chunk.
+  //
+  // Scale shape: pure narrow per-row compute — split, explode the
+  // start grid (sequence()), slice — ZERO shuffle at any corpus
+  // size; the chunker runs where the documents live and the output
+  // is immediately partition-local input to the pack/tokenize stage.
+  // Chunk text re-materializes ~4/3× the corpus bytes (the overlap
+  // tax), which is the operator's semantics, not a plan artifact.
+  private val ChunkTokens = 64
+  private val ChunkStride = 48
+  private val ChunkMinTail = 16
+  val s14 = Q(
+    "s14_chunk_windows",
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS ws
+      |           FROM documents),
+      |c AS (SELECT doc_id, ws, i AS tok_start
+      |      FROM t, LATERAL unnest(range(0, len(ws), $ChunkStride))
+      |        AS u(i))
+      |SELECT doc_id,
+      |  CAST(tok_start // $ChunkStride AS BIGINT) AS chunk_id,
+      |  CAST(tok_start AS BIGINT) AS tok_start,
+      |  CAST(LEAST(tok_start + $ChunkTokens, len(ws)) AS BIGINT)
+      |    AS tok_end,
+      |  CAST(LEAST(tok_start + $ChunkTokens, len(ws)) - tok_start
+      |    AS BIGINT) AS n_tokens,
+      |  array_to_string(
+      |    ws[tok_start + 1 : LEAST(tok_start + $ChunkTokens, len(ws))],
+      |    ' ') AS chunk_text
+      |FROM c WHERE tok_start = 0
+      |  OR LEAST(tok_start + $ChunkTokens, len(ws)) - tok_start
+      |    >= $ChunkMinTail""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), size(col("ws")) - 1,
+          lit(ChunkStride))).as("tok_start"))
+      .withColumn("tok_end",
+        least(col("tok_start") + ChunkTokens, size(col("ws"))))
+      .withColumn("n_tokens", col("tok_end") - col("tok_start"))
+      .filter(col("tok_start") === 0 ||
+        col("n_tokens") >= ChunkMinTail)
+      .select(col("doc_id"),
+        (col("tok_start") / ChunkStride).cast(LongType).as("chunk_id"),
+        col("tok_start").cast(LongType).as("tok_start"),
+        col("tok_end").cast(LongType).as("tok_end"),
+        col("n_tokens").cast(LongType).as("n_tokens"),
+        array_join(slice(col("ws"), col("tok_start") + 1,
+          col("n_tokens")), " ").as("chunk_text"))
+  }
+
   val all: Seq[Q] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      c01)
+      s14, c01)
 }

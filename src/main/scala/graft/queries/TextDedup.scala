@@ -156,6 +156,21 @@ object TextDedup {
       .select("doc_id", "gid")) // join key moves first; restore order
   }
 
+  /** Size-ANNOTATED inverted index (PPJoin, Xiao et al. 2008): each
+    * [[cappedGids]] row carries its doc's post-cap gram count n.
+    * Costs one doc_id exchange + the restore-gid exchange — both at
+    * INDEX grain (16 B rows), an order of magnitude below the
+    * candidate sets they optimize. Pinned and SHARED (d02's self-join
+    * reads it twice, d15 twice more — one definition → one cache
+    * entry). */
+  private[queries] def sizedGids(s: SparkSession, dir: String): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    Pin(cappedGids(s, dir)
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy("doc_id")))
+      .repartition(par, col("gid")))
+  }
+
   // ---------------------------------------------------------------
   // d01 exact dedup — hash-groupBy canonicalization: every doc mapped
   // to the smallest doc_id sharing its md5(text). One shuffle on the
@@ -214,16 +229,7 @@ object TextDedup {
       // d02's data path. Its gid pre-partitioning makes the self-join
       // below exchange-free.
       val par = s.sparkContext.defaultParallelism
-      val h = cappedGids(s, dir)
-      // size-ANNOTATED index (PPJoin, Xiao et al. 2008): each index row
-      // carries its doc's post-cap gram count n. Costs one doc_id
-      // exchange + the restore-gid exchange — both at INDEX grain
-      // (16 B rows), an order of magnitude below the candidate set
-      // they optimize. Pinned: the self-join reads it twice.
-      val hn = Pin(h
-        .withColumn("n",
-          count(lit(1)).over(Window.partitionBy("doc_id")))
-        .repartition(par, col("gid")))
+      val hn = sizedGids(s, dir)
       // candidate pairs ≈ unique groups (little map-side reduction), so
       // the pair aggregation is the widest stage of the query. The
       // size filter runs BEFORE that shuffle: J ≥ t forces
@@ -825,7 +831,70 @@ object TextDedup {
           .as("n_heavy_docs"))
   }
 
+  // ---------------------------------------------------------------
+  // d15 asymmetric containment dedup — the near-SUPERSET detector
+  // Jaccard structurally misses: a 50-gram doc wholly pasted inside a
+  // 500-gram doc scores J ≈ 0.1 (invisible to d02's 0.5 bar) but
+  // containment |A∩B|/|A| = 1.0. Deduplicating training corpora needs
+  // both grains — quote-expansion, boilerplate-wrapping, and
+  // doc-in-doc aggregation all surface here and only here. Reported
+  // per undirected candidate pair from the CONTAINED (smaller gram
+  // set) side; ties break toward the smaller doc_id (x.doc_id <
+  // y.doc_id keeps one row per pair in both engines).
+  //
+  // Scale shape: same inverted-index candidate generation as d02 —
+  // gid equi-join on the shared [[sizedGids]] pin (exchange-free off
+  // the cache), pair volume bounded by the [[autoDfCap]] Σ df²
+  // budget. No size-ratio prefilter exists for containment (that
+  // asymmetry is the operator's point: C≥t imposes no constraint on
+  // n_b/n_a), so the cap is the ONLY pair-volume guard — which is
+  // why it is derived from the observed df distribution rather than
+  // fixed.
+  private[queries] val ContainMin = 0.8
+  val d15 = Q(
+    "d15_containment",
+    s"""$gidsCte,
+      |h AS (SELECT doc_id, gid FROM g WHERE gid NOT IN
+      |        (SELECT gid FROM g GROUP BY gid
+      |         HAVING COUNT(*) > ${capSql("g")})),
+      |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM h GROUP BY doc_id),
+      |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |        CAST(COUNT(*) AS BIGINT) AS inter
+      |      FROM h x JOIN h y ON x.gid = y.gid AND x.doc_id < y.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT CASE WHEN na.n <= nb.n THEN doc_a ELSE doc_b END
+      |    AS contained_doc,
+      |  CASE WHEN na.n <= nb.n THEN doc_b ELSE doc_a END
+      |    AS container_doc,
+      |  inter, LEAST(na.n, nb.n) AS n_contained,
+      |  CAST(inter AS DOUBLE) / LEAST(na.n, nb.n) AS containment
+      |FROM p JOIN n na ON p.doc_a = na.doc_id
+      |       JOIN n nb ON p.doc_b = nb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / LEAST(na.n, nb.n)
+      |  >= $ContainMin""".stripMargin) { (s, dir) =>
+    val par = s.sparkContext.defaultParallelism
+    val hn = sizedGids(s, dir)
+    hn.toDF("doc_a", "gid", "na")
+      .join(hn.toDF("doc_b", "gid", "nb"), "gid")
+      .filter(col("doc_a") < col("doc_b"))
+      .repartition(par, col("doc_a"), col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"),
+        max("na").as("na"), max("nb").as("nb"))
+      .withColumn("n_contained", least(col("na"), col("nb")))
+      .withColumn("containment",
+        col("inter").cast(DoubleType) / col("n_contained"))
+      .filter(col("containment") >= ContainMin)
+      .select(
+        when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b"))
+          .as("contained_doc"),
+        when(col("na") <= col("nb"), col("doc_b")).otherwise(col("doc_a"))
+          .as("container_doc"),
+        col("inter"), col("n_contained"), col("containment"))
+  }
+
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12,
-      d13)
+      d13, d15)
 }

@@ -23,6 +23,51 @@ class PipelineQueriesSpec extends SparkTestBase {
     dir
   }
 
+  test("s14: overlapping token windows — stride grid, short-tail " +
+      "drop, single-chunk short docs, exact slice text") {
+    val toks = (0 until 100).map(i => s"w$i")
+    val dir = docsDir(Seq(
+      (1L, toks.mkString(" "), "en"),
+      (2L, "only five words in here", "en")))
+    val out = queries.SourceQueries.s14.run(spark, dir).collect()
+    val c1 = out.filter(_.getAs[Long]("doc_id") == 1L)
+      .sortBy(_.getAs[Long]("chunk_id"))
+    // starts 0, 48, 96 — the 4-token tail at 96 is dropped (<16 and
+    // not the only chunk)
+    assert(c1.map(_.getAs[Long]("chunk_id")).toSeq === Seq(0L, 1L))
+    assert(c1(0).getAs[Long]("tok_start") === 0L)
+    assert(c1(0).getAs[Long]("tok_end") === 64L)
+    assert(c1(0).getAs[String]("chunk_text") ===
+      toks.take(64).mkString(" "))
+    assert(c1(1).getAs[Long]("tok_start") === 48L)
+    assert(c1(1).getAs[Long]("n_tokens") === 52L)
+    assert(c1(1).getAs[String]("chunk_text") ===
+      toks.slice(48, 100).mkString(" "))
+    val c2 = out.filter(_.getAs[Long]("doc_id") == 2L)
+    assert(c2.length === 1) // sole sub-minimum chunk is kept
+    assert(c2.head.getAs[Long]("n_tokens") === 5L)
+  }
+
+  test("d15: containment catches a doc wholly pasted inside a " +
+      "superset that Jaccard misses; sub-threshold overlap excluded") {
+    val a = (1 to 10).map(i => s"a$i").mkString(" ")
+    val b = ((1 to 10).map(i => s"a$i") ++ (1 to 20).map(i => s"b$i"))
+      .mkString(" ")
+    val d = ((1 to 6).map(i => s"a$i") ++ (1 to 10).map(i => s"c$i"))
+      .mkString(" ")
+    val dir = docsDir(Seq((1L, a, "en"), (2L, b, "en"), (3L, d, "en")))
+    val out = queries.TextDedup.d15.run(spark, dir).collect()
+    assert(out.length === 1) // doc3 shares only 4/8 grams: 0.5 < 0.8
+    val r = out.head
+    assert(r.getAs[Long]("contained_doc") === 1L)
+    assert(r.getAs[Long]("container_doc") === 2L)
+    assert(r.getAs[Long]("inter") === 8L)
+    assert(r.getAs[Long]("n_contained") === 8L)
+    assert(r.getAs[Double]("containment") === 1.0)
+    // same corpus under d02's Jaccard bar: invisible (J = 8/28)
+    assert(queries.TextDedup.d02.run(spark, dir).collect().isEmpty)
+  }
+
   test("t09: each Gopher rule fails independently and gates keep " +
       "(Rae et al. 2021 A1.1)") {
     val good = (Seq("the", "and") ++ Seq.fill(58)("word")).mkString(" ")
@@ -287,7 +332,8 @@ class PipelineQueriesSpec extends SparkTestBase {
       queries.SourceQueries.s10, queries.SourceQueries.s11,
       queries.SourceQueries.s12, queries.SourceQueries.s13,
       queries.VectorSearch.v14, queries.GraphQueries.g03,
-      queries.EventAnalytics.e18, queries.EventAnalytics.e19)
+      queries.EventAnalytics.e18, queries.EventAnalytics.e19,
+      queries.TextDedup.d15, queries.SourceQueries.s14)
       .foreach { q =>
         assert(q.run(spark, dir).count() === 0L, s"${q.name} not empty")
       }
