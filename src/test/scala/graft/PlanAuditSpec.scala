@@ -195,7 +195,21 @@ class PlanAuditSpec extends SparkTestBase {
       //       rank window; v13's audited 9); the metric tail past
       //       them — hit join, per-(method, q) agg, idcg explode agg,
       //       spine + report joins — is queries×k-bounded
-      "v14_retrieval_metrics" -> 13)
+      "v14_retrieval_metrics" -> 13,
+      //  round-7 additions (audited 2026-08-14):
+      //  d15: the tree walk re-descends the shared sizedGids/
+      //       cappedGids build (3 exchanges — paid ONCE at runtime,
+      //       by whichever of d02/d15 runs first; a cache hit for
+      //       the other) + its own pair repartition, whose
+      //       partitioning the pair agg then reuses. Mirrors d02's 4
+      //       by construction — the two counts regress together if
+      //       the shared pin definitions diverge                  -> 4
+      "d15_containment" -> 4,
+      //  s14: the chunker is pure narrow compute (split, sequence
+      //       explode, slice) — ZERO shuffle at any corpus size; any
+      //       exchange here is a regression of the operator's whole
+      //       scale story                                         -> 0
+      "s14_chunk_windows" -> 0)
     val got = audited.map { case (name, _) =>
       name -> executedShuffleCount(build(name))
     }
