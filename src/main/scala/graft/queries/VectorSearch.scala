@@ -1451,7 +1451,129 @@ object VectorSearch {
           col("idcg_scaled").cast(DoubleType)).as("ndcg"))
   }
 
+  // ---------------------------------------------------------------
+  // v15 MMR diversified re-rank (Carbonell & Goldstein 1998) — the
+  // result-diversification pass retrieval stacks run after top-k:
+  // from each query's [[MmrPool]]-candidate cosine pool, greedily
+  // select [[MmrK]] results maximizing
+  //   0.5·rel(c) − 0.5·max_{s∈selected} sim(c, s)
+  // (λ = 0.5), so near-duplicate hits that saturate a plain top-5
+  // (the corpus has ~2% perturbed-copy vectors by construction) are
+  // traded for coverage. Greedy selection is inherently sequential in
+  // k — unrolled here as [[MmrK]]−1 dataframe steps (g03's unrolled-
+  // iteration pattern), NOT a driver loop over collected rows: every
+  // step is a join/agg/window over the bounded pool.
+  //
+  // Exactness: rel and sim are the inventory's scaled-integer-dot
+  // cosines (bit-identical across engines); the MMR score is two
+  // exact-double products and a subtract, ordered with a cand_id
+  // tiebreak — both engines pick identical sets.
+  //
+  // Scale shape: the only corpus-grain work is the pool scan (v01's
+  // broadcast-query brute-force pass — swap in v03's bucket join for
+  // unbounded query sets); everything after is queries×pool²-bounded:
+  // the pairwise-sim relation is ≤ 20·20·|q| rows, pinned, and each
+  // greedy step is an anti-join + agg + rank window on it.
+  private val MmrPool = 20
+  private val MmrK = 5
+  private val mmrPairSim =
+    """CAST(list_sum(list_transform(list_zip(po.sx, sl.sx),
+      |        z -> z[1]*z[2])) AS BIGINT)::DOUBLE /
+      |        (sqrt(po.n::DOUBLE) * sqrt(sl.n::DOUBLE))""".stripMargin
+  val v15 = Q(
+    "v15_mmr_diversify",
+    s"""$normCte,
+      |q AS (SELECT vec_id AS q_id, sx AS q_sx, n AS q_n
+      |      FROM e WHERE vec_id % 50 = 0
+      |      ORDER BY vec_id LIMIT $V01Queries),
+      |pool AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (
+      |      PARTITION BY q_id ORDER BY rel DESC, cand_id) AS rnk
+      |    FROM (SELECT q.q_id, e.vec_id AS cand_id, e.sx, e.n,
+      |        $dotSql::DOUBLE /
+      |          (sqrt(q.q_n::DOUBLE) * sqrt(e.n::DOUBLE)) AS rel
+      |      FROM q JOIN e ON e.vec_id <> q.q_id) p) t
+      |  WHERE rnk <= $MmrPool),
+      |s1 AS (SELECT q_id, cand_id, rel, CAST(NULL AS DOUBLE) AS ms,
+      |    CAST(1 AS BIGINT) AS sel_rank FROM pool WHERE rnk = 1),
+      |${(2 to MmrK).map(i =>
+        s"""p$i AS (SELECT po.q_id, po.cand_id, po.rel,
+          |    MAX($mmrPairSim) AS ms
+          |  FROM pool po JOIN pool sl ON sl.q_id = po.q_id
+          |    JOIN s${i - 1} sp ON sp.q_id = sl.q_id
+          |      AND sp.cand_id = sl.cand_id
+          |  WHERE NOT EXISTS (SELECT 1 FROM s${i - 1} z
+          |    WHERE z.q_id = po.q_id AND z.cand_id = po.cand_id)
+          |  GROUP BY po.q_id, po.cand_id, po.rel),
+          |s$i AS (SELECT * FROM s${i - 1} UNION ALL
+          |  SELECT q_id, cand_id, rel, ms, CAST($i AS BIGINT)
+          |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+          |      ORDER BY 0.5*rel - 0.5*ms DESC, cand_id) AS rn
+          |    FROM p$i) t
+          |  WHERE rn = 1)""".stripMargin).mkString(",\n")}
+      |SELECT q_id, sel_rank, cand_id AS neighbor_id, rel AS relevance,
+      |  ms AS max_sim_prior
+      |FROM s$MmrK""".stripMargin) { (s, dir) =>
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), Fns.scaleVec(col("embedding")).as("sx"))
+      .withColumn("n", VectorExprs.normSqIntNative(col("sx")))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .orderBy("vec_id").limit(V01Queries)
+      .select(col("vec_id").as("q_id"), col("sx").as("q_sx"),
+        col("n").as("q_n"))
+    val poolW = Window.partitionBy("q_id")
+      .orderBy(col("rel").desc, col("cand_id"))
+    val pool = graft.operators.Pin(
+      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("cand_id"), col("sx"),
+          col("n"),
+          Fns.cosineFromScaled(
+            VectorExprs.dotIntNative(col("q_sx"), col("sx")),
+            col("q_n"), col("n")).as("rel"))
+        .withColumn("rnk", row_number().over(poolW))
+        .filter(col("rnk") <= MmrPool))
+    // pairwise sims among pool members — queries×pool²-bounded, one
+    // definition feeding every greedy step
+    val csim = graft.operators.Pin(pool
+      .select(col("q_id"), col("cand_id"), col("sx").as("a_sx"),
+        col("n").as("a_n"))
+      .join(pool.select(col("q_id"), col("cand_id").as("b_id"),
+        col("sx").as("b_sx"), col("n").as("b_n")), "q_id")
+      .filter(col("cand_id") =!= col("b_id"))
+      .select(col("q_id"), col("cand_id"), col("b_id"),
+        Fns.cosineFromScaled(
+          VectorExprs.dotIntNative(col("a_sx"), col("b_sx")),
+          col("a_n"), col("b_n")).as("sim")))
+    val s1 = pool.filter(col("rnk") === 1)
+      .select(col("q_id"), col("cand_id"), col("rel"),
+        lit(null).cast(DoubleType).as("ms"), lit(1L).as("sel_rank"))
+    val scoreW = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("cand_id"))
+    val selected = (2 to MmrK).foldLeft(s1) { (prev, i) =>
+      val pick = pool
+        .join(prev.select("q_id", "cand_id"), Seq("q_id", "cand_id"),
+          "left_anti")
+        .select(col("q_id"), col("cand_id"), col("rel"))
+        .join(csim, Seq("q_id", "cand_id"))
+        .join(prev.select(col("q_id"), col("cand_id").as("b_id")),
+          Seq("q_id", "b_id"))
+        .groupBy("q_id", "cand_id", "rel").agg(max("sim").as("ms"))
+        .withColumn("score",
+          lit(0.5) * col("rel") - lit(0.5) * col("ms"))
+        .withColumn("rn", row_number().over(scoreW))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("cand_id"), col("rel"), col("ms"),
+          lit(i.toLong).as("sel_rank"))
+      // pin each accumulated step: prev is consumed three times per
+      // step (anti-join, selected-side join, union) and the fold
+      // would otherwise grow the lineage 3^k
+      graft.operators.Pin(prev.unionByName(pick))
+    }
+    selected.select(col("q_id"), col("sel_rank"),
+      col("cand_id").as("neighbor_id"), col("rel").as("relevance"),
+      col("ms").as("max_sim_prior"))
+  }
+
   val all: Seq[Q] =
     Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13,
-      d14, v14)
+      d14, v14, v15)
 }

@@ -881,6 +881,28 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(b === Map("a" -> 75000000000L, "b" -> 138750000000L))
   }
 
+  test("v15: MMR picks the diverse moderate-relevance candidate " +
+      "second, ahead of near-duplicates of the greedy top hit") {
+    // query 0 → cluster {1,2,3} (cos ≈ 0.99, mutually ≈ identical)
+    // plus one off-axis candidate 4 (cos = 0.3, ≈ 0.3 to the cluster)
+    val dir = embDir(Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(0.99f, 0.14f, 0f, 0f), 0),
+      (2L, Array(0.99f, 0.141f, 0f, 0f), 0),
+      (3L, Array(0.985f, 0.17f, 0f, 0f), 0),
+      (4L, Array(0.3f, 0f, 0.954f, 0f), 1)))
+    val out = queries.VectorSearch.v15.run(spark, dir).collect()
+      .sortBy(_.getAs[Long]("sel_rank"))
+    assert(out.length === 4) // pool exhausted below MmrK
+    // plain cosine order is 1,2,3,4 — MMR trades 2 for the diverse 4
+    assert(out.map(_.getAs[Long]("neighbor_id")).take(2).toSeq ===
+      Seq(1L, 4L))
+    assert(out.head.isNullAt(out.head.fieldIndex("max_sim_prior")))
+    assert(out(1).getAs[Double]("max_sim_prior") < 0.35)
+    assert(out(1).getAs[Double]("relevance") <
+      out(2).getAs[Double]("relevance")) // non-greedy order visible
+  }
+
   test("v14: retrieval metrics ≡ plain Scala recomputation from the " +
       "methods' own outputs (MRR, integer-bits DCG, per-query IDCG)") {
     val dir = "/root/testdata/sf0.001"
