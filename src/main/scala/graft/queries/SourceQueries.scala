@@ -5,7 +5,7 @@ import graft.functions.{Fns, VectorExprs}
 import graft.operators.ContextCompaction
 import graft.sources.TimerSource
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** Oracle-checked queries exercising the ingest-side sources and
   * conversation-lifecycle operators (SURVEY §2.1 / §2.10 rows that
@@ -723,7 +723,78 @@ object SourceQueries {
           col("n_tokens")), " ").as("chunk_text"))
   }
 
+  // ---------------------------------------------------------------
+  // s15 epoch repetition schedule — the data-constrained-scaling
+  // practice (Muennighoff et al. 2023, arXiv:2305.16264): repeat
+  // higher-quality documents for more training epochs instead of
+  // scraping more data. Tiers are exact integer rules on the doc
+  // itself (length + vocabulary-diversity ratio); each doc explodes
+  // into (doc_id, epoch) rows, and every epoch gets a DETERMINISTIC
+  // shuffLED training order via md5(doc_id:epoch) — reproducible
+  // across runs, uncorrelated across epochs (the per-epoch reshuffle
+  // every training loop wants).
+  //
+  // Scale shape: train_pos is a per-epoch TOTAL order — the one
+  // inherently global thing a training schedule needs. It is computed
+  // two-level so no task ever sees an epoch's whole corpus: a
+  // row_number within (epoch, shard := first shuffle_key byte-pair;
+  // 256 shards/epoch) plus a broadcast prefix-sum of shard counts
+  // (epochs×256 rows). Ordering by shuffle_key within shard = ordering
+  // by (shard, shuffle_key) globally, since the shard IS the key's
+  // prefix — identical output to the single-window formulation the
+  // oracle uses, without its single-partition window.
+  val s15 = Q(
+    "s15_epoch_schedule",
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS ws
+      |           FROM documents),
+      |f AS (SELECT doc_id, len(ws) AS n_words,
+      |        len(list_distinct(ws)) AS n_distinct FROM t),
+      |r AS (SELECT doc_id,
+      |        CASE WHEN n_words >= 40 AND n_distinct*2 >= n_words
+      |               THEN 3
+      |             WHEN n_words >= 20 THEN 2 ELSE 1 END AS n_epochs
+      |      FROM f),
+      |x AS (SELECT doc_id, n_epochs,
+      |        unnest(range(1, n_epochs + 1)) AS epoch FROM r),
+      |k AS (SELECT doc_id, n_epochs, epoch,
+      |        md5(doc_id::VARCHAR || ':' || epoch::VARCHAR)
+      |          AS shuffle_key FROM x)
+      |SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+      |  CAST(n_epochs AS BIGINT) AS n_epochs, shuffle_key,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+      |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS train_pos
+      |FROM k""".stripMargin) { (s, dir) =>
+    val ws = split(col("text"), " ")
+    val nEpochs = when(size(col("ws")) >= 40 &&
+        size(array_distinct(col("ws"))) * 2 >= size(col("ws")), 3)
+      .when(size(col("ws")) >= 20, 2).otherwise(1)
+    val x = graft.operators.Pin(Tables.load(s, dir, "documents")
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), nEpochs.as("n_epochs"))
+      .select(col("doc_id"), col("n_epochs"),
+        explode(sequence(lit(1), col("n_epochs"))).as("epoch"))
+      .withColumn("shuffle_key",
+        md5(concat(col("doc_id").cast(StringType), lit(":"),
+          col("epoch").cast(StringType))))
+      .withColumn("shard", substring(col("shuffle_key"), 1, 2)))
+    val offsets = x.groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("offset",
+        sum("c").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("epoch").orderBy("shard")) - col("c"))
+      .select("epoch", "shard", "offset")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("epoch", "shard").orderBy("shuffle_key", "doc_id")
+    x.withColumn("pos_in_shard", row_number().over(w))
+      .join(broadcast(offsets), Seq("epoch", "shard"))
+      .select(col("doc_id"), col("epoch").cast(LongType).as("epoch"),
+        col("n_epochs").cast(LongType).as("n_epochs"),
+        col("shuffle_key"),
+        (col("offset") + col("pos_in_shard")).cast(LongType)
+          .as("train_pos"))
+  }
+
   val all: Seq[Q] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, c01)
+      s14, s15, c01)
 }

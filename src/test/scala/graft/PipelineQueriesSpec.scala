@@ -68,6 +68,36 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(queries.TextDedup.d02.run(spark, dir).collect().isEmpty)
   }
 
+  test("s15: epoch tiers from length+diversity rules; per-epoch " +
+      "train_pos is the exact md5-order permutation") {
+    val rich = (1 to 50).map(i => s"w$i").mkString(" ") // 3 epochs
+    val rep = Seq.fill(25)("x y").mkString(" ")  // 50 words, 2 distinct
+    val mid = (1 to 25).map(i => s"m$i").mkString(" ") // 2 epochs
+    val tiny = "just four words here" // 1 epoch
+    val dir = docsDir(Seq(
+      (1L, rich, "en"), (2L, rep, "en"), (3L, mid, "en"), (4L, tiny, "en")))
+    val out = queries.SourceQueries.s15.run(spark, dir).collect()
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("epoch")).sorted.toSeq).toMap
+    assert(byDoc(1L) === Seq(1L, 2L, 3L)) // long + diverse
+    assert(byDoc(2L) === Seq(1L, 2L)) // long but 2-word vocab: mid
+    assert(byDoc(3L) === Seq(1L, 2L))
+    assert(byDoc(4L) === Seq(1L))
+    // train_pos within each epoch = rank in (shuffle_key, doc_id)
+    // order — the two-level shard computation must equal the plain
+    // global sort
+    out.groupBy(_.getAs[Long]("epoch")).foreach { case (_, rows) =>
+      val expect = rows.sortBy(r =>
+        (r.getAs[String]("shuffle_key"), r.getAs[Long]("doc_id")))
+        .map(_.getAs[Long]("doc_id")).toSeq
+      val got = rows.sortBy(_.getAs[Long]("train_pos"))
+        .map(_.getAs[Long]("doc_id")).toSeq
+      assert(got === expect)
+      assert(rows.map(_.getAs[Long]("train_pos")).sorted.toSeq ===
+        (1L to rows.length).toSeq) // dense permutation
+    }
+  }
+
   test("t09: each Gopher rule fails independently and gates keep " +
       "(Rae et al. 2021 A1.1)") {
     val good = (Seq("the", "and") ++ Seq.fill(58)("word")).mkString(" ")
