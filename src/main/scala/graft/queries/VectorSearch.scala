@@ -1460,20 +1460,26 @@ object VectorSearch {
   // (λ = 0.5), so near-duplicate hits that saturate a plain top-5
   // (the corpus has ~2% perturbed-copy vectors by construction) are
   // traded for coverage. Greedy selection is inherently sequential in
-  // k — unrolled here as [[MmrK]]−1 dataframe steps (g03's unrolled-
-  // iteration pattern), NOT a driver loop over collected rows: every
-  // step is a join/agg/window over the bounded pool.
+  // k over a [[V01Queries]]×[[MmrPool]]-BOUNDED relation, so the
+  // selection runs in the driver over the collected pool (the
+  // v07-centroid / v08-codebook bounded-sync-point pattern): one
+  // distributed job builds the pool, ~100 rows come back, the k·pool²
+  // greedy folds locally. The first cut ran the greedy as unrolled
+  // dataframe steps — semantically identical, but 4 steps × (anti-join
+  // + agg + window) on ≤400-row relations cost ~5 s of pure job
+  // scheduling at EVERY scale (measured flat 1×→100×); paying
+  // distributed-plan overhead to move <100 KB is the wrong side of
+  // that trade.
   //
   // Exactness: rel and sim are the inventory's scaled-integer-dot
-  // cosines (bit-identical across engines); the MMR score is two
-  // exact-double products and a subtract, ordered with a cand_id
-  // tiebreak — both engines pick identical sets.
+  // cosines; the driver replays the identical arithmetic (BIGINT dot,
+  // /sqrt·sqrt in IEEE double, 0.5·rel − 0.5·ms, cand_id tiebreak) —
+  // bit-identical to the oracle's unrolled-CTE formulation.
   //
   // Scale shape: the only corpus-grain work is the pool scan (v01's
   // broadcast-query brute-force pass — swap in v03's bucket join for
-  // unbounded query sets); everything after is queries×pool²-bounded:
-  // the pairwise-sim relation is ≤ 20·20·|q| rows, pinned, and each
-  // greedy step is an anti-join + agg + rank window on it.
+  // unbounded query sets); the collect is queries×pool-bounded by
+  // construction, never corpus-bounded.
   private val MmrPool = 20
   private val MmrK = 5
   private val mmrPairSim =
@@ -1522,55 +1528,77 @@ object VectorSearch {
         col("n").as("q_n"))
     val poolW = Window.partitionBy("q_id")
       .orderBy(col("rel").desc, col("cand_id"))
-    val pool = graft.operators.Pin(
-      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("cand_id"), col("sx"),
-          col("n"),
-          Fns.cosineFromScaled(
-            VectorExprs.dotIntNative(col("q_sx"), col("sx")),
-            col("q_n"), col("n")).as("rel"))
-        .withColumn("rnk", row_number().over(poolW))
-        .filter(col("rnk") <= MmrPool))
-    // pairwise sims among pool members — queries×pool²-bounded, one
-    // definition feeding every greedy step
-    val csim = graft.operators.Pin(pool
-      .select(col("q_id"), col("cand_id"), col("sx").as("a_sx"),
-        col("n").as("a_n"))
-      .join(pool.select(col("q_id"), col("cand_id").as("b_id"),
-        col("sx").as("b_sx"), col("n").as("b_n")), "q_id")
-      .filter(col("cand_id") =!= col("b_id"))
-      .select(col("q_id"), col("cand_id"), col("b_id"),
+    val pool = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"), col("sx"),
+        col("n"),
         Fns.cosineFromScaled(
-          VectorExprs.dotIntNative(col("a_sx"), col("b_sx")),
-          col("a_n"), col("b_n")).as("sim")))
-    val s1 = pool.filter(col("rnk") === 1)
-      .select(col("q_id"), col("cand_id"), col("rel"),
-        lit(null).cast(DoubleType).as("ms"), lit(1L).as("sel_rank"))
-    val scoreW = Window.partitionBy("q_id")
-      .orderBy(col("score").desc, col("cand_id"))
-    val selected = (2 to MmrK).foldLeft(s1) { (prev, i) =>
-      val pick = pool
-        .join(prev.select("q_id", "cand_id"), Seq("q_id", "cand_id"),
-          "left_anti")
-        .select(col("q_id"), col("cand_id"), col("rel"))
-        .join(csim, Seq("q_id", "cand_id"))
-        .join(prev.select(col("q_id"), col("cand_id").as("b_id")),
-          Seq("q_id", "b_id"))
-        .groupBy("q_id", "cand_id", "rel").agg(max("sim").as("ms"))
-        .withColumn("score",
-          lit(0.5) * col("rel") - lit(0.5) * col("ms"))
-        .withColumn("rn", row_number().over(scoreW))
-        .filter(col("rn") === 1)
-        .select(col("q_id"), col("cand_id"), col("rel"), col("ms"),
-          lit(i.toLong).as("sel_rank"))
-      // pin each accumulated step: prev is consumed three times per
-      // step (anti-join, selected-side join, union) and the fold
-      // would otherwise grow the lineage 3^k
-      graft.operators.Pin(prev.unionByName(pick))
+          VectorExprs.dotIntNative(col("q_sx"), col("sx")),
+          col("q_n"), col("n")).as("rel"))
+      .withColumn("rnk", row_number().over(poolW))
+      .filter(col("rnk") <= MmrPool)
+      .select("q_id", "cand_id", "sx", "n", "rel")
+    // queries×pool-bounded collect (≤ V01Queries·MmrPool rows by
+    // construction — the pool rank window already capped it)
+    val cands = pool.collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray,
+        r.getLong(3), r.getDouble(4))
     }
-    selected.select(col("q_id"), col("sel_rank"),
-      col("cand_id").as("neighbor_id"), col("rel").as("relevance"),
-      col("ms").as("max_sim_prior"))
+    def cos(ax: Array[Long], an: Long, bx: Array[Long],
+        bn: Long): Double = {
+      var dot = 0L
+      var i = 0
+      while (i < ax.length) { dot += ax(i) * bx(i); i += 1 }
+      dot.toDouble / (math.sqrt(an.toDouble) * math.sqrt(bn.toDouble))
+    }
+    val outRows = cands.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+      val byId = cs.sortBy(_._2)
+      val sel = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Double, Option[Double])] // cand, rel, maxSimPrior
+      val chosen = scala.collection.mutable.Set.empty[Long]
+      (1 to MmrK).foreach { step =>
+        var best: Option[(Long, Double, Double, Option[Double])] = None
+        byId.foreach { case (_, cid, sx, n, rel) =>
+          if (!chosen.contains(cid)) {
+            val ms =
+              if (step == 1) None
+              else Some(sel.map { case (sid, _, _) =>
+                val s = byId.find(_._2 == sid).get
+                cos(sx, n, s._3, s._4)
+              }.max)
+            val score =
+              if (step == 1) rel else 0.5 * rel - 0.5 * ms.get
+            // strict > keeps the smallest cand_id on ties (byId is
+            // cand_id-ascending) — the ORDER BY ... DESC, cand_id
+            // row_number semantics
+            if (best.isEmpty || score > best.get._3)
+              best = Some((cid, rel, score, ms))
+          }
+        }
+        best.foreach { case (cid, rel, _, ms) =>
+          chosen += cid
+          sel += ((cid, rel, ms))
+        }
+      }
+      sel.zipWithIndex.map { case ((cid, rel, ms), idx) =>
+        org.apache.spark.sql.Row(qid, (idx + 1).toLong, cid, rel,
+          ms.orNull)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("q_id", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("sel_rank", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("neighbor_id", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("relevance", DoubleType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("max_sim_prior",
+        DoubleType, nullable = true)))
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(outRows).asJava),
+      schema)
   }
 
   val all: Seq[Q] =
