@@ -209,7 +209,18 @@ class PlanAuditSpec extends SparkTestBase {
       //       explode, slice) — ZERO shuffle at any corpus size; any
       //       exchange here is a regression of the operator's whole
       //       scale story                                         -> 0
-      "s14_chunk_windows" -> 0)
+      "s14_chunk_windows" -> 0,
+      //  s15: pinned explode+md5 relation builds exchange-free
+      //       (narrow); outside: the (epoch, shard) count agg, the
+      //       epochs×256-bounded prefix-sum window, and the
+      //       pos_in_shard window — the offsets join broadcasts   -> 3
+      "s15_epoch_schedule" -> 3,
+      //  v15: the pool rank window's exchange pays in the driver-
+      //       collect job (v08's codebook pattern — not in the
+      //       returned plan); the returned frame is the local
+      //       greedy result. ANY exchange here means the selection
+      //       crept back into the distributed plan                -> 0
+      "v15_mmr_diversify" -> 0)
     val got = audited.map { case (name, _) =>
       name -> executedShuffleCount(build(name))
     }
