@@ -894,7 +894,97 @@ object TextDedup {
         col("inter"), col("n_contained"), col("containment"))
   }
 
+  // ---------------------------------------------------------------
+  // d16 ensemble dedup consensus — the multi-detector vote real
+  // pipelines run before destructive dedup: every candidate pair from
+  // the four text detectors (d02 exact n-gram Jaccard, d15
+  // containment, d03 MinHash bands, d04 SimHash hamming≤3) collapsed
+  // to one row per undirected pair with a per-detector flag and the
+  // agreement count. Pairs at n_detectors ≥ 2 are the high-confidence
+  // drop set; single-detector pairs are each method's characteristic
+  // tail (bands' false positives, containment's asymmetric
+  // supersets). Single-sourced like d09/s11: Spark composes the
+  // detectors' own run() plans, the oracle nests their SQL — the
+  // ensemble cannot drift from its members.
+  //
+  // Scale shape: each member keeps its own audited candidate
+  // generation (inverted index / band join / piece join — nothing
+  // all-pairs); the consensus itself is ONE union + one (doc_a,
+  // doc_b) groupBy at flagged-pair grain, far below candidate grain.
+  val d16 = Q(
+    "d16_ensemble_dups",
+    s"""$mhSigCte,
+      |gd AS (SELECT DISTINCT doc_id, gid FROM g),
+      |hh AS (SELECT doc_id, gid FROM gd WHERE gid NOT IN
+      |        (SELECT gid FROM gd GROUP BY gid
+      |         HAVING COUNT(*) > ${capSql("gd")})),
+      |nn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      |       FROM hh GROUP BY doc_id),
+      |pp AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |        CAST(COUNT(*) AS BIGINT) AS inter
+      |      FROM hh x JOIN hh y ON x.gid = y.gid AND x.doc_id < y.doc_id
+      |      GROUP BY 1, 2),
+      |pj AS (SELECT doc_a, doc_b,
+      |        CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jac,
+      |        CAST(inter AS DOUBLE) / LEAST(na.n, nb.n) AS contain
+      |      FROM pp JOIN nn na ON pp.doc_a = na.doc_id
+      |              JOIN nn nb ON pp.doc_b = nb.doc_id),
+      |sb AS (SELECT doc_id,
+      |${(0 until 32).map(b =>
+        s"        SUM(CASE WHEN ((gid & 4294967295) >> $b) & 1 = 1" +
+          s" THEN 1 ELSE -1 END) AS s$b").mkString(",\n")}
+      |       FROM gd GROUP BY doc_id),
+      |sm AS (SELECT doc_id, CAST(
+      |${(0 until 32).map(b =>
+        s"        (CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" +\n")}
+      |        AS BIGINT) AS simhash FROM sb),
+      |allp AS (
+      |  SELECT doc_a, doc_b, 'jaccard' AS det FROM pj
+      |    WHERE jac >= $JaccardMin
+      |  UNION ALL SELECT doc_a, doc_b, 'containment' FROM pj
+      |    WHERE contain >= $ContainMin
+      |  UNION ALL SELECT a.doc_id, b.doc_id, 'minhash'
+      |    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND $mhBandsSql
+      |  UNION ALL SELECT a.doc_id, b.doc_id, 'simhash'
+      |    FROM sm a JOIN sm b ON a.doc_id < b.doc_id
+      |    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+      |SELECT doc_a, doc_b,
+      |  MAX(CASE WHEN det = 'jaccard' THEN 1 ELSE 0 END) = 1
+      |    AS by_jaccard,
+      |  MAX(CASE WHEN det = 'containment' THEN 1 ELSE 0 END) = 1
+      |    AS by_containment,
+      |  MAX(CASE WHEN det = 'minhash' THEN 1 ELSE 0 END) = 1
+      |    AS by_minhash,
+      |  MAX(CASE WHEN det = 'simhash' THEN 1 ELSE 0 END) = 1
+      |    AS by_simhash,
+      |  CAST(MAX(CASE WHEN det = 'jaccard' THEN 1 ELSE 0 END)
+      |    + MAX(CASE WHEN det = 'containment' THEN 1 ELSE 0 END)
+      |    + MAX(CASE WHEN det = 'minhash' THEN 1 ELSE 0 END)
+      |    + MAX(CASE WHEN det = 'simhash' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_detectors
+      |FROM allp GROUP BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    def tag(df: DataFrame, det: String): DataFrame =
+      df.select(col("doc_a"), col("doc_b"), lit(det).as("det"))
+    val cont = d15.run(s, dir).select(
+      least(col("contained_doc"), col("container_doc")).as("doc_a"),
+      greatest(col("contained_doc"), col("container_doc")).as("doc_b"))
+    val allp = tag(d02.run(s, dir), "jaccard")
+      .unionByName(tag(cont, "containment"))
+      .unionByName(tag(minhashPairs(s, dir), "minhash"))
+      .unionByName(tag(d04.run(s, dir), "simhash"))
+    def flag(det: String) =
+      max(when(col("det") === det, 1).otherwise(0))
+    allp.groupBy("doc_a", "doc_b")
+      .agg((flag("jaccard") === 1).as("by_jaccard"),
+        (flag("containment") === 1).as("by_containment"),
+        (flag("minhash") === 1).as("by_minhash"),
+        (flag("simhash") === 1).as("by_simhash"),
+        (flag("jaccard") + flag("containment") + flag("minhash") +
+          flag("simhash")).cast(LongType).as("n_detectors"))
+  }
+
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12,
-      d13, d15)
+      d13, d15, d16)
 }

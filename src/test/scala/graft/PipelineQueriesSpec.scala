@@ -98,6 +98,30 @@ class PipelineQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("d16: ensemble consensus — identical docs flagged by all four " +
+      "detectors; a strict superset by containment but not Jaccard") {
+    val a = (1 to 10).map(i => s"a$i").mkString(" ")
+    val b = ((1 to 10).map(i => s"a$i") ++ (1 to 20).map(i => s"b$i"))
+      .mkString(" ")
+    val c = (1 to 30).map(i => s"c$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, a, "en"), (2L, b, "en"), (5L, c, "en"), (6L, c, "en")))
+    val out = queries.TextDedup.d16.run(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r)
+      .toMap
+    val ident = out((5L, 6L)) // byte-identical pair: every detector
+    assert(ident.getAs[Long]("n_detectors") === 4L)
+    assert(ident.getAs[Boolean]("by_jaccard") &&
+      ident.getAs[Boolean]("by_containment") &&
+      ident.getAs[Boolean]("by_minhash") &&
+      ident.getAs[Boolean]("by_simhash"))
+    // doc1 wholly inside doc2: the containment detector's
+    // characteristic catch, invisible to the Jaccard bar (J = 8/28)
+    val sup = out((1L, 2L))
+    assert(sup.getAs[Boolean]("by_containment"))
+    assert(!sup.getAs[Boolean]("by_jaccard"))
+  }
+
   test("t09: each Gopher rule fails independently and gates keep " +
       "(Rae et al. 2021 A1.1)") {
     val good = (Seq("the", "and") ++ Seq.fill(58)("word")).mkString(" ")
