@@ -220,7 +220,18 @@ class PlanAuditSpec extends SparkTestBase {
       //       returned plan); the returned frame is the local
       //       greedy result. ANY exchange here means the selection
       //       crept back into the distributed plan                -> 0
-      "v15_mmr_diversify" -> 0)
+      "v15_mmr_diversify" -> 0,
+      //  d16: the walk re-descends the four members' audited trees
+      //       (d02-equivalent capped-gid pipeline, d15's pair
+      //       repartition, d03's sig agg + band join, d04's simhash
+      //       agg + piece join + distinct) plus the ONE thing d16
+      //       itself adds: the flagged-pair-grain consensus groupBy.
+      //       (Shared pins — capped gids, sizedGids — count once via
+      //       the walk's distinct-cache dedup and cache hits from
+      //       earlier audited queries.) Growth here without a member
+      //       regressing means the consensus stopped being a single
+      //       union+agg                                            -> 8
+      "d16_ensemble_dups" -> 8)
     val got = audited.map { case (name, _) =>
       name -> executedShuffleCount(build(name))
     }
