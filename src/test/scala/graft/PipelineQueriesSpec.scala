@@ -1051,6 +1051,76 @@ class PipelineQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("property: s14 ≡ plain Scala window fold on random docs " +
+      "(seeded)") {
+    val rnd = new scala.util.Random(41)
+    val docs = (1L to 40L).map { id =>
+      val n = 1 + rnd.nextInt(200)
+      (id, (0 until n).map(_ => s"w${rnd.nextInt(30)}").mkString(" "),
+        "en")
+    }
+    val dir = docsDir(docs)
+    val got = queries.SourceQueries.s14.run(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        ((r.getAs[Long]("tok_start"), r.getAs[Long]("tok_end"),
+          r.getAs[String]("chunk_text")))).toMap
+    val expect = docs.flatMap { case (id, text, _) =>
+      val ws = text.split(" ", -1)
+      (0 until ws.length by 48).flatMap { start =>
+        val end = math.min(start + 64, ws.length)
+        if (start == 0 || end - start >= 16)
+          Some((id, (start / 48).toLong) ->
+            ((start.toLong, end.toLong,
+              ws.slice(start, end).mkString(" "))))
+        else None
+      }
+    }.toMap
+    assert(got === expect)
+  }
+
+  test("property: d15 ≡ brute-force containment over distinct gram " +
+      "sets on random small corpora (seeded)") {
+    val rnd = new scala.util.Random(77)
+    // small vocab forces real overlap; 15 docs keeps brute force
+    // exact — plus three crafted rows guaranteeing the rule fires:
+    // an exact copy, a strict superset, and a half-overlap reject
+    val base = (1L to 15L).map { id =>
+      val n = 3 + rnd.nextInt(20)
+      (id, (0 until n).map(_ => s"g${rnd.nextInt(8)}").mkString(" "),
+        "en")
+    }
+    val docs = base ++ Seq(
+      (21L, base.head._2, "en"),
+      (22L, base.head._2 + " z1 z2 z3 z4 z5", "en"),
+      (23L, "z9 z8 z7 z6 " + base.head._2, "en"))
+    val dir = docsDir(docs)
+    def grams(text: String): Set[Seq[String]] = {
+      val ws = text.split(" ", -1).toSeq
+      if (ws.length < 3) Set.empty
+      else ws.sliding(3).map(_.toSeq).toSet
+    }
+    val g = docs.map { case (id, t, _) => id -> grams(t) }.toMap
+    // the tiny 8-word vocab makes every gram a hub under the auto
+    // df-cap ONLY if df exceeds it — with 15 docs max df = 15 < 64
+    // (MinDfCap), so no gram is dropped and brute force is exact
+    val expect = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1)
+      if a < b && g(a).nonEmpty && g(b).nonEmpty
+      inter = (g(a) intersect g(b)).size
+      nMin = math.min(g(a).size, g(b).size)
+      if inter.toDouble / nMin >= 0.8
+    } yield {
+      val (cd, ct) = if (g(a).size <= g(b).size) (a, b) else (b, a)
+      (cd, ct) -> ((inter.toLong, nMin.toLong))
+    }).toMap
+    val got = queries.TextDedup.d15.run(spark, dir).collect()
+      .map(r => (r.getAs[Long]("contained_doc"),
+        r.getAs[Long]("container_doc")) ->
+        ((r.getAs[Long]("inter"), r.getAs[Long]("n_contained")))).toMap
+    assert(got === expect)
+    assert(expect.nonEmpty) // the corpus actually exercises the rule
+  }
+
   test("property: e18 ≡ plain Scala transition counter on random " +
       "event streams (seeded)") {
     import spark.implicits._
