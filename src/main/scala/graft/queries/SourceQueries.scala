@@ -794,7 +794,73 @@ object SourceQueries {
           .as("train_pos"))
   }
 
+  // ---------------------------------------------------------------
+  // s16 decontamination APPLY — the materialization step downstream
+  // of s06's detection (the d07→d10 detect→apply symmetry, on the
+  // train/eval axis): every document gets its split, its
+  // contamination verdict, and the action an eval-set build would
+  // take — eval docs overlapping any train doc at ≥ [[ContamFrac]]
+  // of their grams are QUARANTINED (excluded from eval, the GPT-3
+  // appendix-C move), everything else keeps. Single-sourced: Spark
+  // filters s06's own run() output; the oracle nests s06's SQL — the
+  // quarantine set cannot drift from the detector.
+  //
+  // Scale shape: s06's audited inverted-index join does the heavy
+  // work (shared cappedGids pin); the apply adds one eval-doc-grain
+  // hit agg and one broadcast-ready left join onto the corpus scan.
+  // Docs too short to shingle (<3 tokens) never contaminate by
+  // construction and keep their split — the left join's null side.
+  private val ContamFrac = 0.5
+  val s16 = Q(
+    "s16_decontaminate_apply",
+    s"""${TextDedup.gidsCte},
+      |h AS (SELECT doc_id, gid FROM g WHERE gid NOT IN
+      |        (SELECT gid FROM g GROUP BY gid
+      |         HAVING COUNT(*) > ${TextDedup.capSql("g")})),
+      |a AS (SELECT doc_id, gid,
+      |    CASE WHEN ${Fns.hash60Sql("doc_id")} % 100 < 80
+      |         THEN 'train' ELSE 'eval' END AS split FROM h),
+      |n AS (SELECT doc_id, COUNT(*) AS n_grams FROM a
+      |      WHERE split = 'eval' GROUP BY doc_id),
+      |p AS (SELECT ev.doc_id AS eval_doc_id, tr.doc_id AS train_doc_id,
+      |        CAST(COUNT(*) AS BIGINT) AS shared_grams
+      |      FROM a ev JOIN a tr ON ev.gid = tr.gid
+      |      WHERE ev.split = 'eval' AND tr.split = 'train'
+      |      GROUP BY 1, 2),
+      |hits AS (SELECT eval_doc_id,
+      |        CAST(COUNT(*) AS BIGINT) AS n_hits
+      |      FROM p JOIN n ON p.eval_doc_id = n.doc_id
+      |      WHERE p.shared_grams >= 3
+      |        AND CAST(p.shared_grams AS DOUBLE) / n.n_grams
+      |          >= $ContamFrac
+      |      GROUP BY eval_doc_id),
+      |alld AS (SELECT doc_id,
+      |    CASE WHEN ${Fns.hash60Sql("doc_id")} % 100 < 80
+      |         THEN 'train' ELSE 'eval' END AS split FROM documents)
+      |SELECT d.doc_id, d.split,
+      |  COALESCE(hits.n_hits, 0) AS n_hits,
+      |  hits.eval_doc_id IS NOT NULL AS contaminated,
+      |  CASE WHEN hits.eval_doc_id IS NOT NULL THEN 'quarantine'
+      |       ELSE 'keep' END AS action
+      |FROM alld d LEFT JOIN hits ON d.doc_id = hits.eval_doc_id""".stripMargin) {
+    (s, dir) =>
+      val hits = s06.run(s, dir)
+        .filter(col("shared_grams") >= 3 &&
+          col("overlap_frac") >= ContamFrac)
+        .groupBy("eval_doc_id").agg(count(lit(1)).as("n_hits"))
+      val alld = graft.operators.Sampling.assignSplits(
+        Tables.load(s, dir, "documents").select("doc_id"),
+        col("doc_id"), Seq("train" -> 80, "eval" -> 100))
+      alld.join(broadcast(hits),
+          col("doc_id") === col("eval_doc_id"), "left")
+        .select(col("doc_id"), col("split"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          col("eval_doc_id").isNotNull.as("contaminated"),
+          when(col("eval_doc_id").isNotNull, "quarantine")
+            .otherwise("keep").as("action"))
+  }
+
   val all: Seq[Q] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, c01)
+      s14, s15, s16, c01)
 }

@@ -122,6 +122,39 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(!sup.getAs[Boolean]("by_jaccard"))
   }
 
+  test("s16: decontamination apply — identical-text eval docs " +
+      "quarantine, distinct-text corpus keeps everything, short docs " +
+      "keep their split") {
+    // corpus 1: 40 byte-identical docs — every eval doc fully
+    // overlaps every train doc
+    val text = (1 to 20).map(i => s"w$i").mkString(" ")
+    val dir = docsDir((1L to 40L).map(id => (id, text, "en")) :+
+      (41L, "too short", "en"))
+    val out = queries.SourceQueries.s16.run(spark, dir).collect()
+    val bySplit = out.filter(_.getAs[Long]("doc_id") <= 40L)
+      .groupBy(_.getAs[String]("split"))
+    assert(bySplit.keySet === Set("train", "eval")) // both occupied
+    bySplit("eval").foreach { r =>
+      assert(r.getAs[Boolean]("contaminated"))
+      assert(r.getAs[String]("action") === "quarantine")
+      assert(r.getAs[Long]("n_hits") === bySplit("train").length.toLong)
+    }
+    bySplit("train").foreach { r =>
+      assert(!r.getAs[Boolean]("contaminated"))
+      assert(r.getAs[String]("action") === "keep")
+    }
+    // the 2-token doc cannot shingle: keeps its split, zero hits
+    val short = out.find(_.getAs[Long]("doc_id") == 41L).get
+    assert(!short.getAs[Boolean]("contaminated"))
+    assert(short.getAs[Long]("n_hits") === 0L)
+    // corpus 2: all-distinct vocabularies — nobody contaminates
+    val dir2 = docsDir((1L to 10L).map(id =>
+      (id, (1 to 20).map(i => s"d${id}w$i").mkString(" "), "en")))
+    val out2 = queries.SourceQueries.s16.run(spark, dir2).collect()
+    assert(out2.length === 10)
+    assert(out2.forall(_.getAs[String]("action") === "keep"))
+  }
+
   test("t09: each Gopher rule fails independently and gates keep " +
       "(Rae et al. 2021 A1.1)") {
     val good = (Seq("the", "and") ++ Seq.fill(58)("word")).mkString(" ")
