@@ -231,7 +231,13 @@ class PlanAuditSpec extends SparkTestBase {
       //       earlier audited queries.) Growth here without a member
       //       regressing means the consensus stopped being a single
       //       union+agg                                            -> 8
-      "d16_ensemble_dups" -> 8)
+      "d16_ensemble_dups" -> 8,
+      //  s16: s06's audited pipeline underneath (pair repartition +
+      //       eval-size agg + report agg = 3, with cappedGids cache
+      //       hits from d02's earlier audit) + the apply's own
+      //       quarantine-hit agg and NOTHING else — the corpus left
+      //       join BROADCASTS the hit set                          -> 4
+      "s16_decontaminate_apply" -> 4)
     val got = audited.map { case (name, _) =>
       name -> executedShuffleCount(build(name))
     }
