@@ -420,7 +420,9 @@ class PipelineQueriesSpec extends SparkTestBase {
       queries.SourceQueries.s12, queries.SourceQueries.s13,
       queries.VectorSearch.v14, queries.GraphQueries.g03,
       queries.EventAnalytics.e18, queries.EventAnalytics.e19,
-      queries.TextDedup.d15, queries.SourceQueries.s14)
+      queries.TextDedup.d15, queries.SourceQueries.s14,
+      queries.TextDedup.d16, queries.SourceQueries.s15,
+      queries.SourceQueries.s16, queries.VectorSearch.v15)
       .foreach { q =>
         assert(q.run(spark, dir).count() === 0L, s"${q.name} not empty")
       }
