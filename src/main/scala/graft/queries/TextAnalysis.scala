@@ -663,7 +663,61 @@ object TextAnalysis {
             lit(0L))).as("zipf_slope_bits"))
   }
 
+  // ---------------------------------------------------------------
+  // t15 BPE merge candidates — the first merge step of byte-pair-
+  // encoding tokenizer training (Sennrich et al. 2016): corpus-
+  // frequency-weighted counts of adjacent character pairs inside
+  // tokens, ranked; the top pair IS the first BPE merge, and the
+  // ranked table is the whole candidate frontier. One deterministic
+  // refinement step of an iterative algorithm, the v07-Lloyd's
+  // precedent — full training iterates this exact query against an
+  // evolving symbol vocabulary. Closes the tokenizer-induction gap in
+  // the t-family (t04 counts pieces under a FIXED tokenizer; t15 is
+  // how the tokenizer gets built).
+  //
+  // Scale shape: the corpus collapses ONCE to (token, count) —
+  // map-side combinable, the only corpus-cardinality shuffle; pair
+  // explosion and everything after run at VOCABULARY grain (t14's
+  // distinction), so the global top-20 rank window sees |char-pair|
+  // rows — a few hundred at any corpus size. Duplicate pairs within
+  // one token ("aaa" → "aa"×2) count per occurrence (BPE's own
+  // counting); n_token_types is DISTINCT tokens containing the pair.
+  val t15 = Q(
+    "t15_bpe_merges",
+    """WITH tok AS (SELECT unnest(string_split(text,' ')) AS w
+      |            FROM documents),
+      |tc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+      |       WHERE len(w) >= 2 GROUP BY w),
+      |bg AS (SELECT pair, CAST(SUM(c) AS BIGINT) AS n_occurrences,
+      |         CAST(COUNT(DISTINCT w) AS BIGINT) AS n_token_types
+      |       FROM (SELECT w, c,
+      |           unnest([w[i:i+1] FOR i IN range(1, len(w))]) AS pair
+      |         FROM tc)
+      |       GROUP BY pair)
+      |SELECT pair, n_occurrences, n_token_types,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair)
+      |    AS BIGINT) AS rnk
+      |FROM bg QUALIFY rnk <= 20""".stripMargin) { (s, dir) =>
+    val tc = Tables.load(s, dir, "documents")
+      .select(explode(Fns.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("n_occurrences").desc, col("pair"))
+    tc.select(col("w"), col("c"),
+        explode(expr(
+          "transform(sequence(1, length(w)-1), i -> substring(w, i, 2))"))
+          .as("pair"))
+      .groupBy("pair")
+      .agg(sum("c").as("n_occurrences"),
+        countDistinct("w").as("n_token_types"))
+      // global rank over the char-pair vocabulary — a few hundred
+      // rows at any corpus size, so the single-partition window is
+      // bounded state, not a corpus sort
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 20)
+  }
+
   val all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12,
-      t13, t14)
+      t13, t14, t15)
 }

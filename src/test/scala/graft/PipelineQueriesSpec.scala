@@ -155,6 +155,22 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(out2.forall(_.getAs[String]("action") === "keep"))
   }
 
+  test("t15: BPE merge candidates — within-token duplicate pairs " +
+      "count per occurrence, frequency-weighted, tiebreak by pair") {
+    val dir = docsDir(Seq(
+      (1L, "aaa bb", "en"), // aaa -> aa twice; bb -> bb once
+      (2L, "ab ab x", "en"))) // ab token frequency 2; 1-char x drops
+    val out = queries.TextAnalysis.t15.run(spark, dir).collect()
+      .sortBy(_.getAs[Long]("rnk"))
+    val got = out.map(r => (r.getAs[String]("pair"),
+      r.getAs[Long]("n_occurrences"), r.getAs[Long]("n_token_types"),
+      r.getAs[Long]("rnk")))
+    assert(got.toSeq === Seq(
+      ("aa", 2L, 1L, 1L), // 2 occurrences inside ONE token type
+      ("ab", 2L, 1L, 2L), // token frequency 2, tiebreak aa < ab
+      ("bb", 1L, 1L, 3L)))
+  }
+
   test("t09: each Gopher rule fails independently and gates keep " +
       "(Rae et al. 2021 A1.1)") {
     val good = (Seq("the", "and") ++ Seq.fill(58)("word")).mkString(" ")
