@@ -237,7 +237,13 @@ class PlanAuditSpec extends SparkTestBase {
       //       hits from d02's earlier audit) + the apply's own
       //       quarantine-hit agg and NOTHING else — the corpus left
       //       join BROADCASTS the hit set                          -> 4
-      "s16_decontaminate_apply" -> 4)
+      "s16_decontaminate_apply" -> 4,
+      //  t15: the (token, count) vocabulary collapse is the ONE
+      //       corpus-grain exchange; the pair agg is the second; the
+      //       global top-20 window's single-partition exchange folds
+      //       into the agg's at this partitioning (char-pair-
+      //       vocabulary grain — bounded state either way)         -> 2
+      "t15_bpe_merges" -> 2)
     val got = audited.map { case (name, _) =>
       name -> executedShuffleCount(build(name))
     }
