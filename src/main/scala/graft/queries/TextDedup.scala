@@ -626,13 +626,13 @@ object TextDedup {
 
   /** Oracle fragment: orthant code over sx[from .. from+bits-1]
     * (1-indexed), bit i set when the scaled component is > 0. */
-  private def orthantSql(from: Int, bits: Int): String =
+  private[queries] def orthantSql(from: Int, bits: Int): String =
     (0 until bits)
       .map(i => s"(CASE WHEN sx[${from + i}] > 0 THEN ${1 << i} ELSE 0 END)")
       .mkString("(", " + ", ")")
 
   /** Spark twin of [[orthantSql]] over the `sx` column. */
-  private def orthantCol(from: Int, bits: Int): Column =
+  private[queries] def orthantCol(from: Int, bits: Int): Column =
     (0 until bits)
       .map(i => when(element_at(col("sx"), from + i) > 0, lit(1 << i))
         .otherwise(lit(0)))

@@ -1601,7 +1601,63 @@ object VectorSearch {
       schema)
   }
 
+  // ---------------------------------------------------------------
+  // v16 cell-blocked kNN graph — the neighbor-graph construction that
+  // fronts graph-ANN indexes (HNSW/NSG layer-0), SemDeDup-style
+  // clustering, and manifold methods: every vector's exact top-3
+  // cosine neighbors WITHIN its (label, 8-bit-orthant) cell — d13's
+  // high-precision blocking reused verbatim (one definition in
+  // TextDedup.orthantSql/orthantCol). Unlike v01's bounded QUERY set,
+  // the left side here is the WHOLE corpus, so blocking is mandatory:
+  // the self-join key space is labels·256 cells and expected cell
+  // population N/(labels·256) — cell width grows with log₂N exactly
+  // as d06/d13 document. Vectors alone in their cell emit no rows
+  // (isolated graph nodes — the narrow-cell/recall trade the bits
+  // knob controls).
+  //
+  // Exactness: scaled-integer dots, cand_id tiebreak; within-cell
+  // top-3 is a rank window per vec_id — both engines select identical
+  // neighbor sets.
+  private val KnnGraphK = 3
+  val v16 = Q(
+    "v16_knn_graph",
+    s"""$normCte,
+      |c AS (SELECT e.vec_id, emb.label, e.sx, e.n,
+      |    ${TextDedup.orthantSql(1, 8).replace("sx[", "e.sx[")} AS cell
+      |  FROM e JOIN embeddings emb ON e.vec_id = emb.vec_id),
+      |p AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(list_zip(a.sx, b.sx),
+      |      z -> z[1]*z[2])) AS BIGINT)::DOUBLE
+      |      / (sqrt(a.n::DOUBLE) * sqrt(b.n::DOUBLE)) AS cosine
+      |  FROM c a JOIN c b ON a.label = b.label AND a.cell = b.cell
+      |    AND a.vec_id <> b.vec_id)
+      |SELECT vec_id, neighbor_id, rnk, cosine
+      |FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk FROM p) t
+      |WHERE rnk <= $KnnGraphK""".stripMargin) { (s, dir) =>
+    // fans out both sides of the cell self-join: pin scale+norm+cell
+    val c = graft.operators.Pin(Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        Fns.scaleVec(col("embedding")).as("sx"))
+      .withColumn("n", VectorExprs.normSqIntNative(col("sx")))
+      .withColumn("cell", TextDedup.orthantCol(1, 8)))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.select(col("vec_id"), col("label"), col("cell"),
+        col("sx").as("sx_a"), col("n").as("n_a"))
+      .join(c.select(col("vec_id").as("neighbor_id"), col("label"),
+        col("cell"), col("sx").as("sx_b"), col("n").as("n_b")),
+        Seq("label", "cell"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        Fns.cosineFromScaled(
+          VectorExprs.dotIntNative(col("sx_a"), col("sx_b")),
+          col("n_a"), col("n_b")).as("cosine"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= KnnGraphK)
+  }
+
   val all: Seq[Q] =
     Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13,
-      d14, v14, v15)
+      d14, v14, v15, v16)
 }

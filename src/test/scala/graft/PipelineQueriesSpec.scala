@@ -1008,6 +1008,25 @@ class PipelineQueriesSpec extends SparkTestBase {
       out(2).getAs[Double]("relevance")) // non-greedy order visible
   }
 
+  test("v16: kNN graph — in-cell exact top-k ordering; sign-flipped " +
+      "and cross-label vectors are isolated nodes") {
+    val one = Array.fill(7)(1f)
+    val dir = embDir(Seq(
+      (1L, 1f +: one, 0), // cell 255
+      (2L, 0.9f +: one, 0), // cell 255, closest to 1
+      (3L, 0.5f +: one, 0), // cell 255, farther
+      (4L, -1f +: one, 0), // dim-1 sign flip → cell 254: isolated
+      (5L, 1f +: one, 1))) // other label, same cell: isolated
+    val out = queries.VectorSearch.v16.run(spark, dir).collect()
+    val by = out.groupBy(_.getAs[Long]("vec_id"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("rnk"))
+        .map(_.getAs[Long]("neighbor_id")).toSeq).toMap
+    assert(by.keySet === Set(1L, 2L, 3L)) // 4 and 5 isolated
+    assert(by(1L) === Seq(2L, 3L)) // exact cosine order
+    assert(by(2L) === Seq(1L, 3L))
+    assert(by(3L) === Seq(2L, 1L)) // 2 is nearer 3 than 1 is
+  }
+
   test("v14: retrieval metrics ≡ plain Scala recomputation from the " +
       "methods' own outputs (MRR, integer-bits DCG, per-query IDCG)") {
     val dir = "/root/testdata/sf0.001"
