@@ -243,7 +243,11 @@ class PlanAuditSpec extends SparkTestBase {
       //       global top-20 window's single-partition exchange folds
       //       into the agg's at this partitioning (char-pair-
       //       vocabulary grain — bounded state either way)         -> 2
-      "t15_bpe_merges" -> 2)
+      "t15_bpe_merges" -> 2,
+      //  v16: the scale+norm+cell pin builds exchange-free (narrow);
+      //       the cell self-join broadcasts at this SF; the one
+      //       exchange is the per-vector top-k rank window          -> 1
+      "v16_knn_graph" -> 1)
     val got = audited.map { case (name, _) =>
       name -> executedShuffleCount(build(name))
     }
