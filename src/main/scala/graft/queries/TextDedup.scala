@@ -984,7 +984,58 @@ object TextDedup {
           flag("simhash")).cast(LongType).as("n_detectors"))
   }
 
+  // ---------------------------------------------------------------
+  // d17 delta dedup — the INCREMENTAL ingest shape production corpora
+  // actually run: a new batch (doc_id % 10 = 9 here — the synthetic
+  // stand-in for today's crawl) dedups against the EXISTING corpus
+  // via fingerprint equi-join, never re-self-joining the corpus.
+  // Per incoming doc: dup_existing (a corpus doc already has this
+  // content), dup_batch (an earlier batch member does), or unique;
+  // canonical_id is the election d01 would make, restricted to the
+  // knowledge an incremental pass has.
+  //
+  // Scale shape — the whole point of the operator: the batch side is
+  // SMALL relative to the corpus, so its distinct fingerprints
+  // BROADCAST into a semi-restriction of the corpus scan BEFORE the
+  // corpus-side min agg — corpus-grain work collapses to "docs whose
+  // fingerprint appears in today's batch" (at 100 TB the existing
+  // side is a precomputed fingerprint index; the plan is unchanged).
+  // The semi-join is output-transparent: the oracle states the naive
+  // corpus-wide agg and the results are identical.
+  val d17 = Q(
+    "d17_delta_dedup",
+    """WITH d AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      |ex AS (SELECT fp, MIN(doc_id) AS ex_min FROM d
+      |       WHERE doc_id % 10 <> 9 GROUP BY fp),
+      |inc AS (SELECT doc_id, fp FROM d WHERE doc_id % 10 = 9),
+      |bm AS (SELECT fp, MIN(doc_id) AS batch_min FROM inc GROUP BY fp)
+      |SELECT i.doc_id, i.fp AS fingerprint,
+      |  ex.ex_min AS dup_of_existing,
+      |  CASE WHEN ex.ex_min IS NOT NULL THEN 'dup_existing'
+      |       WHEN bm.batch_min < i.doc_id THEN 'dup_batch'
+      |       ELSE 'unique' END AS status,
+      |  COALESCE(ex.ex_min, bm.batch_min) AS canonical_id
+      |FROM inc i LEFT JOIN ex ON i.fp = ex.fp
+      |  JOIN bm ON i.fp = bm.fp""".stripMargin) { (s, dir) =>
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val inc = Pin(d.filter(col("doc_id") % 10 === 9))
+    val incFps = inc.select("fp").distinct()
+    val ex = d.filter(col("doc_id") % 10 =!= 9)
+      .join(broadcast(incFps), "fp") // batch-driven semi-restriction
+      .groupBy("fp").agg(min("doc_id").as("ex_min"))
+    val bm = inc.groupBy("fp").agg(min("doc_id").as("batch_min"))
+    inc.join(broadcast(ex), Seq("fp"), "left")
+      .join(broadcast(bm), Seq("fp"))
+      .select(col("doc_id"), col("fp").as("fingerprint"),
+        col("ex_min").as("dup_of_existing"),
+        when(col("ex_min").isNotNull, "dup_existing")
+          .when(col("batch_min") < col("doc_id"), "dup_batch")
+          .otherwise("unique").as("status"),
+        coalesce(col("ex_min"), col("batch_min")).as("canonical_id"))
+  }
+
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12,
-      d13, d15, d16)
+      d13, d15, d16, d17)
 }

@@ -171,6 +171,27 @@ class PipelineQueriesSpec extends SparkTestBase {
       ("bb", 1L, 1L, 3L)))
   }
 
+  test("d17: delta dedup — existing match wins, first-in-batch is " +
+      "the fallback canonical, only the batch is reported") {
+    val dir = docsDir(Seq(
+      (3L, "shared with incoming nine", "en"), // existing
+      (4L, "unrelated corpus content", "en"), // existing
+      (9L, "shared with incoming nine", "en"), // inc: dup_existing
+      (19L, "batch internal duplicate", "en"), // inc: first → unique
+      (29L, "batch internal duplicate", "en"), // inc: dup_batch of 19
+      (39L, "genuinely new content here", "en"))) // inc: unique
+    val out = queries.TextDedup.d17.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("status"),
+          Option(r.get(r.fieldIndex("dup_of_existing"))),
+          r.getAs[Long]("canonical_id")))).toMap
+    assert(out.keySet === Set(9L, 19L, 29L, 39L)) // batch only
+    assert(out(9L) === (("dup_existing", Some(3L), 3L)))
+    assert(out(19L) === (("unique", None, 19L)))
+    assert(out(29L) === (("dup_batch", None, 19L)))
+    assert(out(39L) === (("unique", None, 39L)))
+  }
+
   test("t09: each Gopher rule fails independently and gates keep " +
       "(Rae et al. 2021 A1.1)") {
     val good = (Seq("the", "and") ++ Seq.fill(58)("word")).mkString(" ")
