@@ -247,7 +247,13 @@ class PlanAuditSpec extends SparkTestBase {
       //  v16: the scale+norm+cell pin builds exchange-free (narrow);
       //       the cell self-join broadcasts at this SF; the one
       //       exchange is the per-vector top-k rank window          -> 1
-      "v16_knn_graph" -> 1)
+      "v16_knn_graph" -> 1,
+      //  d17: the batch pin builds narrow and the result joins all
+      //       BROADCAST; AQE plans the fp-distinct and both min aggs
+      //       off the broadcast exchanges, leaving ONE true shuffle
+      //       (the semi-restricted corpus agg). Growth here means
+      //       the corpus side stopped being batch-driven           -> 1
+      "d17_delta_dedup" -> 1)
     val got = audited.map { case (name, _) =>
       name -> executedShuffleCount(build(name))
     }
