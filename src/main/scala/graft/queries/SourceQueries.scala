@@ -860,7 +860,66 @@ object SourceQueries {
             .otherwise("keep").as("action"))
   }
 
+  // ---------------------------------------------------------------
+  // s17 dataset datasheet — the per-source release card every shipped
+  // corpus carries (Datasheets for Datasets, Gebru et al. 2021, the
+  // quantitative half): volume (docs/tokens), language profile
+  // (distinct langs, English fraction), hygiene (exact-duplicate
+  // fraction from d01's election, Gopher quality-pass fraction from
+  // t09's verdict), and density (mean doc tokens). Single-sourced
+  // like s11: the duplicate and quality definitions are d01/t09's
+  // OWN — Spark joins their run() outputs, the oracle nests their
+  // SQL — so the datasheet can never disagree with the operators it
+  // summarizes.
+  //
+  // Scale shape: d01's window and t09's narrow scan do the heavy
+  // lifting; the datasheet adds one (doc-grain) 3-way join on doc_id
+  // and a |sources|-bounded aggregate.
+  val s17 = Q(
+    "s17_datasheet",
+    s"""WITH dup AS (${TextDedup.d01.oracle.get}),
+      |qf AS (${TextAnalysis.t09.oracle.get}),
+      |base AS (SELECT doc_id, source, lang,
+      |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks
+      |  FROM documents)
+      |SELECT base.source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(DISTINCT base.lang) AS BIGINT) AS n_langs,
+      |  CAST(SUM(CASE WHEN base.lang = 'en' THEN 1 ELSE 0 END)
+      |    AS BIGINT)::DOUBLE / COUNT(*) AS en_frac,
+      |  CAST(SUM(CASE WHEN dup.is_dup THEN 1 ELSE 0 END)
+      |    AS BIGINT)::DOUBLE / COUNT(*) AS dup_frac,
+      |  CAST(SUM(CASE WHEN qf.keep THEN 1 ELSE 0 END)
+      |    AS BIGINT)::DOUBLE / COUNT(*) AS quality_keep_frac,
+      |  CAST(SUM(n_toks) AS BIGINT)::DOUBLE / COUNT(*)
+      |    AS mean_doc_tokens
+      |FROM base JOIN dup ON base.doc_id = dup.doc_id
+      |  JOIN qf ON base.doc_id = qf.doc_id
+      |GROUP BY base.source""".stripMargin) { (s, dir) =>
+    val dup = TextDedup.d01.run(s, dir).select(col("doc_id"),
+      col("is_dup"))
+    val qf = TextAnalysis.t09.run(s, dir).select(col("doc_id"),
+      col("keep"))
+    val base = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(Fns.tokens(col("text"))).cast(LongType).as("n_toks"))
+    base.join(dup, "doc_id").join(qf, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        countDistinct("lang").as("n_langs"),
+        (sum(when(col("lang") === "en", 1L).otherwise(0L))
+          .cast(DoubleType) / count(lit(1))).as("en_frac"),
+        (sum(when(col("is_dup"), 1L).otherwise(0L))
+          .cast(DoubleType) / count(lit(1))).as("dup_frac"),
+        (sum(when(col("keep"), 1L).otherwise(0L))
+          .cast(DoubleType) / count(lit(1))).as("quality_keep_frac"),
+        (sum("n_toks").cast(DoubleType) / count(lit(1)))
+          .as("mean_doc_tokens"))
+  }
+
   val all: Seq[Q] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16, c01)
+      s14, s15, s16, s17, c01)
 }

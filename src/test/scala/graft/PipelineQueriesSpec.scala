@@ -192,6 +192,32 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(out(39L) === (("unique", None, 39L)))
   }
 
+  test("s17: datasheet — per-source volume, language, dup and " +
+      "quality fractions from the member operators' own verdicts") {
+    val good = (Seq("the", "and") ++ (1 to 58).map(i => s"word$i"))
+      .mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, good, "en"), // canonical, passes quality
+      (2L, good, "en"), // exact dup of 1, still passes quality
+      (3L, "tiny doc here", "en"), // fails word-count rule
+      (4L, "kurz und klein", "de")), // other source, fails quality
+      sources = Seq("web", "web", "web", "books"))
+    val out = queries.SourceQueries.s17.run(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val web = out("web")
+    assert(web.getAs[Long]("n_docs") === 3L)
+    assert(web.getAs[Long]("n_langs") === 1L)
+    assert(web.getAs[Double]("en_frac") === 1.0)
+    assert(web.getAs[Double]("dup_frac") === 1.0 / 3) // doc 2 only
+    assert(web.getAs[Double]("quality_keep_frac") === 2.0 / 3)
+    val books = out("books")
+    assert(books.getAs[Long]("n_docs") === 1L)
+    assert(books.getAs[Double]("en_frac") === 0.0)
+    assert(books.getAs[Double]("dup_frac") === 0.0)
+    assert(books.getAs[Double]("quality_keep_frac") === 0.0)
+    assert(books.getAs[Double]("mean_doc_tokens") === 3.0)
+  }
+
   test("t09: each Gopher rule fails independently and gates keep " +
       "(Rae et al. 2021 A1.1)") {
     val good = (Seq("the", "and") ++ Seq.fill(58)("word")).mkString(" ")
