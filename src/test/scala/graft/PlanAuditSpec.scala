@@ -253,7 +253,12 @@ class PlanAuditSpec extends SparkTestBase {
       //       off the broadcast exchanges, leaving ONE true shuffle
       //       (the semi-restricted corpus agg). Growth here means
       //       the corpus side stopped being batch-driven           -> 1
-      "d17_delta_dedup" -> 1)
+      "d17_delta_dedup" -> 1,
+      //  s17: d01's fingerprint window exchange, the doc_id join
+      //       exchange the three doc-grain sides align on, and the
+      //       sources-bounded report agg; t09 is a narrow scan
+      //       contributing none                                    -> 3
+      "s17_datasheet" -> 3)
     val got = audited.map { case (name, _) =>
       name -> executedShuffleCount(build(name))
     }
