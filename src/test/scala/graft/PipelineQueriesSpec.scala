@@ -485,7 +485,9 @@ class PipelineQueriesSpec extends SparkTestBase {
       queries.EventAnalytics.e18, queries.EventAnalytics.e19,
       queries.TextDedup.d15, queries.SourceQueries.s14,
       queries.TextDedup.d16, queries.SourceQueries.s15,
-      queries.SourceQueries.s16, queries.VectorSearch.v15)
+      queries.SourceQueries.s16, queries.VectorSearch.v15,
+      queries.TextDedup.d17, queries.SourceQueries.s17,
+      queries.TextAnalysis.t15, queries.VectorSearch.v16)
       .foreach { q =>
         assert(q.run(spark, dir).count() === 0L, s"${q.name} not empty")
       }
