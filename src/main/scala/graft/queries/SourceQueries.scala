@@ -851,6 +851,13 @@ object SourceQueries {
       val alld = graft.operators.Sampling.assignSplits(
         Tables.load(s, dir, "documents").select("doc_id"),
         col("doc_id"), Seq("train" -> 80, "eval" -> 100))
+      // broadcast is a deliberate HINT, not a bounded-by-construction
+      // fact: the hit set is contaminated-eval-doc grain — small on
+      // any sane corpus (it is the leak being hunted), but
+      // data-dependent. The hint saves the corpus side's exchange
+      // (measured: removing it adds a full-corpus shuffle); if a
+      // pathological corpus ever overflows the broadcast limit the
+      // job fails loudly and the hint is the one line to drop.
       alld.join(broadcast(hits),
           col("doc_id") === col("eval_doc_id"), "left")
         .select(col("doc_id"), col("split"),
