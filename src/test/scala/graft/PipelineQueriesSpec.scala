@@ -1240,6 +1240,73 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(expect.nonEmpty) // the corpus actually exercises the rule
   }
 
+  test("property: v16 ≡ brute-force in-cell top-k on random vectors " +
+      "(seeded)") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (1L to 60L).map { id =>
+      (id, Array.fill(12)((rnd.nextDouble() * 2 - 1).toFloat),
+        rnd.nextInt(2))
+    }
+    val dir = embDir(vecs)
+    val got = queries.VectorSearch.v16.run(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rnk")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    // reference: same scaled-integer arithmetic, plain Scala
+    def sx(a: Array[Float]): Array[Long] =
+      a.map(x => math.round(x.toDouble * 1e6))
+    def cell(s: Array[Long]): Int =
+      (0 until 8).map(i => if (s(i) > 0) 1 << i else 0).sum
+    val rows = vecs.map { case (id, a, l) =>
+      val s = sx(a); (id, l, cell(s), s,
+        s.map(x => x * x).sum)
+    }
+    val expect = rows.flatMap { case (id, l, c, s, n) =>
+      val mates = rows.filter(r =>
+        r._2 == l && r._3 == c && r._1 != id)
+      val ranked = mates.map { m =>
+        val dot = s.zip(m._4).map { case (x, y) => x * y }.sum
+        (m._1, dot.toDouble /
+          (math.sqrt(n.toDouble) * math.sqrt(m._5.toDouble)))
+      }.sortBy { case (nid, cos) => (-cos, nid) }.take(3)
+      ranked.zipWithIndex.map { case ((nid, _), i) =>
+        (id, (i + 1).toLong) -> nid
+      }
+    }.toMap
+    assert(got === expect)
+    assert(expect.nonEmpty)
+  }
+
+  test("property: d17 ≡ plain Scala incremental-dedup fold on random " +
+      "docs (seeded)") {
+    val rnd = new scala.util.Random(31)
+    val pool = (1 to 12).map(i => s"content variant $i of the corpus")
+    val docs = (1L to 80L).map(id =>
+      (id, pool(rnd.nextInt(pool.size)), "en")) ++ Seq(
+      (109L, "batch only duplicate text", "en"), // unique (first)
+      (119L, "batch only duplicate text", "en"), // dup_batch of 109
+      (129L, "never seen anywhere else", "en")) // unique
+    val dir = docsDir(docs)
+    val got = queries.TextDedup.d17.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("status"), r.getAs[Long]("canonical_id"))))
+      .toMap
+    val existing = docs.filter(_._1 % 10 != 9)
+    val incoming = docs.filter(_._1 % 10 == 9)
+    val exMin = existing.groupBy(_._2).view
+      .mapValues(_.map(_._1).min).toMap
+    val bMin = incoming.groupBy(_._2).view
+      .mapValues(_.map(_._1).min).toMap
+    val expect = incoming.map { case (id, text, _) =>
+      id -> (exMin.get(text) match {
+        case Some(e) => ("dup_existing", e)
+        case None if bMin(text) < id => ("dup_batch", bMin(text))
+        case None => ("unique", id)
+      })
+    }.toMap
+    assert(got === expect)
+    assert(expect.values.map(_._1).toSet.size === 3) // all 3 statuses hit
+  }
+
   test("property: e18 ≡ plain Scala transition counter on random " +
       "event streams (seeded)") {
     import spark.implicits._
