@@ -689,6 +689,45 @@ object EventAnalytics {
           .as("is_spike"))
   }
 
+  // ---------------------------------------------------------------
+  // e20 trailing time-window stats — the RANGE-frame capability the
+  // window inventory was missing (q15-q17/q25 are ROWS/rank frames;
+  // e19's trailing baseline is a bucket-grain ROWS frame): per event,
+  // the count/sum/avg of the user's events in the trailing 3 DAYS by
+  // EVENT TIME — an interval-bounded frame, so tied timestamps are
+  // peers and enter together (standard RANGE semantics, identical in
+  // both engines). The money-pipeline exactness contract applies: the
+  // windowed sum runs in DECIMAL(12,2) (order-independent), cast to
+  // DOUBLE at the edge; the avg is one double division on exact
+  // inputs.
+  //
+  // Scale shape: one user_id-keyed shuffle + an in-partition ordered
+  // scan — the same shape as every window in the inventory; the
+  // interval bound is frame metadata, not extra data movement.
+  private val TrailMs = 259200000L // 3 days
+  val e20 = Q(
+    "e20_trailing_window",
+    s"""SELECT event_id, user_id, epoch_ms(ts) AS ms,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+      |    AS sum_value,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+      |    / COUNT(*) OVER w AS avg_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+      |  RANGE BETWEEN $TrailMs PRECEDING AND CURRENT ROW)""".stripMargin) {
+    (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ms")
+        .rangeBetween(-TrailMs, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .withColumn("ms", expr("ts div 1000000"))
+        .select(col("event_id"), col("user_id"), col("ms"),
+          count(lit(1)).over(w).as("n_window"),
+          sum(col("value").cast(D12_2)).over(w).cast(DoubleType)
+            .as("sum_value"))
+        .withColumn("avg_value", col("sum_value") / col("n_window"))
+  }
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
-    e11, e12, e13, e14, e15, e16, e17, e18, e19)
+    e11, e12, e13, e14, e15, e16, e17, e18, e19, e20)
 }

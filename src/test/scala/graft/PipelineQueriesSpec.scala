@@ -1307,6 +1307,32 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(expect.values.map(_._1).toSet.size === 3) // all 3 statuses hit
   }
 
+  test("e20: trailing 3-day RANGE frame — interval membership by " +
+      "event time, tied timestamps are peers") {
+    import spark.implicits._
+    val day = 86400000L
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val rows = Seq(
+      (1L, 10L, t(0L), 1.0),
+      (2L, 10L, t(day), 2.0),
+      (3L, 10L, t(2 * day), 4.0),
+      (4L, 10L, t(3 * day), 8.0), // 0 still in: ms >= 3d - 3d
+      (5L, 10L, t(3 * day + 1), 16.0), // ms=0 ages out
+      (6L, 20L, t(1000L), 3.0), // tied pair, second user
+      (7L, 20L, t(1000L), 5.0))
+    val dir = Files.createTempDirectory("pq").toFile.getAbsolutePath
+    rows.toDF("event_id", "user_id", "ts", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val out = queries.EventAnalytics.e20.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("n_window"), r.getAs[Double]("sum_value"))))
+      .toMap
+    assert(out(4L) === ((4L, 15.0)))
+    assert(out(5L) === ((4L, 30.0))) // 2+4+8+16
+    assert(out(6L) === ((2L, 8.0))) // RANGE peers enter together
+    assert(out(7L) === ((2L, 8.0)))
+  }
+
   test("property: e18 ≡ plain Scala transition counter on random " +
       "event streams (seeded)") {
     import spark.implicits._
