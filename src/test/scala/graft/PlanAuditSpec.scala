@@ -258,7 +258,11 @@ class PlanAuditSpec extends SparkTestBase {
       //       exchange the three doc-grain sides align on, and the
       //       sources-bounded report agg; t09 is a narrow scan
       //       contributing none                                    -> 3
-      "s17_datasheet" -> 3)
+      "s17_datasheet" -> 3,
+      //  e20: ONE user_id window exchange — the interval RANGE bound
+      //       is frame metadata; a second exchange means the avg
+      //       stopped reusing the window's partitioning            -> 1
+      "e20_trailing_window" -> 1)
     val got = audited.map { case (name, _) =>
       name -> executedShuffleCount(build(name))
     }
