@@ -92,14 +92,45 @@ def main():
         print(f"environment scale: x{scale:.2f} "
               f"(median got/ref over {len(ref)} queries; "
               f"thresholds scaled accordingly)")
-    bad = []
-    for name in sorted(ref):
-        r, g = ref[name], got[name]
-        flag = g > r * scale * (1 + REL_TOL) and g > r * scale + ABS_TOL
-        status = "REGRESSED" if flag else "ok"
-        print(f"{status:9s} {name:28s} ref={r:6.3f}  got={g:6.3f}")
-        if flag:
-            bad.append(name)
+    def judge(times):
+        bad = []
+        for name in sorted(ref):
+            r, g = ref[name], times[name]
+            flag = (g > r * scale * (1 + REL_TOL)
+                    and g > r * scale + ABS_TOL)
+            status = "REGRESSED" if flag else "ok"
+            print(f"{status:9s} {name:28s} ref={r:6.3f}  got={g:6.3f}")
+            if flag:
+                bad.append(name)
+        return bad
+
+    bad = judge(got)
+    # A full 49-query profile takes minutes; a transient I/O-wait
+    # burst covering one query's timed reps fakes a regression on a
+    # RANDOM query (observed: three consecutive loaded runs each
+    # flagged a different one, each individually fine on re-run). A
+    # real plan regression is deterministic — so re-profile ONLY the
+    # flagged queries in isolation and re-judge before failing.
+    if bad and len(bad) <= 3:
+        # A full profile takes minutes; a transient I/O-wait burst
+        # covering one query's timed reps fakes a regression on a
+        # RANDOM query (observed: consecutive loaded runs each
+        # flagged a different one). A real plan regression is
+        # deterministic — so re-run the WHOLE profile (isolating the
+        # flagged queries would under-warm the relations they share
+        # with other queries: the pin provider must run first, as it
+        # does in the full sorted order) and fail only on queries
+        # regressed in BOTH passes.
+        print(f"\n{len(bad)} flagged — re-running the full profile "
+              "(transient-burst check; real regressions repeat)...")
+        retry = run_profile(ref.keys())
+        still = [n for n in bad
+                 if retry[n] > ref[n] * scale * (1 + REL_TOL)
+                 and retry[n] > ref[n] * scale + ABS_TOL]
+        for n in bad:
+            print(f"{'REGRESSED' if n in still else 'ok':9s} {n:28s} "
+                  f"ref={ref[n]:6.3f}  retry={retry[n]:6.3f}")
+        bad = still
     if bad:
         print(f"\nFAIL: {len(bad)} quer{'y' if len(bad) == 1 else 'ies'} "
               f"regressed >{int(REL_TOL * 100)}% beyond the x{scale:.2f} "
