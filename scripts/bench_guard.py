@@ -105,12 +105,6 @@ def main():
         return bad
 
     bad = judge(got)
-    # A full 49-query profile takes minutes; a transient I/O-wait
-    # burst covering one query's timed reps fakes a regression on a
-    # RANDOM query (observed: three consecutive loaded runs each
-    # flagged a different one, each individually fine on re-run). A
-    # real plan regression is deterministic — so re-profile ONLY the
-    # flagged queries in isolation and re-judge before failing.
     if bad and len(bad) <= 3:
         # A full profile takes minutes; a transient I/O-wait burst
         # covering one query's timed reps fakes a regression on a
@@ -120,16 +114,19 @@ def main():
         # flagged queries would under-warm the relations they share
         # with other queries: the pin provider must run first, as it
         # does in the full sorted order) and fail only on queries
-        # regressed in BOTH passes.
+        # regressed in BOTH passes. A query missing from the retry
+        # output counts as still-regressed, never a KeyError.
         print(f"\n{len(bad)} flagged — re-running the full profile "
               "(transient-burst check; real regressions repeat)...")
         retry = run_profile(ref.keys())
         still = [n for n in bad
-                 if retry[n] > ref[n] * scale * (1 + REL_TOL)
-                 and retry[n] > ref[n] * scale + ABS_TOL]
+                 if retry.get(n, float("inf")) > ref[n] * scale * (1 + REL_TOL)
+                 and retry.get(n, float("inf")) > ref[n] * scale + ABS_TOL]
         for n in bad:
+            rv = retry.get(n)
             print(f"{'REGRESSED' if n in still else 'ok':9s} {n:28s} "
-                  f"ref={ref[n]:6.3f}  retry={retry[n]:6.3f}")
+                  f"ref={ref[n]:6.3f}  "
+                  f"retry={'missing' if rv is None else f'{rv:6.3f}'}")
         bad = still
     if bad:
         print(f"\nFAIL: {len(bad)} quer{'y' if len(bad) == 1 else 'ies'} "

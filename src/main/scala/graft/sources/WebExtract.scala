@@ -75,11 +75,9 @@ object WebExtract {
           case "apos" => "'"
           case "nbsp" => " "
           case n if n.startsWith("#x") || n.startsWith("#X") =>
-            try String.valueOf(Integer.parseInt(n.drop(2), 16).toChar)
-            catch { case _: Exception => null }
+            decodeCodePoint(n.drop(2), 16)
           case n if n.startsWith("#") =>
-            try String.valueOf(Integer.parseInt(n.drop(1)).toChar)
-            catch { case _: Exception => null }
+            decodeCodePoint(n.drop(1), 10)
           case _ => null
         }
         if (decoded != null) { out.append(decoded); i = semi + 1 }
@@ -88,6 +86,19 @@ object WebExtract {
     }
     out.toString
   }
+
+  /** Numeric entity → String via surrogate-pair-aware toChars, so
+    * astral code points (&#128512;) survive; invalid code points
+    * (out of range, surrogates) decode to null → passed through
+    * verbatim like any unknown entity. */
+  private def decodeCodePoint(digits: String, radix: Int): String =
+    try {
+      val cp = Integer.parseInt(digits, radix)
+      if (Character.isValidCodePoint(cp) &&
+          Character.getType(cp) != Character.SURROGATE.toInt)
+        new String(Character.toChars(cp))
+      else null
+    } catch { case _: Exception => null }
 
   private def parseAttrs(s: String): Map[String, String] = {
     val m = mutable.Map.empty[String, String]
@@ -125,6 +136,10 @@ object WebExtract {
   private def parse(html: String): Elem = {
     val root = Elem("#root", Map.empty, mutable.ArrayBuffer.empty)
     val stack = mutable.ArrayBuffer[Elem](root)
+    // lowercased once: the raw-text (script/style) closer scan would
+    // otherwise re-materialize a full lowercase copy per element,
+    // O(n·k) on script-heavy pages
+    val htmlLower = html.toLowerCase
     var i = 0
     val n = html.length
     def top = stack.last
@@ -170,7 +185,7 @@ object WebExtract {
                 // raw-text elements: children are NOT markup — scan
                 // straight to the closing tag
                 val closer = s"</$tag"
-                val end = html.toLowerCase.indexOf(closer, gt + 1)
+                val end = htmlLower.indexOf(closer, gt + 1)
                 val elem = Elem(tag, attrs, mutable.ArrayBuffer.empty)
                 top.children += elem
                 if (end < 0) i = n
@@ -245,15 +260,22 @@ object WebExtract {
     val sb = new StringBuilder
     collectText(main, sb)
     var text = collapse(sb.toString)
-    if (text.length > bounded) text = text.substring(0, bounded) + "..."
+    // Python slicing counts code points, not UTF-16 units: truncate
+    // on a code-point boundary so a surrogate pair never splits.
+    if (text.codePointCount(0, text.length) > bounded)
+      text = text.substring(0, text.offsetByCodePoints(0, bounded)) + "..."
     val links =
       if (!includeLinks) Seq.empty
       else {
+        // find_all('a', href=True)[:50] then drop empty-text anchors:
+        // EVERY href-bearing anchor counts toward the 50 cap (so the
+        // result can have <50 links); stop descending once 50 seen.
         val acc = mutable.ArrayBuffer.empty[(String, String)]
+        var seen = 0
         def walk(e: Elem): Unit = e.children.foreach {
-          case c: Elem if !NoiseTags.contains(c.tag) =>
-            if (c.tag == "a" && c.attrs.contains("href") &&
-                acc.length < 50) {
+          case c: Elem if !NoiseTags.contains(c.tag) && seen < 50 =>
+            if (c.tag == "a" && c.attrs.contains("href")) {
+              seen += 1
               val tsb = new StringBuilder
               collectText(c, tsb)
               val t = collapse(tsb.toString)
@@ -261,7 +283,7 @@ object WebExtract {
               if (t.nonEmpty && href.nonEmpty) acc += ((t, href))
             }
             walk(c)
-          case _ => () // text nodes and noise subtrees
+          case _ => () // text nodes, noise subtrees, post-cap elements
         }
         walk(root)
         acc.toSeq

@@ -82,6 +82,41 @@ class WebExtractSpec extends SparkTestBase {
     assert(WebExtract.extract("<body>&#65;&#x42;</body>").content === "AB")
   }
 
+  test("astral code points decode as surrogate pairs; invalid code " +
+      "points pass through verbatim") {
+    val grin = new String(Character.toChars(0x1F600))
+    assert(WebExtract.extract("<body>&#128512;</body>").content === grin)
+    assert(WebExtract.extract("<body>&#x1F600;</body>").content === grin)
+    // lone surrogate / out-of-range: verbatim, never a bogus char
+    assert(WebExtract.extract("<body>&#xD800;</body>").content === "&#xD800;")
+    assert(WebExtract.extract("<body>&#1114112;</body>").content
+      === "&#1114112;")
+    // truncation never splits a surrogate pair (code-point slicing)
+    val astral = "<body>" + (grin + " ") * 700 + "</body>"
+    val ex = WebExtract.extract(astral, maxLength = 10) // clamped to 1000
+    assert(ex.content.endsWith("..."))
+    val body = ex.content.dropRight(3)
+    assert(body.codePointCount(0, body.length) === 1000)
+    assert(!Character.isHighSurrogate(body.last)) // pair intact
+  }
+
+  test("link cap counts every href-bearing anchor (find_all[:50] " +
+      "then empty-text filter → can return <50)") {
+    // anchors 1..60; every 3rd has empty text. find_all[:50] keeps
+    // anchors 1..50, then the text filter drops the 16 empty ones
+    // (3,6,...,48) → 34 links; anchors 51..60 never considered.
+    val body = (1 to 60).map { i =>
+      if (i % 3 == 0) s"""<a href="/e$i"></a>"""
+      else s"""<a href="/l$i">t$i</a>"""
+    }.mkString("<body>", " ", "</body>")
+    val ex = WebExtract.extract(body, "https://x.example",
+      includeLinks = true)
+    assert(ex.links.length === 34)
+    assert(ex.links.head === ("t1", "https://x.example/l1"))
+    assert(ex.links.last === ("t50", "https://x.example/l50"))
+    assert(!ex.links.exists(_._1 == "t52")) // past-cap anchor excluded
+  }
+
   test("extractPages: per-partition DataFrame tier with typed links") {
     val rows = java.util.Arrays.asList(
       Row(1L, "https://site.example/", page),
