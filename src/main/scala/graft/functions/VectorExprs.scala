@@ -480,6 +480,106 @@ case class CentroidArgmin(child: Expression, cells: Seq[Int],
       : Expression = copy(child = newChild)
 }
 
+/** d14's two-level (coarse → member) nearest-seed assignment in ONE
+  * native pass — [[CentroidArgmin]]'s exact rounded-term arithmetic
+  * (Σ round((xᵢ−mᵢ)²·1e12) in BIGINT, ties → smallest id) applied
+  * twice: argmin over the √k coarse seeds picks a coarse cell, then
+  * argmin over THAT cell's member seeds picks the final cell. This is
+  * the IVF-style assignment SemDeDup needs once k scales with the
+  * corpus (Abbas et al. 2023 §3 — k ∝ N holds cell size constant):
+  * a flat argmin is N·k·d = O(N²·d/target) and stops being a scan at
+  * ~10⁵ cells, while two levels cost N·2√k·d. Seed ids are the
+  * corpus's own BIGINT vector ids (not a dense 0..k range), so the
+  * result is LongType. Null elements skip (SUM semantics); a null
+  * vector yields null (callers filter).
+  */
+case class HierArgmin(child: Expression, coarseIds: Seq[Long],
+    coarse: Seq[Seq[Double]], memberIds: Seq[Seq[Long]],
+    memberCens: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with CodegenFallback {
+
+  require(coarseIds.length == coarse.length &&
+    coarseIds.length == memberIds.length &&
+    coarseIds.length == memberCens.length,
+    s"coarse arity mismatch: ${coarseIds.length} ids, " +
+      s"${coarse.length} centroids, ${memberIds.length}/" +
+      s"${memberCens.length} member lists")
+  require(memberIds.zip(memberCens).forall(p => p._1.length == p._2.length),
+    "member ids/centroids length mismatch")
+  require(coarseIds.nonEmpty,
+    "empty seed set — callers handle the 0-vector corpus before this")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double>, got $t")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_hier_argmin"
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val coarseIdArr: Array[Long] = coarseIds.toArray
+  @transient private lazy val coarseArr: Array[Array[Double]] =
+    coarse.map(_.toArray).toArray
+  @transient private lazy val memIdArr: Array[Array[Long]] =
+    memberIds.map(_.toArray).toArray
+  @transient private lazy val memCenArr: Array[Array[Array[Double]]] =
+    memberCens.map(_.map(_.toArray).toArray).toArray
+
+  private def dist(x: ArrayData, m: Array[Double]): Long = {
+    val n = math.min(x.numElements(), m.length)
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i)) {
+        val xi = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val diff = xi - m(i)
+        s += ExactRound.halfUp(diff * diff * 1e12)
+      }
+      i += 1
+    }
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    var bestDs = Long.MaxValue
+    var bestIdx = -1
+    var k = 0
+    while (k < coarseArr.length) {
+      val s = dist(x, coarseArr(k))
+      if (s < bestDs ||
+          (s == bestDs && (bestIdx < 0 ||
+            coarseIdArr(k) < coarseIdArr(bestIdx)))) {
+        bestDs = s
+        bestIdx = k
+      }
+      k += 1
+    }
+    val ids = memIdArr(bestIdx)
+    val cens = memCenArr(bestIdx)
+    var mBest = Long.MaxValue
+    var mId = Long.MaxValue
+    var j = 0
+    while (j < cens.length) {
+      val s = dist(x, cens(j))
+      if (s < mBest || (s == mBest && ids(j) < mId)) {
+        mBest = s
+        mId = ids(j)
+      }
+      j += 1
+    }
+    mId
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 /** v08's product-quantization encoder in ONE native pass (FAISS `PQ`
   * shape, Jégou et al. 2011): the vector is split into `subDims`-wide
   * subvectors and each is assigned independently to its nearest
@@ -728,6 +828,16 @@ object VectorExprs {
       centroids: Seq[Seq[Double]]): Column =
     GraftColumnBridge.column(CentroidArgmin(
       GraftColumnBridge.expression(x), cells, centroids))
+
+  /** Column wrapper: native two-level nearest-seed assignment. Like
+    * [[centroidArgmin]], the seed parameters are literals born from a
+    * driver-collected bounded seed table — no SQL registration. */
+  def hierArgmin(x: Column, coarseIds: Seq[Long], coarse: Seq[Seq[Double]],
+      memberIds: Seq[Seq[Long]],
+      memberCens: Seq[Seq[Seq[Double]]]): Column =
+    GraftColumnBridge.column(HierArgmin(
+      GraftColumnBridge.expression(x), coarseIds, coarse, memberIds,
+      memberCens))
 
   /** Column wrapper: native ADC table-lookup scan over a PQ code
     * word. Like [[centroidArgmin]], the per-query LUTs are literals

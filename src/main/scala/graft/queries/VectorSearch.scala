@@ -1276,23 +1276,74 @@ object VectorSearch {
   // order-deterministic). dup_of = the smallest such neighbor (the
   // audit pointer), NULL for kept rows.
   //
-  // Scale shape: assignment is the native zero-shuffle CentroidArgmin
-  // pass over driver-baked centroids (k·d doubles — Lloyd's sync
-  // point); candidate pairs exist ONLY inside a cell equi-join with
-  // the cosine computed in-join (d06's shape — no candidate
-  // materialization), and k-means cells are size-balanced by
-  // construction (measured 41–63 members/cell at sf0.01), unlike raw
-  // labels a skewed corpus could blow up. The decision agg is one
-  // groupBy on the dropped side only. Cost is Σ cell²·d, so k MUST
-  // scale with the corpus to hold cell size constant (the paper's own
-  // regime: 11k clusters for 1.3B docs) — with this table's fixed
-  // k = 10 labels the pair join grows quadratically past ~10× (the
-  // COVERAGE second-wave scale table documents the measured cliff);
-  // at production scale feed cells from a v07 refinement with k ∝ N.
+  // Scale shape (the round-7 "fixed-k cliff", closed): the paper's
+  // own answer is k ∝ N (Abbas et al. §3 — 11k clusters for 1.3B
+  // docs, holding cell size ~constant), so the blocking cells are no
+  // longer the 10 data labels but [[D14TargetCell]]-sized seed-
+  // Voronoi cells: k = ⌈N/128⌉ deterministic seeds (the k smallest
+  // vec_ids — i.i.d. draws from the corpus mixture), every vector
+  // assigned to its nearest seed. ONE definition of k and of the
+  // exact rounded-term distance flows into Spark and the oracle (the
+  // auto-df-cap contract, TextDedup.scala), so hash-match holds at
+  // every SF; at N ≤ 128 the single cell degrades to exact brute
+  // dedup, strictly better semantics than label blocking. A flat
+  // argmin over k ∝ N seeds is N·k·d = O(N²d/128) — itself the new
+  // cliff — so assignment is IVF-style TWO-LEVEL ([[graft.functions
+  // .HierArgmin]], one native zero-shuffle pass): nearest of the √k
+  // coarse seeds, then nearest member seed of that coarse cell,
+  // N·2√k·d total. The seed table (k·d doubles, ~(N/128)·d) is the
+  // driver sync point, same class as v07's Lloyd's collect; past the
+  // point where k·d literals stop fitting a task binary (~10⁷ cells)
+  // assignment itself becomes an ANN problem — the engine's own v02
+  // IVF tier over the seed table is the documented handoff. Candidate
+  // pairs exist ONLY inside a cell equi-join with the cosine computed
+  // in-join (d06's shape); Σ cell² ≈ N·128, linear by construction.
+  // The decision agg is one groupBy on the dropped side only.
   private val D14Tau = 0.4
+  private val D14TargetCell = 128
   val d14 = Q(
     "d14_semantic_dedup",
-    s"""WITH $kmAssignCtes,
+    s"""WITH nemb AS (SELECT vec_id, embedding FROM embeddings
+      |  WHERE len(embedding) > 0),
+      |par AS (SELECT
+      |    CAST(CEIL(COUNT(*)::DOUBLE / $D14TargetCell) AS BIGINT) AS k,
+      |    CAST(CEIL(SQRT(CEIL(COUNT(*)::DOUBLE / $D14TargetCell)))
+      |      AS BIGINT) AS k1
+      |  FROM nemb),
+      |sd AS (SELECT vec_id AS sid, embedding AS semb, rn
+      |  FROM (SELECT vec_id, embedding,
+      |      ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM nemb) t
+      |  WHERE rn <= (SELECT k FROM par)),
+      |sx AS (SELECT sid, rn, generate_subscripts(semb, 1) AS pos,
+      |    unnest(semb) AS x FROM sd),
+      |cx AS (SELECT sid AS cid, pos, x FROM sx
+      |  WHERE rn <= (SELECT k1 FROM par)),
+      |sdist AS (SELECT sx.sid, cx.cid,
+      |    CAST(SUM(round((sx.x::DOUBLE - cx.x::DOUBLE)
+      |      *(sx.x::DOUBLE - cx.x::DOUBLE)*1e12)::BIGINT) AS BIGINT) AS ds
+      |  FROM sx JOIN cx ON sx.pos = cx.pos GROUP BY sx.sid, cx.cid),
+      |sa AS (SELECT sid, cid FROM (SELECT *, ROW_NUMBER() OVER (
+      |      PARTITION BY sid ORDER BY ds, cid) AS r FROM sdist) t
+      |  WHERE r = 1),
+      |ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+      |    unnest(embedding) AS x FROM nemb),
+      |vd1 AS (SELECT ex.vec_id, cx.cid,
+      |    CAST(SUM(round((ex.x::DOUBLE - cx.x::DOUBLE)
+      |      *(ex.x::DOUBLE - cx.x::DOUBLE)*1e12)::BIGINT) AS BIGINT) AS ds
+      |  FROM ex JOIN cx ON ex.pos = cx.pos GROUP BY ex.vec_id, cx.cid),
+      |va1 AS (SELECT vec_id, cid FROM (SELECT *, ROW_NUMBER() OVER (
+      |      PARTITION BY vec_id ORDER BY ds, cid) AS r FROM vd1) t
+      |  WHERE r = 1),
+      |vd2 AS (SELECT ex.vec_id, sx.sid,
+      |    CAST(SUM(round((ex.x::DOUBLE - sx.x::DOUBLE)
+      |      *(ex.x::DOUBLE - sx.x::DOUBLE)*1e12)::BIGINT) AS BIGINT) AS ds
+      |  FROM ex JOIN va1 ON ex.vec_id = va1.vec_id
+      |    JOIN sa ON sa.cid = va1.cid
+      |    JOIN sx ON sx.sid = sa.sid AND sx.pos = ex.pos
+      |  GROUP BY ex.vec_id, sx.sid),
+      |a AS (SELECT vec_id, sid AS cell FROM (SELECT *, ROW_NUMBER() OVER (
+      |      PARTITION BY vec_id ORDER BY ds, sid) AS r FROM vd2) t
+      |  WHERE r = 1),
       |n AS (SELECT vec_id,
       |    list_transform(embedding, x -> round(x::DOUBLE*1e6)::BIGINT) AS sx,
       |    CAST(list_sum(list_transform(
@@ -1311,37 +1362,89 @@ object VectorSearch {
       |FROM m LEFT JOIN p ON m.vec_id = p.vec_id""".stripMargin) {
     (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
-      collectCodebook(emb) match {
-        case None =>
-          emb.select(col("vec_id"), col("label").as("cell"),
-            col("vec_id").as("dup_of"), lit(true).as("kept")).limit(0)
-        case Some((cells, cen)) =>
-          val best = VectorExprs.centroidArgmin(col("embedding"),
-            cells, cells.map(l => cen(l).toSeq))
-          // pinned: both self-join sides and the final left join read
-          // it — assignment + scale + norm run once per vector. NULL
-          // and EMPTY embeddings both drop (the oracle's unnest emits
-          // no rows for either, so they never reach the `a`
-          // assignment or the output), via one size predicate on the
-          // INPUT column (v07's lesson: a filter on `cell` re-runs
-          // the native argmin per row).
-          val m = graft.operators.Pin(emb
-            .filter(size(col("embedding")) > 0)
-            .select(col("vec_id"), Fns.scaleVec(col("embedding")).as("sx"),
-              best.as("cell"))
-            .withColumn("nn", VectorExprs.normSqIntNative(col("sx"))))
-          val cos = Fns.cosineFromScaled(
-            VectorExprs.dotIntNative(col("sx_u"), col("sx_b")),
-            col("nn_u"), col("nn_b"))
-          val p = m.select(col("vec_id").as("u_id"), col("cell"),
-              col("sx").as("sx_u"), col("nn").as("nn_u"))
-            .join(m.select(col("vec_id").as("b_id"), col("cell"),
-              col("sx").as("sx_b"), col("nn").as("nn_b")), Seq("cell"))
-            .filter(col("u_id") < col("b_id") && cos >= D14Tau)
-            .groupBy("b_id").agg(min("u_id").as("dup_of"))
-          m.join(p, col("vec_id") === col("b_id"), "left")
-            .select(col("vec_id"), col("cell"), col("dup_of"),
-              col("dup_of").isNull.as("kept"))
+      // NULL and EMPTY embeddings both drop (the oracle's unnest emits
+      // no rows for either, so they never reach the `a` assignment or
+      // the output), via one size predicate on the INPUT column (v07's
+      // lesson: a filter on `cell` re-runs the native argmin per row).
+      val nemb = emb.filter(size(col("embedding")) > 0)
+      // auto-k sync point: one pruned count + one bounded top-k seed
+      // collect (k·d doubles). Element type normalized to double at
+      // the driver boundary — exact float→double widening, the same
+      // values HierArgmin reads per row.
+      val nVec = nemb.count()
+      if (nVec == 0L) {
+        emb.select(col("vec_id"), col("vec_id").as("cell"),
+          col("vec_id").as("dup_of"), lit(true).as("kept")).limit(0)
+      } else {
+        val k = ((nVec + D14TargetCell - 1) / D14TargetCell).toInt
+        val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+        val seeds: Array[(Long, Array[Double])] = nemb
+          .orderBy("vec_id").limit(k)
+          .select(col("vec_id"),
+            col("embedding").cast(ArrayType(DoubleType)).as("e"))
+          .collect()
+          .map(r => (r.getLong(0),
+            r.getSeq[Double](1).toArray))
+        val coarse = seeds.take(k1)
+        // seed→coarse assignment replayed in the driver with the SAME
+        // exact arithmetic (rounded 1e12-scale BIGINT terms, ties →
+        // smallest id) the oracle's sdist/sa CTEs compute — k·√k·d
+        // driver flops, trivial next to the collect itself
+        def distL(x: Array[Double], m: Array[Double]): Long = {
+          val nn = math.min(x.length, m.length)
+          var acc = 0L
+          var i = 0
+          while (i < nn) {
+            val d = x(i) - m(i)
+            acc += graft.functions.ExactRound.halfUp(d * d * 1e12)
+            i += 1
+          }
+          acc
+        }
+        val memberIds = Array.fill(coarse.length)(
+          scala.collection.mutable.ArrayBuffer.empty[Long])
+        val memberCens = Array.fill(coarse.length)(
+          scala.collection.mutable.ArrayBuffer.empty[Seq[Double]])
+        seeds.foreach { case (sid, se) =>
+          var bi = 0
+          var bd = Long.MaxValue
+          var ci = 0
+          while (ci < coarse.length) {
+            val d = distL(se, coarse(ci)._2)
+            if (d < bd) { bd = d; bi = ci } // ascending cid scan: ties
+            ci += 1                         // keep the smaller cid
+          }
+          memberIds(bi) += sid
+          memberCens(bi) += se.toSeq
+        }
+        // A coarse cell is empty ONLY when its seed has a coordinate-
+        // identical twin with a smaller id (the twin won the tie) —
+        // and then every vector's distance ties too and prefers the
+        // twin, in both engines. Dropping the unreachable cell from
+        // the literals is a no-op for results and keeps HierArgmin's
+        // member loop total.
+        val live = coarse.indices.filter(memberIds(_).nonEmpty)
+        val best = VectorExprs.hierArgmin(col("embedding"),
+          live.map(coarse(_)._1), live.map(coarse(_)._2.toSeq),
+          live.map(memberIds(_).toSeq), live.map(memberCens(_).toSeq))
+        // pinned: both self-join sides and the final left join read
+        // it — assignment + scale + norm run once per vector.
+        val m = graft.operators.Pin(nemb
+          .select(col("vec_id"), Fns.scaleVec(col("embedding")).as("sx"),
+            best.as("cell"))
+          .withColumn("nn", VectorExprs.normSqIntNative(col("sx"))))
+        val cos = Fns.cosineFromScaled(
+          VectorExprs.dotIntNative(col("sx_u"), col("sx_b")),
+          col("nn_u"), col("nn_b"))
+        val p = m.select(col("vec_id").as("u_id"), col("cell"),
+            col("sx").as("sx_u"), col("nn").as("nn_u"))
+          .join(m.select(col("vec_id").as("b_id"), col("cell"),
+            col("sx").as("sx_b"), col("nn").as("nn_b")), Seq("cell"))
+          .filter(col("u_id") < col("b_id") && cos >= D14Tau)
+          .groupBy("b_id").agg(min("u_id").as("dup_of"))
+        m.join(p, col("vec_id") === col("b_id"), "left")
+          .select(col("vec_id"), col("cell"), col("dup_of"),
+            col("dup_of").isNull.as("kept"))
       }
   }
 

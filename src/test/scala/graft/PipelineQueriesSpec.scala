@@ -831,12 +831,14 @@ class PipelineQueriesSpec extends SparkTestBase {
   }
 
   test("d14: semantic dedup — chain minima survive, the exists-rule " +
-      "drops against dropped neighbors too, and cells block cross-" +
-      "cluster pairs") {
-    // cell 0 (label 0): unit circle at 0°/60°/120° in dims (0,1) —
-    // cos(1,2)=0.5 ≥ τ, cos(2,3)=0.5 ≥ τ, cos(1,3)=−0.5 < τ: an
-    // ε-chain. Plus vec 4 at −90° (cos ≤ 0 to all — kept).
-    // cell 1 (label 1): two parallel vectors along dim 2.
+      "drops against dropped neighbors too, and sub-target corpora " +
+      "degrade to ONE cell (k = ceil(N/128) = exact brute dedup)") {
+    // N = 6 < 128 → auto-k gives k = 1: every vector shares the one
+    // seed-Voronoi cell, so the decision is the exact all-pairs rule.
+    // Unit circle at 0°/60°/120° in dims (0,1) — cos(1,2)=0.5 ≥ τ,
+    // cos(2,3)=0.5 ≥ τ, cos(1,3)=−0.5 < τ: an ε-chain. Vec 4 at −90°
+    // (cos ≤ 0 to all — kept). Vecs 5,6: parallel along dim 2
+    // (cos(5,6)=1), orthogonal to the rest.
     def v(x: Float, y: Float, z: Float): Array[Float] =
       Array(x, y, z, 0f)
     val dir = embDir(Seq(
@@ -859,9 +861,51 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(out(3L) === ((false, Some(2L))))
     assert(out(4L) === ((true, None))) // dissimilar cell-mate kept
     assert(out(5L) === ((true, None)))
-    // 6 ∥ 5 (cos 1) in cell 1 — cross-cell pairs with cell 0 never
-    // even form candidates
+    // 6 ∥ 5 (cos 1) — dropped even in the one-cell regime
     assert(out(6L) === ((false, Some(5L))))
+    // the one-cell regime reports a single cell id: the min vec_id
+    assert(queries.VectorSearch.d14.run(spark, dir).collect()
+      .forall(_.getAs[Long]("cell") === 1L))
+  }
+
+  test("d14 auto-k: past the 128-vector target the corpus splits " +
+      "into k = ceil(N/128) seed-Voronoi cells, perturbed copies " +
+      "co-assign, and cross-cluster pairs never form candidates") {
+    // 300 vectors in two tight antipodal clusters along dim 0 → k = 3
+    // seeds (vec_ids 0,1,2), k1 = 2 coarse. Within a cluster every
+    // pair has cos ≈ 1 ≥ τ; across clusters cos ≈ −1 < τ. The keep
+    // set must be exactly one chain minimum per cluster REACHABLE in
+    // its cell — i.e. per (cell × cluster) the min id survives.
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Float): Array[Float] =
+      Array(base + rnd.nextFloat() * 0.01f - 0.005f,
+        rnd.nextFloat() * 0.01f, rnd.nextFloat() * 0.01f, 0f)
+    val vecs = (0L until 300L).map { i =>
+      (i, jitter(if (i % 2 == 0) 1f else -1f), (i % 2).toInt)
+    }
+    val dir = embDir(vecs)
+    val out = queries.VectorSearch.d14.run(spark, dir).collect()
+    assert(out.length === 300)
+    val byCell = out.groupBy(_.getAs[Long]("cell"))
+    assert(byCell.size > 1, "expected >1 auto-k cell at N=300")
+    // dup_of pointers never cross the cos-τ boundary: a +1-cluster
+    // vector (even id) never points at a −1-cluster vector (odd id)
+    out.filter(!_.isNullAt(2)).foreach { r =>
+      assert(r.getAs[Long]("vec_id") % 2 === r.getAs[Long]("dup_of") % 2)
+    }
+    // within each cell, every same-cluster non-minimum drops
+    byCell.foreach { case (_, rows) =>
+      rows.groupBy(_.getAs[Long]("vec_id") % 2).foreach {
+        case (_, grp) =>
+          val minId = grp.map(_.getAs[Long]("vec_id")).min
+          grp.foreach { r =>
+            val kept = r.getAs[Boolean]("kept")
+            if (r.getAs[Long]("vec_id") == minId) assert(kept)
+            else assert(!kept,
+              s"vec ${r.getAs[Long]("vec_id")} should have dropped")
+          }
+      }
+    }
   }
 
   test("s11: curation composition — the duplicate member drops " +
