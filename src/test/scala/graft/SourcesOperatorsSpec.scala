@@ -781,17 +781,27 @@ class MoreOperatorsSpec extends SparkTestBase {
     assert(twoPhase === direct)
   }
 
-  test("e14 approx distinct within 5% of exact (sf0.001)") {
-    val dir = "/root/testdata/sf0.001"
-    val approx = graft.queries.EventAnalytics.e14.run(spark, dir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = Tables.load(spark, dir, "events")
-      .groupBy("event_type")
-      .agg(countDistinct(col("user_id")).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (k, n) =>
-      assert(math.abs(approx(k) - n) <= math.max(2L, (n * 0.05).toLong),
-        s"$k: approx=${approx(k)} exact=$n")
+  test("e14 approx distinct within 5% of the e21 exact twin's " +
+      "materialized truth at every SF") {
+    // e21 is the oracle-checked exact anchor (VERDICT r7 ask #5);
+    // the sketch must track it per event_type on BOTH distinct
+    // columns at each scale the driver gates.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1").foreach { dir =>
+      val approx = graft.queries.EventAnalytics.e14.run(spark, dir)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val exact = graft.queries.EventAnalytics.e21.run(spark, dir)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(approx.keySet === exact.keySet, s"grain mismatch at $dir")
+      exact.foreach { case (k, (nu, np)) =>
+        val (au, ap) = approx(k)
+        assert(math.abs(au - nu) <= math.max(2L, (nu * 0.05).toLong),
+          s"$dir $k users: approx=$au exact=$nu")
+        assert(math.abs(ap - np) <= math.max(2L, (np * 0.05).toLong),
+          s"$dir $k payloads: approx=$ap exact=$np")
+      }
     }
   }
 
