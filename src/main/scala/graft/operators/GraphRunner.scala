@@ -3,7 +3,6 @@ package graft.operators
 import graft.model.Model.EdgeSpec
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import scala.util.chaining._
 
 /** Vectorized deterministic graph traversal (family E, SURVEY §2.10).
   *
@@ -97,7 +96,6 @@ object GraphRunner {
       .withColumn("status", lit("active"))
     var iter = 0
     var activeLeft = true
-    val pins = new Pin.Ledger
     while (activeLeft && iter < maxSteps) {
       iter += 1
       val active = states.filter(col("status") === "active")
@@ -137,13 +135,21 @@ object GraphRunner {
         .join(routed.select(col("state_id").as("routed_id")),
           stepping("state_id") === col("routed_id"), "left_anti")
         .withColumn("status", lit("stuck"))
+      // Eager localCheckpoint, NOT Pin/persist: each round's state is
+      // a 4-way union re-referencing the previous round's tree, so a
+      // lazy pin keeps a logical plan that grows ~4^iter nodes — at
+      // maxSteps=6 that is minutes of pure Catalyst analysis before a
+      // row moves (measured: sf0.01 traversal >9 min under persist,
+      // seconds under checkpoint). This is exactly Pin's documented
+      // localCheckpoint escape hatch (unbounded iterative lineage);
+      // the round's convergence probe doubles as the materializer,
+      // the same contract as GraphOps.connectedComponents.
       states = finished
         .unionByName(nowTerminal)
         .unionByName(routed.select(finished.columns.map(col): _*))
         .unionByName(stuck)
-        .pipe(pins.pin)
+        .localCheckpoint(true)
       activeLeft = !states.filter(col("status") === "active").isEmpty
-      pins.advance()
     }
     states.withColumn("status",
       when(col("status") === "active", "max_steps")
