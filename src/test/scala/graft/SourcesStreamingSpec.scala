@@ -835,6 +835,59 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("IngestDedup streaming intake ≡ d17 batch verdicts: over N " +
+      "microbatches the stream admits exactly the docs d17 marks " +
+      "'unique' on the same corpus (batch fold ≡ streaming twin)") {
+    // d17 and IngestDedup.exact are the same intake guard at two
+    // grains of time: d17 classifies one incoming batch against the
+    // existing corpus in one shot; the stream sees the corpus as
+    // history (state) and the delta as arriving microbatches. Fed the
+    // SAME sf0.001 documents — existing corpus (doc_id%10≠9) as the
+    // warm-up batch, then each delta doc (doc_id%10=9) as its own
+    // microbatch in doc_id order (d17's batch_min = first arrival) —
+    // the stream's surviving delta ids must be exactly d17's
+    // status='unique' set, and every dup_existing/dup_batch row must
+    // have been dropped by the state store.
+    val dir = "/root/testdata/sf0.001"
+    val verdicts = graft.queries.TextDedup.d17.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status"))
+      .toMap
+    assert(verdicts.nonEmpty)
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val existing = docs.filter(_._1 % 10 != 9)
+    val delta = docs.filter(_._1 % 10 == 9)
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val out = IngestDedup.exact(
+      input.toDF().toDF("doc_id", "text", "ts"),
+      watermark = "10 minutes")
+    val q = out.writeStream.format("memory")
+      .queryName("ingest_d17_parity").outputMode("append").start()
+    try {
+      input.addData(existing.map { case (id, t) =>
+        (id, t, new Timestamp(0))
+      }.toSeq)
+      q.processAllAvailable()
+      delta.zipWithIndex.foreach { case ((id, t), i) =>
+        input.addData((id, t, new Timestamp(1000L * (i + 1))))
+        q.processAllAvailable()
+      }
+      val admitted = spark.table("ingest_d17_parity").collect()
+        .map(_.getAs[Long]("doc_id")).filter(_ % 10 == 9).toSet
+      val uniques = verdicts.collect {
+        case (id, "unique") => id
+      }.toSet
+      assert(admitted === uniques,
+        s"stream admitted $admitted, d17 uniques $uniques")
+      verdicts.foreach { case (id, status) =>
+        if (status != "unique")
+          assert(!admitted.contains(id),
+            s"doc $id ($status) must be dropped by the intake state")
+      }
+    } finally q.stop()
+  }
+
   test("IngestDedup crash/resume: dedup state and sink offsets restore " +
       "from the checkpoint — no duplicates, no loss across a " +
       "stop/restart (reference resume semantics, executor.py:405-457)") {
