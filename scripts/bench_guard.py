@@ -11,6 +11,15 @@ sub-0.3 s floor-dominated queries from flagging on scheduler noise.
 Usage:
   python3 scripts/bench_guard.py           # check (exit 1 on regression)
   python3 scripts/bench_guard.py --update  # re-baseline the reference
+  python3 scripts/bench_guard.py --scale [--update]
+      # AT-SCALE mode (VERDICT r7 ask #6): re-run the heavy family on
+      # the deterministic Heaps 10x corpus (regenerated into /tmp/
+      # heaps_10x via gen_scale.py if absent — seed-fixed, so the
+      # corpus is bit-identical across rounds) against
+      # scripts/bench_reference_10x.json. This catches the regression
+      # class sf0.1 cannot see: a pin silently dropped, a join
+      # re-planned superlinear — visible only when the data is big
+      # enough for the plan shape to dominate the scheduling floor.
 
 Run it before committing any change touching query plans; the driver
 can run it per-round. Re-baseline deliberately after a judged perf
@@ -23,9 +32,16 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-REF_PATH = os.path.join(REPO, "scripts", "bench_reference.json")
-REL_TOL = 0.30
-ABS_TOL = 0.15
+SCALE = "--scale" in sys.argv
+REF_PATH = os.path.join(
+    REPO, "scripts",
+    "bench_reference_10x.json" if SCALE else "bench_reference.json")
+SCALE_DIR = os.environ.get("GRAFT_SCALE_DIR", "/tmp/heaps_10x")
+# at-scale runs tolerate more relative noise (fewer, longer queries;
+# one I/O burst shifts a 3 s query further than a 0.3 s one) but
+# demand a bigger absolute move before flagging
+REL_TOL = 0.40 if SCALE else 0.30
+ABS_TOL = 0.50 if SCALE else 0.15
 # 5 reps (steady state = min of reps 2..5): the round-6 sandbox showed
 # transient I/O-wait bursts (~1 s, loadavg 2-3 on an idle box) that can
 # cover BOTH timed reps of a 3-rep profile and fake a 2x regression on
@@ -33,19 +49,34 @@ ABS_TOL = 0.15
 REPS = int(os.environ.get("GRAFT_GUARD_REPS", "5"))
 
 
+def ensure_scale_corpus():
+    """Regenerate the Heaps 10x corpus if /tmp was wiped — gen_scale.py
+    is seed-fixed, so the regenerated parquet is identical to the one
+    the reference was recorded on."""
+    if os.path.isfile(os.path.join(SCALE_DIR, "documents.parquet")):
+        return
+    print(f"generating {SCALE_DIR} (Heaps 10x, deterministic seed)...")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "gen_scale.py"),
+         SCALE_DIR, "10", "heaps"],
+        check=True, cwd=REPO)
+
+
 def run_profile(queries):
     env = dict(os.environ,
-               SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1",
+               SPARK_GRAFT_SF_DIR=SCALE_DIR if SCALE
+               else "/root/testdata/sf0.1",
                SPARK_GRAFT_CPUS="8",
                SPARK_GRAFT_PIN="persist",
                SPARK_GRAFT_REPS=str(REPS))
     cmd = ["sbt", "-batch",
            f"runMain graft.BenchProfile {','.join(sorted(queries))}"]
+    limit = 3600 if SCALE else 1800
     try:
         proc = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
-                              text=True, timeout=1800)
+                              text=True, timeout=limit)
     except subprocess.TimeoutExpired:
-        print(f"FAIL: BenchProfile timed out after 1800 s")
+        print(f"FAIL: BenchProfile timed out after {limit} s")
         sys.exit(1)
     if proc.returncode != 0:
         tail = "\n".join((proc.stderr or proc.stdout or "").splitlines()[-15:])
@@ -60,6 +91,8 @@ def run_profile(queries):
 
 
 def main():
+    if SCALE:
+        ensure_scale_corpus()
     with open(REF_PATH) as f:
         ref = json.load(f)["queries"]
     got = run_profile(ref.keys())
