@@ -262,7 +262,21 @@ class PlanAuditSpec extends SparkTestBase {
       //  e20: ONE user_id window exchange — the interval RANGE bound
       //       is frame metadata; a second exchange means the avg
       //       stopped reusing the window's partitioning            -> 1
-      "e20_trailing_window" -> 1)
+      "e20_trailing_window" -> 1,
+      //  round-8 additions:
+      //  e21: the exact twin exists to DOCUMENT the expand-distinct
+      //       cost e14 avoids — Spark plans two-column distinct as
+      //       expand + two agg exchanges; growth means a third
+      //       distinct column crept in                             -> 2
+      "e21_exact_distinct" -> 2,
+      //  g04: the RETURNED frame is the final localCheckpoint —
+      //       per-round exchanges (session groupBy, routing window,
+      //       per-round probes) pay in the loop's own jobs, exactly
+      //       like the driver-collect patterns above; the checkpoint
+      //       scan itself plans exchange-free. ANY exchange here
+      //       means run() stopped checkpointing and is returning the
+      //       unbounded 4^iter union tree                          -> 0
+      "g04_graph_traversal" -> 0)
     val got = audited.map { case (name, _) =>
       name -> executedShuffleCount(build(name))
     }
