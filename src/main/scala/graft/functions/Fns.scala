@@ -124,7 +124,14 @@ object Fns {
     * 200×10k-pair scan). DuckDB:
     * `list_transform(embedding, x -> round(x::DOUBLE*1e6)::BIGINT)`. */
   def scaleVec(a: Column): Column =
-    transform(a, x => round(x.cast(DoubleType) * lit(1e6)).cast(LongType))
+    // native single pass ([[graft.functions.ScaleVec1e6]]); identical
+    // HALF_UP semantics to the composed
+    //   transform(a, x => round(x.cast(double) * 1e6).cast(long))
+    // (ExactRound IS Spark round's BigDecimal arithmetic) — the HOF
+    // version paid a BigDecimal + Double.toString per ELEMENT
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.ScaleVec1e6(
+        org.apache.spark.sql.GraftColumnBridge.expression(a)))
 
   /** Integer dot product of two pre-scaled vectors. */
   def dotInt(a: Column, b: Column): Column =

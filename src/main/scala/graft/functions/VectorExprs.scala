@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
@@ -480,6 +481,67 @@ case class CentroidArgmin(child: Expression, cells: Seq[Int],
       : Expression = copy(child = newChild)
 }
 
+/** The vector tier's 1e6 integer scaling — `transform(a, x ->
+  * round(x*1e6)::bigint)` — as ONE native pass. The composed HOF is
+  * interpreted (CodegenFallback) and its per-element `round` on
+  * DOUBLE goes through BigDecimal.valueOf (a Double.toString per
+  * element!): measured ~30-100 µs/row on 64-dim vectors, the
+  * dominant cost of every scaled-vector cache build at the 100×
+  * corpus. [[ExactRound.halfUp]] is the property-proven fast path
+  * for exactly those BigDecimal HALF_UP semantics (and DuckDB's
+  * round), so the hash contract is unchanged. Null elements map to
+  * null elements, a null vector to null — transform's contract.
+  */
+case class ScaleVec1e6(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def prettyName: String = "graft_scale_vec"
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var hasNull = false
+    var i = 0
+    while (i < n && !hasNull) { hasNull = x.isNullAt(i); i += 1 }
+    if (!hasNull) {
+      val out = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        val xd = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        out(i) = ExactRound.halfUp(xd * 1e6)
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    } else {
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        if (!x.isNullAt(i)) {
+          val xd = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+          out(i) = ExactRound.halfUp(xd * 1e6)
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 /** d14's two-level (coarse → member) nearest-seed assignment in ONE
   * native pass — [[CentroidArgmin]]'s exact rounded-term arithmetic
   * (Σ round((xᵢ−mᵢ)²·1e12) in BIGINT, ties → smallest id) applied
@@ -530,11 +592,16 @@ case class HierArgmin(child: Expression, coarseIds: Seq[Long],
   @transient private lazy val memCenArr: Array[Array[Array[Double]]] =
     memberCens.map(_.map(_.toArray).toArray).toArray
 
-  private def dist(x: ArrayData, m: Array[Double]): Long = {
+  /** Exact distance with EARLY ABANDONMENT: every term is ≥ 0, so the
+    * partial sum is monotone and the scan can stop the moment it
+    * exceeds `bound` (the running argmin best) — the returned value is
+    * then > bound and loses the comparison exactly as the full sum
+    * would. Argmin results are bit-identical to the full scan. */
+  private def dist(x: ArrayData, m: Array[Double], bound: Long): Long = {
     val n = math.min(x.numElements(), m.length)
     var s = 0L
     var i = 0
-    while (i < n) {
+    while (i < n && s <= bound) {
       if (!x.isNullAt(i)) {
         val xi = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
         val diff = xi - m(i)
@@ -551,7 +618,7 @@ case class HierArgmin(child: Expression, coarseIds: Seq[Long],
     var bestIdx = -1
     var k = 0
     while (k < coarseArr.length) {
-      val s = dist(x, coarseArr(k))
+      val s = dist(x, coarseArr(k), bestDs)
       if (s < bestDs ||
           (s == bestDs && (bestIdx < 0 ||
             coarseIdArr(k) < coarseIdArr(bestIdx)))) {
@@ -566,7 +633,7 @@ case class HierArgmin(child: Expression, coarseIds: Seq[Long],
     var mId = Long.MaxValue
     var j = 0
     while (j < cens.length) {
-      val s = dist(x, cens(j))
+      val s = dist(x, cens(j), mBest)
       if (s < mBest || (s == mBest && ids(j) < mId)) {
         mBest = s
         mId = ids(j)
