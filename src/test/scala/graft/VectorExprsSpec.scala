@@ -354,4 +354,88 @@ class VectorExprsSpec extends SparkTestBase {
       check(d * d * 1e12)
     }
   }
+
+  test("property: ScaleVec1e6 ≡ composed transform(round(x*1e6)) on " +
+      "random float and double vectors; null elements map to null " +
+      "elements; empty stays empty") {
+    val rnd = new scala.util.Random(83)
+    val vecs = (0 until 300).map { i =>
+      val arr: Array[java.lang.Float] = Array.tabulate(16) { j =>
+        if (i % 17 == 0 && j == 3) null
+        else java.lang.Float.valueOf(rnd.nextFloat() * 4 - 2)
+      }
+      (i.toLong, arr)
+    } :+ (999L, Array.empty[java.lang.Float])
+    val df = vecs.toDF("id", "x")
+    val both = df.select(col("id"),
+        Fns.scaleVec(col("x")).as("native"),
+        transform(col("x"),
+          x => round(x.cast(DoubleType) * lit(1e6)).cast(LongType))
+          .as("composed"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Any](1).toSeq === r.getSeq[Any](2).toSeq,
+        s"id ${r.getLong(0)}")
+    }
+    // double-typed input takes the same path
+    val d2 = Seq((1L, Array(0.1234565, -0.9999995, 2.5e-7)))
+      .toDF("id", "x")
+      .select(Fns.scaleVec(col("x")).as("native"),
+        transform(col("x"),
+          x => round(x.cast(DoubleType) * lit(1e6)).cast(LongType))
+          .as("composed")).collect().head
+    assert(d2.getSeq[Any](0).toSeq === d2.getSeq[Any](1).toSeq)
+  }
+
+  test("property: HierArgmin ≡ a no-abandon driver replay of the " +
+      "two-level rule on random vectors (seeded); ties at both " +
+      "levels break to the smaller id") {
+    import graft.functions.HierArgmin
+    val rnd = new scala.util.Random(29)
+    def vec(): Array[Double] = Array.fill(12)(rnd.nextDouble() * 2 - 1)
+    val k = 23
+    val k1 = 5
+    val seeds = (0 until k).map(i => (100L + i, vec()))
+    val coarse = seeds.take(k1)
+    // driver reference: full-scan (NO early abandonment) exact terms
+    def dist(x: Array[Double], m: Array[Double]): Long = {
+      var s = 0L
+      var i = 0
+      val n = math.min(x.length, m.length)
+      while (i < n) {
+        val d = x(i) - m(i)
+        s += graft.functions.ExactRound.halfUp(d * d * 1e12)
+        i += 1
+      }
+      s
+    }
+    def argmin(x: Array[Double],
+        cands: Seq[(Long, Array[Double])]): Long =
+      cands.map { case (id, m) => (dist(x, m), id) }.min._2
+    val members = seeds.groupBy(sd => argmin(sd._2, coarse))
+    val memIds = coarse.map(c => members.getOrElse(c._1, Seq.empty)
+      .map(_._1))
+    val memCens = coarse.map(c => members.getOrElse(c._1, Seq.empty)
+      .map(_._2.toSeq))
+    val expr = HierArgmin(
+      BoundReference(0, ArrayType(DoubleType), nullable = true),
+      coarse.map(_._1), coarse.map(_._2.toSeq), memIds, memCens)
+    (0 until 400).foreach { i =>
+      val x = vec()
+      val got = expr.eval(
+        InternalRow(ArrayData.toArrayData(x))).asInstanceOf[Long]
+      val want = argmin(x, members(argmin(x, coarse)))
+      assert(got === want, s"vec $i")
+    }
+    // duplicate-coordinate seeds tie at both levels: smaller id wins
+    val same = vec()
+    val tied = HierArgmin(
+      BoundReference(0, ArrayType(DoubleType), nullable = true),
+      Seq(7L, 3L), Seq(same.toSeq, same.toSeq),
+      Seq(Seq(7L, 9L), Seq(3L)), Seq(Seq(same.toSeq, same.toSeq),
+        Seq(same.toSeq)))
+    val got = tied.eval(
+      InternalRow(ArrayData.toArrayData(same))).asInstanceOf[Long]
+    assert(got === 3L) // coarse tie -> 3, member 3 at distance 0
+  }
 }
