@@ -44,7 +44,15 @@ object Routing {
 
   /** First-match routing: given per-row candidate edges (one row per
     * (state_id, edge)), keep the highest-priority traversable edge per
-    * state. Ties break on target name for determinism. */
+    * state. Ties break on target name for determinism.
+    *
+    * This is the DATAFRAME-grain variant for edge sets too large or
+    * too dynamic to bake into the plan (per-tenant edge tables, edges
+    * themselves produced by a query). When the edge set is
+    * driver-scale — every workflow graph — [[GraphRunner]] compiles
+    * the same (priority desc, target asc) rule into a `when`-chain
+    * instead, which routes with ZERO shuffles per round where this
+    * window pays one; the spec asserts the two agree row-for-row. */
   def firstMatch(candidates: DataFrame, traversableCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("state_id")

@@ -498,6 +498,69 @@ class MoreOperatorsSpec extends SparkTestBase {
       Timestamp.valueOf("2026-03-01 10:01:00")).count() === 2)
   }
 
+  test("firstMatch: highest priority wins, ties break on target, " +
+      "non-traversable filtered, edgeless states absent — and it " +
+      "agrees row-for-row with GraphRunner's compiled when-chain " +
+      "on the same graph (edge.py:497-500)") {
+    import spark.implicits._
+    // dataframe-grain variant, direct semantics
+    val candidates = Seq(
+      // s1: two traversable at p2/p1 -> p2 wins
+      ("s1", "a", "hi", 2, true), ("s1", "b", "lo", 1, true),
+      // s2: equal priority, both traversable -> target 'm' < 'z'
+      ("s2", "z", "t1", 1, true), ("s2", "m", "t2", 1, true),
+      // s3: the top-priority edge is NOT traversable -> p1 wins
+      ("s3", "x", "best", 9, false), ("s3", "y", "fallback", 1, true),
+      // s4: nothing traversable -> absent from the result
+      ("s4", "q", "no", 5, false))
+      .toDF("state_id", "target", "tag", "priority", "ok")
+    val got = Routing.firstMatch(candidates, col("ok"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("s1" -> "a", "s2" -> "m", "s3" -> "y"))
+    // cross-check vs the compiled dispatch: one GraphRunner step over
+    // a mixed-condition graph must pick exactly what firstMatch picks
+    // from the equivalent exploded candidate relation
+    import graft.model.Model.EdgeSpec
+    val edges = Seq(
+      EdgeSpec("n", "t_hi", condition = "conditional",
+        conditionExpr = Some("memory.get('k') == 'go'"), priority = 3),
+      EdgeSpec("n", "t_fail", condition = "on_failure", priority = 2),
+      EdgeSpec("n", "t_b", condition = "always", priority = 1),
+      EdgeSpec("n", "t_a", condition = "always", priority = 1))
+    val init = Seq(
+      ("g1", "n", true, Map("k" -> "go")),   // conditional p3 wins
+      ("g2", "n", true, Map("k" -> "stop")), // tie t_a < t_b wins
+      ("g3", "n", false, Map.empty[String, String])) // on_failure p2
+      .toDF("state_id", "node", "success", "memory")
+    val stepped = graft.operators.GraphRunner
+      .run(spark, edges, Set("t_hi", "t_fail", "t_a", "t_b"), init,
+        nodeOutputs = Map.empty, maxSteps = 1)
+      .collect().map(r => r.getAs[String]("state_id") ->
+        r.getAs[String]("node")).toMap
+    val cands = init.select(col("state_id"), col("success"),
+        col("memory"))
+      .crossJoin(edges.map(e => (e.target,
+        e.condition, e.conditionExpr.getOrElse(""), e.priority))
+        .toDF("target", "condition", "cexpr", "priority"))
+    val trav = when(col("condition") === "always", lit(true))
+      .when(col("condition") === "on_failure", !col("success"))
+      .when(col("condition") === "conditional" &&
+        col("cexpr") === "memory.get('k') == 'go'",
+        graft.functions.SafeEval.condition("memory.get('k') == 'go'",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("memory",
+              org.apache.spark.sql.types.MapType(
+                org.apache.spark.sql.types.StringType,
+                org.apache.spark.sql.types.StringType))))))
+      .otherwise(lit(false))
+    val viaWindow = Routing.firstMatch(cands, trav)
+      .collect().map(r => r.getAs[String]("state_id") ->
+        r.getAs[String]("target")).toMap
+    assert(stepped === viaWindow)
+    assert(stepped === Map("g1" -> "t_hi", "g2" -> "t_a",
+      "g3" -> "t_fail"))
+  }
+
   test("branch merge strategies (executor.py:73-99)") {
     import spark.implicits._
     val out = Seq(
