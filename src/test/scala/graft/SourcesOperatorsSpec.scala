@@ -561,6 +561,26 @@ class MoreOperatorsSpec extends SparkTestBase {
       "g3" -> "t_fail"))
   }
 
+  test("GraphRunner: unknown conditions (llm_decide) fall back to " +
+      "the success flag (edge.py:271-274)") {
+    import spark.implicits._
+    import graft.model.Model.EdgeSpec
+    val edges = Seq(
+      EdgeSpec("n", "won", condition = "llm_decide", priority = 2),
+      EdgeSpec("n", "lost", condition = "on_failure", priority = 1))
+    val init = Seq(
+      ("ok", "n", true, Map.empty[String, String]),
+      ("ko", "n", false, Map.empty[String, String]))
+      .toDF("state_id", "node", "success", "memory")
+    val out = graft.operators.GraphRunner
+      .run(spark, edges, Set("won", "lost"), init,
+        nodeOutputs = Map.empty, maxSteps = 3)
+      .collect().map(r => r.getAs[String]("state_id") ->
+        ((r.getAs[String]("node"), r.getAs[String]("status")))).toMap
+    assert(out("ok") === (("won", "completed")))
+    assert(out("ko") === (("lost", "completed")))
+  }
+
   test("branch merge strategies (executor.py:73-99)") {
     import spark.implicits._
     val out = Seq(
