@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{Gram2PairHash60, Gram2Stats, LongArrayDot, Quant8Stats, Shingle3Hash60, Sum128}
+import graft.functions.{Gram2PairHash60, Gram2Stats, LongArrayDot, Quant8Stats, RollingFp60, ScaleVec1e6, Shingle3Hash60, Sum128}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.gram2Function)
     ext.injectFunction(GraftExtensions.quant8Function)
     ext.injectFunction(GraftExtensions.gram2PairFunction)
+    ext.injectFunction(GraftExtensions.scaleVecFunction)
+    ext.injectFunction(GraftExtensions.rollingFpFunction)
   }
 }
 
@@ -93,10 +95,30 @@ object GraftExtensions {
         Gram2PairHash60(args.head)
       })
 
+  private[plans] val scaleVecFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_scale_vec"),
+      new ExpressionInfo(classOf[ScaleVec1e6].getName, "graft_scale_vec"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_scale_vec takes exactly 1 argument")
+        ScaleVec1e6(args.head)
+      })
+
+  private[plans] val rollingFpFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_rolling_fp60"),
+      new ExpressionInfo(classOf[RollingFp60].getName,
+        "graft_rolling_fp60"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_rolling_fp60 takes exactly 1 argument")
+        RollingFp60(args.head)
+      })
+
   /** Register the functions into an already-running session. */
   def register(spark: SparkSession): Unit =
     Seq(dotFunction, sum128Function, shingleFunction, gram2Function,
-      quant8Function, gram2PairFunction)
+      quant8Function, gram2PairFunction, scaleVecFunction,
+      rollingFpFunction)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry
           .registerFunction(id, info, builder)

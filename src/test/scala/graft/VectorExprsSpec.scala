@@ -94,6 +94,24 @@ class VectorExprsSpec extends SparkTestBase {
     assert(got === 11L)
   }
 
+  test("graft_scale_vec and graft_rolling_fp60 register on the SQL " +
+      "surface and match the Column-side natives") {
+    GraftExtensions.register(spark)
+    Seq((Seq(0.25f, -1.5f), "a b c d"))
+      .toDF("v", "text").createOrReplaceTempView("sv_t")
+    val sql = spark.sql(
+      """SELECT graft_scale_vec(v) AS sx,
+        |  graft_rolling_fp60(split(text, ' ')) AS fp FROM sv_t""".stripMargin)
+      .head()
+    assert(sql.getSeq[Long](0) === Seq(250000L, -1500000L))
+    val col0 = Seq((Seq(0.25f, -1.5f), "a b c d")).toDF("v", "text")
+      .select(Fns.scaleVec(col("v")).as("sx"),
+        VectorExprs.rollingFp60(split(col("text"), " ")).as("fp"))
+      .head()
+    assert(sql.getSeq[Long](0) === col0.getSeq[Long](0))
+    assert(sql.get(1) === col0.get(1))
+  }
+
   test("graft_shingle60 registers on the SQL surface and matches the " +
       "Column-side native pass") {
     GraftExtensions.register(spark)
