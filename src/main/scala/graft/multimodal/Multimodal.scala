@@ -499,6 +499,216 @@ object Multimodal {
     spark.createDataFrame(rdd, pdfSchema)
   }
 
+  // --- PDF text-extraction tier -------------------------------------
+  // The TEXT half of the reference's pdf_read tool
+  // (`pdf_read_tool.py:130-163` — pypdf extract_text per page, pages
+  // joined as "--- Page N ---\n<text>" with "\n\n" separators,
+  // char_count over the joined content), zero-dependency: content
+  // streams decode with java.util.zip.Inflater (FlateDecode IS zlib,
+  // which the JDK ships) or pass through raw when unfiltered, and the
+  // text-showing operators (Tj, ', ", TJ) replay inside BT..ET blocks
+  // with PDF literal-string escapes (\n \r \t \b \f \( \) \\ \ooo,
+  // line continuations), hex strings, and Td/TD/T*/'/" line breaks.
+  // Documented limits of the zero-dependency rule: bytes map through
+  // Latin-1 (standard-font PDFs; CID/CMap-encoded fonts need font
+  // programs), pages are the document-order content streams that
+  // contain BT (exact for the common one-stream-per-page layout;
+  // object-stream-packed pages degrade like the metadata tier), and
+  // LZW/DCT/other filters skip. Tolerant throughout: a malformed
+  // stream contributes nothing, never a dead row.
+
+  val pdfTextSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("total_pages", LongType, nullable = true),
+    StructField("pages_extracted", LongType, nullable = true),
+    StructField("content", StringType, nullable = true),
+    StructField("char_count", LongType, nullable = true)))
+
+  /** Inflate a FlateDecode stream body; None on malformed input. */
+  private def inflate(b: Array[Byte], from: Int, until: Int)
+      : Option[Array[Byte]] =
+    try {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(b, from, until - from)
+      val out = new java.io.ByteArrayOutputStream(
+        math.max(64, (until - from) * 4))
+      val buf = new Array[Byte](8192)
+      var n = inf.inflate(buf)
+      while (n > 0) { out.write(buf, 0, n); n = inf.inflate(buf) }
+      inf.end()
+      if (out.size == 0) None else Some(out.toByteArray)
+    } catch { case _: Exception => None }
+
+  /** Replay the text-showing operators of ONE decoded content stream.
+    * Returns None when the stream has no BT block (an image/xref/font
+    * stream, not page content). */
+  private[graft] def contentText(s: Array[Byte]): Option[String] = {
+    val out = new StringBuilder
+    var sawBT = false
+    var inBT = false
+    // the most recent string operands since the last operator —
+    // Tj/'/" consume the last one, TJ consumes the array's strings
+    var pending: List[String] = Nil
+    var pendingArr: List[String] = Nil
+    var inArray = false
+    var i = 0
+    val n = s.length
+    def isDelim(c: Int): Boolean =
+      c == '(' || c == ')' || c == '<' || c == '>' || c == '[' ||
+        c == ']' || c == '{' || c == '}' || c == '/' || c == '%'
+    def isWs(c: Int): Boolean =
+      c == ' ' || c == '\r' || c == '\n' || c == '\t' || c == 0 || c == 12
+    def emit(t: String): Unit = if (inBT) out.append(t)
+    def newline(): Unit =
+      if (inBT && out.nonEmpty && out.last != '\n') out.append('\n')
+    while (i < n) {
+      val c = s(i) & 0xff
+      if (c == '(') {
+        // literal string with nesting + escapes; EOLs normalize to \n
+        val sb = new StringBuilder
+        var depth = 1
+        i += 1
+        while (i < n && depth > 0) {
+          val ch = s(i) & 0xff
+          if (ch == '\\' && i + 1 < n) {
+            val e = s(i + 1) & 0xff
+            e match {
+              case 'n' => sb.append('\n'); i += 2
+              case 'r' => sb.append('\r'); i += 2
+              case 't' => sb.append('\t'); i += 2
+              case 'b' => sb.append('\b'); i += 2
+              case 'f' => sb.append('\f'); i += 2
+              case '(' => sb.append('('); i += 2
+              case ')' => sb.append(')'); i += 2
+              case '\\' => sb.append('\\'); i += 2
+              case '\r' => // line continuation: drop \<EOL>
+                i += 2; if (i < n && (s(i) & 0xff) == '\n') i += 1
+              case '\n' => i += 2
+              case d if d >= '0' && d <= '7' =>
+                var v = 0
+                var k = 0
+                i += 1
+                while (k < 3 && i < n && {
+                  val o = s(i) & 0xff; o >= '0' && o <= '7'
+                }) { v = v * 8 + ((s(i) & 0xff) - '0'); i += 1; k += 1 }
+                sb.append((v & 0xff).toChar)
+              case _ => sb.append(e.toChar); i += 2 // unknown: verbatim
+            }
+          } else if (ch == '(') { depth += 1; sb.append('('); i += 1 }
+          else if (ch == ')') {
+            depth -= 1; if (depth > 0) sb.append(')'); i += 1
+          } else if (ch == '\r') {
+            sb.append('\n'); i += 1
+            if (i < n && (s(i) & 0xff) == '\n') i += 1
+          } else { sb.append(ch.toChar); i += 1 }
+        }
+        if (inArray) pendingArr ::= sb.toString else pending ::= sb.toString
+      } else if (c == '<' && i + 1 < n && (s(i + 1) & 0xff) != '<') {
+        // hex string
+        val sb = new StringBuilder
+        var hi = -1
+        i += 1
+        while (i < n && (s(i) & 0xff) != '>') {
+          val h = Character.digit(s(i) & 0xff, 16)
+          if (h >= 0) {
+            if (hi < 0) hi = h
+            else { sb.append(((hi << 4) | h).toChar); hi = -1 }
+          }
+          i += 1
+        }
+        if (hi >= 0) sb.append((hi << 4).toChar) // odd count pads 0
+        i += 1
+        if (inArray) pendingArr ::= sb.toString else pending ::= sb.toString
+      } else if (c == '<') { i += 2 } // '<<' dict open
+      else if (c == '[') { inArray = true; pendingArr = Nil; i += 1 }
+      else if (c == ']') { inArray = false; i += 1 }
+      else if (c == '%') { // comment to EOL
+        while (i < n && (s(i) & 0xff) != '\n' && (s(i) & 0xff) != '\r')
+          i += 1
+      } else if (!isWs(c) && !isDelim(c)) {
+        val start = i
+        while (i < n && !isWs(s(i) & 0xff) && !isDelim(s(i) & 0xff))
+          i += 1
+        new String(s, start, i - start, "US-ASCII") match {
+          case "BT" => inBT = true; sawBT = true; pending = Nil
+          case "ET" => newline(); inBT = false
+          case "Tj" => pending.headOption.foreach(emit); pending = Nil
+          case "'" =>
+            newline(); pending.headOption.foreach(emit); pending = Nil
+          case "\"" =>
+            newline(); pending.headOption.foreach(emit); pending = Nil
+          case "TJ" =>
+            pendingArr.reverse.foreach(emit); pendingArr = Nil
+          case "Td" | "TD" | "T*" => newline()
+          case _ => pending = Nil // any other operator consumes operands
+        }
+      } else i += 1
+    }
+    if (sawBT) Some(out.toString) else None
+  }
+
+  /** pypdf-shaped text extraction of one PDF blob: (total_pages,
+    * pages_extracted, content, char_count); all-null = not a PDF. */
+  private[graft] def pdfText(b: Array[Byte]): Row = {
+    if (b == null || b.length < 8 || !ascii(b, 0, "%PDF-"))
+      return Row(null, null, null, null)
+    val meta = sniffPdf(b)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = b.length
+    var objStart = 0 // start of the current object (for dict sniffing)
+    while (i < n) {
+      val c = b(i) & 0xff
+      if (c == 'o' && ascii(b, i, "obj") && i > 0 &&
+          isPdfWs(b(i - 1) & 0xff)) { objStart = i; i += 3 }
+      else if (c == 's' && ascii(b, i, "stream") &&
+          !(i >= 3 && ascii(b, i - 3, "endstream")) &&
+          i > 0 && ((b(i - 1) & 0xff) == '>' || isPdfWs(b(i - 1) & 0xff))) {
+        // stream body starts after the keyword's EOL
+        var from = i + 6
+        if (from < n && (b(from) & 0xff) == '\r') from += 1
+        if (from < n && (b(from) & 0xff) == '\n') from += 1
+        var k = from
+        var end = -1
+        while (end < 0 && k < n) {
+          if ((b(k) & 0xff) == 'e' && ascii(b, k, "endstream")) end = k
+          k += 1
+        }
+        val until = if (end >= 0) end else n
+        // the object's dict text decides the filter (tolerant: a
+        // /Length indirection is ignored — the scanned body is used)
+        val dict = new String(b, objStart,
+          math.min(i - objStart, 512), "ISO-8859-1")
+        val decoded: Option[Array[Byte]] =
+          if (dict.contains("/FlateDecode")) inflate(b, from, until)
+          else if (dict.contains("/Filter")) None // unsupported codec
+          else Some(java.util.Arrays.copyOfRange(b, from, until))
+        decoded.flatMap(contentText).foreach { t =>
+          parts += s"--- Page ${parts.length + 1} ---\n$t"
+        }
+        i = if (end >= 0) end + 9 else n
+      } else i += 1
+    }
+    val content = parts.mkString("\n\n")
+    Row(meta.get(1), parts.length.toLong, content, content.length.toLong)
+  }
+
+  /** pdf_read's text tier for every media row; non-PDF blobs degrade
+    * to all-null fields, same contract as [[pdfMetadata]]. One narrow
+    * per-row pass — decode runs where the blobs live. */
+  def pdfTextExtract(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content").rdd.mapPartitions {
+      rows =>
+        rows.map { r =>
+          val bytes =
+            if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          Row.fromSeq(r.getLong(0) +: pdfText(bytes).toSeq)
+        }
+    }
+    spark.createDataFrame(rdd, pdfTextSchema)
+  }
+
   /** Frame-sampling shape for time-media: pick every `stride`-th frame
     * index up to `durationMs` — pure metadata arithmetic, no decode;
     * the exploded (media_id, frame_idx) rows drive a later batched

@@ -134,6 +134,62 @@ class MultimodalSpec extends SparkTestBase {
     assert(rt.getLong(1) === 0L && rt.getLong(2) === 1L)
   }
 
+  test("pdf text: raw + FlateDecode content streams replay Tj/TJ/'/Td " +
+      "with escapes and hex strings into pypdf-shaped page content " +
+      "(pdf_read_tool.py:148-163)") {
+    // page 1: RAW content stream exercising the operator set —
+    // Tj, TJ arrays (kern numbers ignored), Td line break, octal and
+    // named escapes, nested parens, hex strings, ' next-line show
+    val p1 =
+      "BT /F1 12 Tf (Hello \\(World\\)) Tj 0 -14 Td " +
+        "[(Tw) -250 (o \\110i)] TJ <21> Tj (next) ' ET"
+    // page 2: the same operators FLATE-compressed (Inflater is the
+    // JDK's zlib — FlateDecode verbatim)
+    val p2 = "BT (Deep\\nEnd) Tj T* (fin.) Tj ET"
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(p2.getBytes("ISO-8859-1"))
+    deflater.finish()
+    val zbuf = new Array[Byte](1024)
+    val zlen = deflater.deflate(zbuf)
+    val head = ("%PDF-1.5\n" +
+      "1 0 obj\n<< /Type /Catalog >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Page >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page >>\nendobj\n" +
+      s"4 0 obj\n<< /Length ${p1.length} >>\nstream\n$p1\nendstream\nendobj\n" +
+      s"5 0 obj\n<< /Length $zlen /Filter /FlateDecode >>\nstream\n")
+      .getBytes("ISO-8859-1")
+    val tail = "\nendstream\nendobj\ntrailer\n%%EOF".getBytes("ISO-8859-1")
+    val pdf = head ++ java.util.Arrays.copyOf(zbuf, zlen) ++ tail
+    val r = Multimodal.pdfText(pdf)
+    assert(r.getLong(0) === 2L) // total_pages from the metadata tier
+    assert(r.getLong(1) === 2L) // two extracted content streams
+    val content = r.getString(2)
+    assert(content ===
+      "--- Page 1 ---\nHello (World)\nTwo Hi!\nnext\n" +
+        "\n\n" +
+        "--- Page 2 ---\nDeep\nEnd\nfin.\n")
+    assert(r.getLong(3) === content.length.toLong)
+    // non-PDF + null degrade; unsupported filters contribute nothing
+    assert(Multimodal.pdfText("plain".getBytes).isNullAt(2))
+    assert(Multimodal.pdfText(null).isNullAt(0))
+    val dct = ("%PDF-1.4\n1 0 obj\n<< /Filter /DCTDecode >>\nstream\n" +
+      "BT (never seen) Tj ET\nendstream\nendobj\n%%EOF")
+      .getBytes("ISO-8859-1")
+    assert(Multimodal.pdfText(dct).getLong(1) === 0L)
+    // an image/xref stream (no BT) is not a page
+    val img = ("%PDF-1.4\n1 0 obj\n<< /Length 3 >>\nstream\n" +
+      "RAW\nendstream\nendobj\n%%EOF").getBytes("ISO-8859-1")
+    assert(Multimodal.pdfText(img).getLong(1) === 0L)
+    // DataFrame tier
+    val rows = java.util.Arrays.asList(
+      Row(1L, "document", null, null, null, pdf),
+      Row(2L, "document", null, null, null, "nope".getBytes))
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val out = Multimodal.pdfTextExtract(media).orderBy("media_id").collect()
+    assert(out(0).getAs[String]("content") === content)
+    assert(out(1).isNullAt(out(1).fieldIndex("content")))
+  }
+
   test("sampleFrameIndexes: metadata-only frame sampling") {
     val rows = java.util.Arrays.asList(
       Row(7L, "video", null, null, 1000L, null))
