@@ -1,0 +1,146 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.plans.SqlGate
+import graft.sources.XlsxSource
+import org.apache.spark.sql.types._
+
+/** The BINARY half of the excel tools (`excel_tool.py:564-612`,
+  * openpyxl's job) against a hand-built SpreadsheetML container — the
+  * same byte-exact fixture strategy as the multimodal codecs. */
+class XlsxSourceSpec extends SparkTestBase {
+
+  private def zip(entries: (String, String)*): Array[Byte] = {
+    val bout = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bout)
+    entries.foreach { case (name, content) =>
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    z.close()
+    bout.toByteArray
+  }
+
+  // two sheets: "My Data" (mixed types, gaps, shared + inline
+  // strings, booleans) and "Stats-2" (numeric, null header)
+  private def fixture: Array[Byte] = zip(
+    "xl/workbook.xml" ->
+      """<?xml version="1.0"?>
+        |<workbook xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |  <sheets>
+        |    <sheet name="My Data" sheetId="1" r:id="rId1"/>
+        |    <sheet name="Stats-2" sheetId="2" r:id="rId2"/>
+        |    <sheet name="Empty" sheetId="3" r:id="rId3"/>
+        |  </sheets>
+        |</workbook>""".stripMargin,
+    "xl/_rels/workbook.xml.rels" ->
+      """<?xml version="1.0"?>
+        |<Relationships>
+        |  <Relationship Id="rId1" Target="worksheets/sheet1.xml"/>
+        |  <Relationship Id="rId2" Target="worksheets/sheet2.xml"/>
+        |  <Relationship Id="rId3" Target="worksheets/sheet3.xml"/>
+        |</Relationships>""".stripMargin,
+    "xl/sharedStrings.xml" ->
+      """<?xml version="1.0"?>
+        |<sst><si><t>name</t></si><si><t>qty</t></si>
+        |<si><t>ok</t></si><si><r><t>wid</t></r><r><t>get</t></r></si>
+        |<si><t>bolt</t></si></sst>""".stripMargin,
+    "xl/worksheets/sheet1.xml" ->
+      """<?xml version="1.0"?>
+        |<worksheet><sheetData>
+        |<row r="1">
+        |  <c r="A1" t="s"><v>0</v></c>
+        |  <c r="B1" t="s"><v>1</v></c>
+        |  <c r="C1" t="s"><v>2</v></c>
+        |</row>
+        |<row r="2">
+        |  <c r="A2" t="s"><v>3</v></c>
+        |  <c r="B2"><v>5</v></c>
+        |  <c r="C2" t="b"><v>1</v></c>
+        |</row>
+        |<row r="3">
+        |  <c r="A3" t="inlineStr"><is><t>nut</t></is></c>
+        |  <c r="C3" t="b"><v>0</v></c>
+        |</row>
+        |<row r="4">
+        |  <c r="A4" t="s"><v>4</v></c>
+        |  <c r="B4"><v>12</v></c>
+        |  <c r="C4" t="b"><v>1</v></c>
+        |</row>
+        |</sheetData></worksheet>""".stripMargin,
+    "xl/worksheets/sheet2.xml" ->
+      """<?xml version="1.0"?>
+        |<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>v</t></is></c></row>
+        |<row r="2"><c r="A2"><v>1.5</v></c><c r="B2"><v>9</v></c></row>
+        |<row r="3"><c r="A3"><v>2.5</v></c></row>
+        |</sheetData></worksheet>""".stripMargin,
+    "xl/worksheets/sheet3.xml" ->
+      """<?xml version="1.0"?><worksheet><sheetData/></worksheet>""")
+
+  test("parse: sheet order/names via rels, shared strings (rich-text " +
+      "runs flattened), inline strings, booleans, missing cells as " +
+      "None, ragged width") {
+    val sheets = XlsxSource.parse(fixture)
+    assert(sheets.map(_._1) === Seq("My Data", "Stats-2", "Empty"))
+    val rows = sheets.head._2
+    assert(rows.head === Seq(Some("name"), Some("qty"), Some("ok")))
+    assert(rows(1) === Seq(Some("widget"), Some("5"), Some("true")))
+    assert(rows(2) === Seq(Some("nut"), None, Some("false")))
+    // sheet 2 row 2 is wider than its header row (B2 beyond A1)
+    assert(sheets(1)._2(1) === Seq(Some("1.5"), Some("9")))
+    assert(sheets(2)._2.isEmpty)
+    assert(XlsxSource.colIndex("A1") === 0)
+    assert(XlsxSource.colIndex("AB7") === 27)
+  }
+
+  test("sheetFrames: first row = headers (None -> Column_i), " +
+      "deterministic column typing, empty sheets skipped " +
+      "(excel_tool.py:585-612)") {
+    val frames = XlsxSource.sheetFrames(spark, fixture)
+    assert(frames.map(_._1) === Seq("My Data", "Stats-2")) // Empty gone
+    val d = frames.head._2
+    assert(d.schema === StructType(Seq(
+      StructField("name", StringType),
+      StructField("qty", LongType),
+      StructField("ok", BooleanType))))
+    val got = d.collect().map(r =>
+      (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    assert(got === Seq(
+      ("widget", Some(5L), Some(true)),
+      ("nut", None, Some(false)),
+      ("bolt", Some(12L), Some(true))))
+    // Stats-2: doubles; the headerless B column names Column_2
+    val s = frames(1)._2
+    assert(s.schema.fieldNames.toSeq === Seq("v", "Column_2"))
+    assert(s.schema.fields.map(_.dataType).toSeq ===
+      Seq(DoubleType, LongType))
+  }
+
+  test("excelSql: per-sheet tables (spaces/hyphens -> underscores), " +
+      "data alias on the requested/first sheet, SELECT-only gate " +
+      "before registration (excel_tool.py:564-617)") {
+    val total = XlsxSource.excelSql(spark, fixture,
+      "SELECT SUM(qty) AS s FROM My_Data WHERE ok").head().getLong(0)
+    assert(total === 17L)
+    // data alias = first sheet by default
+    val viaData = XlsxSource.excelSql(spark, fixture,
+      "SELECT COUNT(*) AS c FROM data").head().getLong(0)
+    assert(viaData === 3L)
+    // ...and the named sheet when requested (hyphen-sanitized table
+    // name also resolvable)
+    val stats = XlsxSource.excelSql(spark, fixture,
+      "SELECT SUM(v) AS s FROM data", sheet = Some("Stats-2"))
+      .head().getDouble(0)
+    assert(stats === 4.0)
+    intercept[IllegalArgumentException](XlsxSource.excelSql(
+      spark, fixture, "SELECT 1", sheet = Some("Nope")))
+    intercept[SqlGate.BlockedSqlException](XlsxSource.excelSql(
+      spark, fixture, "DROP TABLE My_Data"))
+    intercept[IllegalArgumentException](
+      XlsxSource.parse("not a zip".getBytes))
+  }
+}
