@@ -1,7 +1,7 @@
 package graft.sources
 
-import java.io.ByteArrayInputStream
-import java.util.zip.ZipInputStream
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.util.zip.{ZipInputStream, ZipOutputStream}
 
 import scala.collection.mutable
 
@@ -198,6 +198,140 @@ object XlsxSource {
           scala.jdk.CollectionConverters.SeqHasAsJava(typedRows).asJava),
         schema)
     }
+
+  // --- write / append halves (`excel_tool.py:148-330`) -------------
+
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  private def colLetters(i: Int): String = {
+    var v = i + 1
+    val sb = new StringBuilder
+    while (v > 0) {
+      val r = (v - 1) % 26
+      sb.insert(0, ('A' + r).toChar)
+      v = (v - 1) / 26
+    }
+    sb.toString
+  }
+
+  private def cellXml(ref: String, v: Any): String = v match {
+    case null => ""
+    case b: Boolean =>
+      s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
+    case n: Long => s"""<c r="$ref"><v>$n</v></c>"""
+    case n: Int => s"""<c r="$ref"><v>$n</v></c>"""
+    case n: Double => s"""<c r="$ref"><v>$n</v></c>"""
+    case s0: String =>
+      s"""<c r="$ref" t="inlineStr"><is><t>${xmlEscape(s0)}</t></is></c>"""
+    case other =>
+      s"""<c r="$ref" t="inlineStr"><is><t>${xmlEscape(
+        other.toString)}</t></is></c>"""
+  }
+
+  /** Serialize sheets (name → rows of cell values, row 0 = header)
+    * into a VALID minimal .xlsx — [Content_Types], root rels,
+    * workbook, workbook rels, one worksheet part per sheet; strings
+    * write as inline strings (no sharedStrings part needed),
+    * numbers/booleans as native cell types. Round-trips through
+    * [[parse]] and opens in openpyxl/Excel. */
+  def writeWorkbook(sheets: Seq[(String, Seq[Seq[Any]])]): Array[Byte] = {
+    require(sheets.nonEmpty, "workbook needs at least one sheet")
+    val bout = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bout)
+    def entry(name: String, content: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(content.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    val n = sheets.length
+    entry("[Content_Types].xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+        """<Default Extension="xml" ContentType="application/xml"/>""" +
+        """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+        """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+        (1 to n).map(i =>
+          s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
+          .mkString + "</Types>")
+    entry("_rels/.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+        "</Relationships>")
+    entry("xl/workbook.xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>""" +
+        sheets.zipWithIndex.map { case ((name, _), i) =>
+          s"""<sheet name="${xmlEscape(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+        }.mkString + "</sheets></workbook>")
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        (1 to n).map(i =>
+          s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""")
+          .mkString + "</Relationships>")
+    sheets.zipWithIndex.foreach { case ((_, rows), si) =>
+      val body = rows.zipWithIndex.map { case (cells, ri) =>
+        s"""<row r="${ri + 1}">""" + cells.zipWithIndex.map {
+          case (v, ci) => cellXml(s"${colLetters(ci)}${ri + 1}", v)
+        }.mkString + "</row>"
+      }.mkString
+      entry(s"xl/worksheets/sheet${si + 1}.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+          body + "</sheetData></worksheet>")
+    }
+    z.close()
+    bout.toByteArray
+  }
+
+  /** `excel_write` (`excel_tool.py:148-230`): header row from
+    * `columns`, then the data rows, one sheet. */
+  def write(columns: Seq[String], rows: Seq[Seq[Any]],
+      sheet: String = "Sheet1"): Array[Byte] =
+    writeWorkbook(Seq(sheet -> (columns +: rows)))
+
+  /** `excel_append` (`excel_tool.py:231-330`): parse the workbook,
+    * append rows after the target (default first) sheet's last row,
+    * re-serialize. The first row must carry headers — appending to a
+    * headerless sheet is the reference's error. Cell VALUES
+    * round-trip (typed via each column's parse — the reader's
+    * inference rules); styles/formulas are not preserved, the
+    * documented limit of the value-grain reader. */
+  def append(bytes: Array[Byte], rows: Seq[Seq[Any]],
+      sheet: Option[String] = None): Array[Byte] = {
+    val sheets = parse(bytes)
+    val names = sheets.map(_._1)
+    val target = sheet match {
+      case Some(s) =>
+        if (!names.contains(s)) throw new IllegalArgumentException(
+          s"Sheet '$s' not found. Available: ${names.mkString(", ")}")
+        s
+      case None => names.headOption.getOrElse(
+        throw new IllegalArgumentException("workbook has no sheets"))
+    }
+    def typed(v: Option[String]): Any = v match {
+      case None => null
+      case Some(s0) =>
+        if (scala.util.Try(s0.toLong).isSuccess) s0.toLong
+        else if (scala.util.Try(s0.toDouble).isSuccess) s0.toDouble
+        else if (s0 == "true") true
+        else if (s0 == "false") false
+        else s0
+    }
+    val rebuilt = sheets.map { case (name, rws) =>
+      if (name != target) name -> rws.map(_.map(typed))
+      else {
+        if (rws.isEmpty || rws.head.forall(_.isEmpty))
+          throw new IllegalArgumentException(
+            "Excel file has no headers in the first row")
+        name -> (rws.map(_.map(typed)) ++ rows)
+      }
+    }
+    writeWorkbook(rebuilt)
+  }
 
   /** `excel_sql` end to end over raw bytes: gate, register every
     * sheet (spaces/hyphens → underscores) plus the `data` alias for

@@ -143,4 +143,46 @@ class XlsxSourceSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       XlsxSource.parse("not a zip".getBytes))
   }
+
+  test("write/append: excel_write emits a valid container that " +
+      "round-trips through the reader with types intact; " +
+      "excel_append adds rows after the last and rejects headerless " +
+      "sheets (excel_tool.py:148-330)") {
+    val written = XlsxSource.write(
+      columns = Seq("item", "n", "live"),
+      rows = Seq(
+        Seq("a<b&c", 3L, true),  // XML-escaping exercised
+        Seq("plain", 1.5, false),
+        Seq(null, 7L, true)))
+    // round-trip through our own reader
+    val frames = XlsxSource.sheetFrames(spark, written)
+    assert(frames.map(_._1) === Seq("Sheet1"))
+    val d = frames.head._2
+    assert(d.schema.fieldNames.toSeq === Seq("item", "n", "live"))
+    // n column mixes 3 and 1.5 -> DOUBLE (the reader's inference)
+    assert(d.schema("n").dataType === DoubleType)
+    assert(d.schema("live").dataType === BooleanType)
+    val got = d.collect().map(r =>
+      (Option(r.get(0)), r.getDouble(1), r.getBoolean(2))).toSeq
+    assert(got === Seq(
+      (Some("a<b&c"), 3.0, true),
+      (Some("plain"), 1.5, false),
+      (None, 7.0, true)))
+    // append to the fixture's first sheet, then query the result
+    val appended = XlsxSource.append(fixture,
+      Seq(Seq("screw", 4L, true)))
+    val total = XlsxSource.excelSql(spark, appended,
+      "SELECT SUM(qty) AS s FROM My_Data WHERE ok").head().getLong(0)
+    assert(total === 21L) // 5 + 12 + 4
+    // other sheets survive the rewrite
+    assert(XlsxSource.parse(appended).map(_._1) ===
+      Seq("My Data", "Stats-2", "Empty"))
+    // headerless target -> the reference's error
+    val headerless = XlsxSource.writeWorkbook(
+      Seq("S" -> Seq(Seq(null, null))))
+    intercept[IllegalArgumentException](
+      XlsxSource.append(headerless, Seq(Seq("x"))))
+    intercept[IllegalArgumentException](
+      XlsxSource.append(written, Seq(Seq("x")), sheet = Some("Nope")))
+  }
 }
