@@ -199,6 +199,31 @@ object XlsxSource {
         schema)
     }
 
+  /** `excel_info` (`excel_tool.py:333-408`): per-sheet name, header
+    * columns (None → Column_{i+1}), column count, and row count
+    * EXCLUDING the header, plus the container byte size — as a
+    * DataFrame so the report joins/filters like any other source
+    * catalog. */
+  def info(spark: SparkSession, bytes: Array[Byte]): DataFrame = {
+    val rows = parse(bytes).map { case (name, rws) =>
+      val columns = rws.headOption.map(_.zipWithIndex.map {
+        case (h, i) => h.getOrElse(s"Column_${i + 1}")
+      }).getOrElse(Seq.empty)
+      Row(name, columns, columns.length.toLong,
+        math.max(0, rws.length - 1).toLong, bytes.length.toLong)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField("sheet_name", StringType, nullable = false),
+        StructField("columns", ArrayType(StringType, containsNull = false),
+          nullable = false),
+        StructField("column_count", LongType, nullable = false),
+        StructField("row_count", LongType, nullable = false),
+        StructField("file_size", LongType, nullable = false))))
+  }
+
   // --- write / append halves (`excel_tool.py:148-330`) -------------
 
   private def xmlEscape(s: String): String =

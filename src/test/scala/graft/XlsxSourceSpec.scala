@@ -144,6 +144,19 @@ class XlsxSourceSpec extends SparkTestBase {
       XlsxSource.parse("not a zip".getBytes))
   }
 
+  test("info: per-sheet columns/row counts (header excluded) + file " +
+      "size (excel_tool.py:333-408)") {
+    val out = XlsxSource.info(spark, fixture).collect()
+      .map(r => r.getString(0) ->
+        ((r.getSeq[String](1).toSeq, r.getLong(2), r.getLong(3)))).toMap
+    assert(out("My Data") === ((Seq("name", "qty", "ok"), 3L, 3L)))
+    // rows pad to the sheet's width (openpyxl's read-only dimension
+    // behavior), so the headerless B column reports as Column_2 —
+    // consistent with sheetFrames
+    assert(out("Stats-2") === ((Seq("v", "Column_2"), 2L, 2L)))
+    assert(out("Empty") === ((Seq.empty[String], 0L, 0L)))
+  }
+
   test("write/append: excel_write emits a valid container that " +
       "round-trips through the reader with types intact; " +
       "excel_append adds rows after the last and rejects headerless " +
