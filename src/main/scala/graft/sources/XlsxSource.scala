@@ -61,15 +61,23 @@ object XlsxSource {
     out.toMap
   }
 
-  private def xml(bytes: Array[Byte]): Element = {
-    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-    f.setFeature(
-      "http://apache.org/xml/features/disallow-doctype-decl", true)
-    f.setXIncludeAware(false)
-    f.setExpandEntityReferences(false)
-    f.newDocumentBuilder()
-      .parse(new ByteArrayInputStream(bytes)).getDocumentElement
-  }
+  private def xml(bytes: Array[Byte]): Element =
+    try {
+      val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      f.setFeature(
+        "http://apache.org/xml/features/disallow-doctype-decl", true)
+      f.setXIncludeAware(false)
+      f.setExpandEntityReferences(false)
+      val b = f.newDocumentBuilder()
+      // a corrupt part must surface as the tolerance contract's
+      // IllegalArgumentException, not a SAX printout + SAXException
+      b.setErrorHandler(null)
+      b.parse(new ByteArrayInputStream(bytes)).getDocumentElement
+    } catch {
+      case e: IllegalArgumentException => throw e
+      case e: Exception => throw new IllegalArgumentException(
+        s"malformed xlsx part: ${e.getMessage}")
+    }
 
   private def elems(parent: Element, tag: String): Seq[Element] = {
     val nl = parent.getElementsByTagName(tag)
@@ -136,7 +144,8 @@ object XlsxSource {
               val v: Option[String] = t match {
                 case "s" =>
                   elems(c, "v").headOption.map(_.getTextContent.trim)
-                    .flatMap(i => shared.lift(i.toInt))
+                    .flatMap(i => scala.util.Try(i.toInt).toOption)
+                    .flatMap(shared.lift) // bad index → absent cell
                 case "inlineStr" =>
                   elems(c, "is").headOption.map(tText)
                 case "b" =>

@@ -198,4 +198,38 @@ class XlsxSourceSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       XlsxSource.append(written, Seq(Seq("x")), sheet = Some("Nope")))
   }
+
+  test("fuzz: random bytes, truncated containers, and byte-flipped " +
+      "valid workbooks either parse or raise IllegalArgumentException " +
+      "— never an uncontrolled error (tolerance contract)") {
+    val rnd = new scala.util.Random(53)
+    val valid = fixture
+    def tryParse(b: Array[Byte]): Unit =
+      try { XlsxSource.parse(b); () }
+      catch { case _: IllegalArgumentException => () }
+    (0 until 120).foreach { i =>
+      tryParse(Array.fill(rnd.nextInt(400))(rnd.nextInt.toByte))
+      tryParse(java.util.Arrays.copyOf(valid,
+        rnd.nextInt(valid.length)))
+      val flipped = valid.clone()
+      flipped(rnd.nextInt(flipped.length)) =
+        (flipped(rnd.nextInt(flipped.length)) ^ 0xff).toByte
+      tryParse(flipped)
+    }
+    // PDF text extractor: the same contract, all-null degrade instead
+    // of an exception (per-row media tier — a bad blob must not kill
+    // the scan)
+    val pdfValid = ("%PDF-1.4\n1 0 obj\n<< /Length 20 >>\nstream\n" +
+      "BT (x) Tj ET\nendstream\nendobj\n%%EOF").getBytes("ISO-8859-1")
+    (0 until 120).foreach { i =>
+      graft.multimodal.Multimodal.pdfText(
+        Array.fill(rnd.nextInt(300))(rnd.nextInt.toByte))
+      graft.multimodal.Multimodal.pdfText(
+        java.util.Arrays.copyOf(pdfValid, rnd.nextInt(pdfValid.length)))
+      val flipped = pdfValid.clone()
+      flipped(rnd.nextInt(flipped.length)) =
+        (flipped(rnd.nextInt(flipped.length)) ^ 0xff).toByte
+      graft.multimodal.Multimodal.pdfText(flipped)
+    }
+  }
 }
