@@ -902,20 +902,7 @@ object VectorSearch {
           lit(0.0).as("adc_dist")).limit(0)
       case Some((codeIds, cen)) =>
         val (qIds, lut) = collectAdcLut(emb, codeIds, cen)
-        // coarse probe FROM the driver LUT: a cell's coarse distance
-        // is exactly Σ_sub of that code's LUT entries (v04's
-        // rounded-term distance in a different grouping) — pure
-        // integer sums over driver state, (cd, cell) tie-break as the
-        // oracle's ORDER BY. probe(qp) = the ≤2 cells to scan.
-        val k = codeIds.length
-        val probe: Seq[Seq[Int]] = lut.map { t =>
-          val nSubs = t.length / k
-          codeIds.zipWithIndex.map { case (cid, ci) =>
-            var s = 0L
-            (0 until nSubs).foreach(sub => s += t(sub * k + ci))
-            (s, cid)
-          }.sortBy(identity).take(2).map(_._2)
-        }
+        val probe = probeCells(codeIds, lut)
         val w = Window.partitionBy("q_id")
           .orderBy(col("adc_scaled"), col("neighbor_id"))
         pqAdcRows(emb, codeIds, cen, qIds, lut)
@@ -932,6 +919,24 @@ object VectorSearch {
             col("rnk"), col("adc_scaled"),
             (col("adc_scaled").cast(DoubleType) / lit(1e12))
               .as("adc_dist"))
+    }
+  }
+
+  /** Coarse probe FROM the driver LUT (shared v10 + v17): a cell's
+    * coarse distance is exactly Σ_sub of that code's LUT entries
+    * (v04's rounded-term distance in a different grouping) — pure
+    * integer sums over driver state, (cd, cell) tie-break as the
+    * oracle's ORDER BY. probe(qp) = the ≤2 cells to scan. */
+  private def probeCells(codeIds: Seq[Int],
+      lut: Seq[Seq[Long]]): Seq[Seq[Int]] = {
+    val k = codeIds.length
+    lut.map { t =>
+      val nSubs = t.length / k
+      codeIds.zipWithIndex.map { case (cid, ci) =>
+        var s = 0L
+        (0 until nSubs).foreach(sub => s += t(sub * k + ci))
+        (s, cid)
+      }.sortBy(identity).take(2).map(_._2)
     }
   }
 
@@ -1766,7 +1771,106 @@ object VectorSearch {
       .filter(col("rnk") <= KnnGraphK)
   }
 
+  // ---------------------------------------------------------------
+  // v17 IVF-PQ search with exact refine (FAISS IndexRefineFlat;
+  // Jégou et al. 2011 §VI's re-ranking stage) — the full production
+  // retrieval shape: v10's compressed-domain IVFPQ scan proposes a
+  // DEEPER candidate pool (top-20 by ADC distance instead of v10's
+  // final 5), then the raw vectors of just those candidates are
+  // re-scored with the exact scaled-integer cosine and the top-5 is
+  // taken on the refined order. ADC quantization error re-ranks the
+  // true neighbors inside the pool; the refine step recovers them —
+  // the recall knob every deployed IVFPQ index ships with.
+  //
+  // 100 TB shape: stage 1 is v10's (code words + probed-cell
+  // partition pruning, no raw-float traffic); stage 2 touches raw
+  // vectors for ≤ queries×20 rows via a BROADCAST candidate join
+  // against the corpus (the bounded side is the candidate set, so the
+  // corpus never shuffles), and the query spine broadcasts as in v01.
+  // Ranks tie-break on neighbor_id in both engines; cosines are exact
+  // scaled-BIGINT dot products (bit-identical cross-engine).
+  private val V17Candidates = 20
+  val v17 = Q(
+    "v17_ivfpq_rerank",
+    s"""$normCte,
+      |$pqCodesCtes,
+      |$pqLutCtes,
+      |probe AS (SELECT q_id, cell FROM (
+      |    SELECT q_id, code AS cell,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id
+      |        ORDER BY CAST(SUM(ds) AS BIGINT), code) AS rnk
+      |    FROM lut GROUP BY q_id, code) t
+      |  WHERE rnk <= 2),
+      |cand AS (SELECT a.vec_id, e2.label, a.sub, a.code
+      |         FROM a JOIN embeddings e2 ON a.vec_id = e2.vec_id),
+      |p AS (SELECT l.q_id, c.vec_id AS neighbor_id,
+      |    CAST(SUM(l.ds) AS BIGINT) AS adc_scaled
+      |  FROM cand c
+      |  JOIN probe pr ON pr.cell = c.label AND c.vec_id <> pr.q_id
+      |  JOIN lut l ON l.q_id = pr.q_id AND l.sub = c.sub AND l.code = c.code
+      |  GROUP BY l.q_id, c.vec_id),
+      |pool AS (SELECT q_id, neighbor_id, rnk AS adc_rnk FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY adc_scaled, neighbor_id) AS rnk FROM p) z
+      |  WHERE rnk <= $V17Candidates),
+      |qe AS (SELECT e.vec_id AS q_id, e.sx AS q_sx, e.n AS q_n
+      |       FROM e JOIN q ON e.vec_id = q.q_id),
+      |r AS (SELECT c.q_id, c.neighbor_id, c.adc_rnk,
+      |        $dotSql::DOUBLE / (sqrt(q.q_n::DOUBLE) * sqrt(e.n::DOUBLE))
+      |          AS cosine
+      |      FROM pool c JOIN qe q ON c.q_id = q.q_id
+      |                  JOIN e ON e.vec_id = c.neighbor_id)
+      |SELECT q_id, neighbor_id, rnk, adc_rnk, cosine
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+      |        ORDER BY cosine DESC, neighbor_id) AS rnk FROM r) t
+      |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    collectCodebook(emb) match {
+      case None =>
+        emb.select(col("vec_id").as("q_id"),
+          col("vec_id").as("neighbor_id"), lit(1).as("rnk"),
+          lit(1).as("adc_rnk"), lit(0.0).as("cosine")).limit(0)
+      case Some((codeIds, cen)) =>
+        val (qIds, lut) = collectAdcLut(emb, codeIds, cen)
+        val probe = probeCells(codeIds, lut)
+        // stage 1 — v10's compressed-domain scan, pool depth 20: the
+        // probed-cell membership filter is the partition-pruning
+        // predicate at scale, the window bounds the pool per query
+        val wAdc = Window.partitionBy("q_id")
+          .orderBy(col("adc_scaled"), col("neighbor_id"))
+        val pool = pqAdcRows(emb, codeIds, cen, qIds, lut)
+          .filter(array_contains(
+            element_at(typedlit(probe), col("qp") + 1), col("label")))
+          .withColumn("adc_rnk", row_number().over(wAdc))
+          .filter(col("adc_rnk") <= V17Candidates)
+          .select("q_id", "neighbor_id", "adc_rnk")
+        // stage 2 — exact refine: the ≤ queries×20 pool BROADCASTS
+        // against the raw-vector relation (corpus side never
+        // shuffles), query spine broadcasts as in v01
+        val e = emb
+          .select(col("vec_id"), Fns.scaleVec(col("embedding")).as("sx"))
+          .withColumn("n", VectorExprs.normSqIntNative(col("sx")))
+        val q = e.filter(col("vec_id") % 50 === 0)
+          .orderBy("vec_id").limit(V01Queries)
+          .select(col("vec_id").as("q_id"), col("sx").as("q_sx"),
+            col("n").as("q_n"))
+        val wCos = Window.partitionBy("q_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        broadcast(pool)
+          .join(e.withColumnRenamed("vec_id", "neighbor_id"),
+            "neighbor_id")
+          .join(broadcast(q), "q_id")
+          .select(col("q_id"), col("neighbor_id"), col("adc_rnk"),
+            Fns.cosineFromScaled(
+              VectorExprs.dotIntNative(col("q_sx"), col("sx")),
+              col("q_n"), col("n")).as("cosine"))
+          .withColumn("rnk", row_number().over(wCos))
+          .filter(col("rnk") <= 5)
+          .select("q_id", "neighbor_id", "rnk", "adc_rnk", "cosine")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13,
-      d14, v14, v15, v16)
+      d14, v14, v15, v16, v17)
 }

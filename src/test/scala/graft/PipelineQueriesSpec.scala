@@ -719,6 +719,42 @@ class PipelineQueriesSpec extends SparkTestBase {
       .contains(r.getAs[Long]("neighbor_id"))))
   }
 
+  test("v17: IVFPQ rerank — ADC ties enter the pool by id, exact " +
+      "refine reorders inside it, and the pool cap is a real filter") {
+    def vec(overrides: Map[Int, Float], base: Float): Array[Float] =
+      Array.tabulate(64)(i => overrides.getOrElse(i, base))
+    // Query 0 = all 0.5. Corpus ids 1..30 all label 0 and all encode
+    // to the SAME code word (their values hug the label-0 centroid),
+    // so their ADC distances are IDENTICAL — the pool is ids 1..20 by
+    // the neighbor_id tie-break. Only id 7 is an exact copy of the
+    // query; the rest are slightly off at dim 0. Label-1 vectors sit
+    // at -0.5: a far second cell so the probe has something to prune.
+    val rows =
+      Seq((0L, vec(Map.empty, 0.5f), 0)) ++
+        (1L to 30L).map { i =>
+          if (i == 7L) (i, vec(Map.empty, 0.5f), 0)
+          else (i, vec(Map(0 -> 0.4f), 0.5f), 0)
+        } ++
+        Seq((40L, vec(Map.empty, -0.5f), 1),
+          (41L, vec(Map(1 -> -0.4f), -0.5f), 1))
+    val out = queries.VectorSearch.v17.run(spark, embDir(rows))
+      .collect().filter(_.getAs[Long]("q_id") == 0L)
+      .sortBy(_.getAs[Int]("rnk"))
+    assert(out.length === 5)
+    // the pool cap excludes ids 21..30 regardless of their cosine —
+    // the approximate contract of the compressed-domain first stage
+    assert(!out.exists(_.getAs[Long]("neighbor_id") > 20L))
+    // exact refine reorders INSIDE the pool: the exact copy (adc_rnk
+    // 7 — ADC is blind to it, ranking purely by id among ties) beats
+    // the ADC-rank-1 vector once raw floats are rescored
+    val top = out.head
+    assert(top.getAs[Long]("neighbor_id") === 7L)
+    assert(top.getAs[Int]("adc_rnk") === 7)
+    assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-12)
+    assert(out(1).getAs[Long]("neighbor_id") === 1L)
+    assert(out(1).getAs[Double]("cosine") < 1.0 - 1e-6)
+  }
+
   test("t14: Zipf audit — hand-computed integer-moment slope: steep " +
       "for a Zipf source, exactly 0 for uniform, NULL when degenerate") {
     // s1 counts a=8 b=4 c=2 d=1: ranks 1..4, x=bits(rank)=(1,2,2,3),

@@ -276,7 +276,16 @@ class PlanAuditSpec extends SparkTestBase {
       //       scan itself plans exchange-free. ANY exchange here
       //       means run() stopped checkpointing and is returning the
       //       unbounded 4^iter union tree                          -> 0
-      "g04_graph_traversal" -> 0)
+      "g04_graph_traversal" -> 0,
+      //  v17: v10's native ADC scan pays its pool-rank window (the
+      //       one corpus-grain exchange, as v09/v10); the refine
+      //       stage joins the ≤ queries×20 pool BROADCAST against
+      //       the raw-vector scan (corpus never shuffles) and the
+      //       final cosine rank window exchanges only the refined
+      //       candidate rows — queries×20-bounded at any corpus
+      //       size. A third exchange means the pool stopped
+      //       broadcasting and the corpus is being shuffled       -> 2
+      "v17_ivfpq_rerank" -> 2)
     val got = audited.map { case (name, _) =>
       name -> executedShuffleCount(build(name))
     }
