@@ -926,7 +926,99 @@ object SourceQueries {
           .as("mean_doc_tokens"))
   }
 
+  // ---------------------------------------------------------------
+  // s18 Z-order layout planner — the 100 TB FILE-LAYOUT operator
+  // (Delta/Iceberg `OPTIMIZE ZORDER BY`; Morton 1966): interleave the
+  // bits of two normalized dimensions into one clustering key so that
+  // sorting by it co-locates rows that are close in EITHER dimension,
+  // then cut the sorted order into equal files. The output is the
+  // per-file min/max zone map for both dimensions under the z-order
+  // layout AND under the naive time-linear layout — exactly the
+  // statistics a scan planner prunes files with, so the span-fraction
+  // columns ARE the measured skipping factor: a point predicate on a
+  // dimension reads, in expectation, Σ_files span_frac/files of the
+  // data. Linear layout gives ~1/files spans on time and ~full spans
+  // on user_id; z-order gives ~√ narrow spans on BOTH — the reason
+  // every lakehouse engine ships it.
+  //
+  // 100 TB shape: the normalization bounds are one 1-row broadcast
+  // agg; the z-key is a narrow integer projection; the only heavy op
+  // is the sort. The demo cuts files with NTILE over a global order
+  // (deterministic — both engines define NTILE identically, so the
+  // zone maps hash-match); the production writer is the SAME plan
+  // with repartitionByRange(zkey) + sortWithinPartitions + one file
+  // per partition, which Spark executes as a range-sampled sort with
+  // no single-partition stage. Linear ordering uses the ms grain
+  // (the engine-wide ts contract — ns would tie-break differently in
+  // DuckDB's µs-truncated reads).
+  private val ZFiles = 32
+  private val zkeySql = (0 until 8).map(i =>
+    s"(((nu >> $i) & 1) << ${2 * i + 1}) + (((nh >> $i) & 1) << ${2 * i})")
+    .mkString(" + ")
+  val s18 = Q(
+    "s18_zorder_layout",
+    s"""WITH b AS (SELECT event_id, user_id,
+      |    epoch_ms(ts) // 3600000 AS hr, epoch_ms(ts) AS ms
+      |  FROM events),
+      |g AS (SELECT MIN(user_id) AS u0, MAX(user_id) AS u1,
+      |        MIN(hr) AS h0, MAX(hr) AS h1 FROM b),
+      |n AS (SELECT b.*, g.u0, g.u1, g.h0, g.h1,
+      |    LEAST(255, (user_id - g.u0) * 256 // (g.u1 - g.u0 + 1)) AS nu,
+      |    LEAST(255, (hr - g.h0) * 256 // (g.h1 - g.h0 + 1)) AS nh
+      |  FROM b, g),
+      |z AS (SELECT *, CAST($zkeySql AS BIGINT) AS zkey FROM n),
+      |f AS (SELECT 'zorder' AS layout,
+      |        NTILE($ZFiles) OVER (ORDER BY zkey, event_id) AS file_id,
+      |        user_id, hr, u0, u1, h0, h1 FROM z
+      |      UNION ALL
+      |      SELECT 'linear',
+      |        NTILE($ZFiles) OVER (ORDER BY ms, event_id),
+      |        user_id, hr, u0, u1, h0, h1 FROM z)
+      |SELECT layout, file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+      |  MIN(hr) AS min_hr, MAX(hr) AS max_hr,
+      |  (MAX(user_id) - MIN(user_id) + 1)::DOUBLE / (u1 - u0 + 1)
+      |    AS user_span_frac,
+      |  (MAX(hr) - MIN(hr) + 1)::DOUBLE / (h1 - h0 + 1)
+      |    AS hr_span_frac
+      |FROM f GROUP BY layout, file_id, u0, u1, h0, h1""".stripMargin) {
+    (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 3600000000000").as("hr"),
+        expr("ts div 1000000").as("ms"))
+    val g = ev.agg(min("user_id").as("u0"), max("user_id").as("u1"),
+      min("hr").as("h0"), max("hr").as("h1"))
+    val z = ev.crossJoin(broadcast(g))
+      .withColumn("nu", least(lit(255L),
+        expr("(user_id - u0) * 256 div (u1 - u0 + 1)")))
+      .withColumn("nh", least(lit(255L),
+        expr("(hr - h0) * 256 div (h1 - h0 + 1)")))
+      .withColumn("zkey", (0 until 8).map { i =>
+        shiftleft(shiftright(col("nu"), i).bitwiseAND(lit(1L)), 2 * i + 1) +
+          shiftleft(shiftright(col("nh"), i).bitwiseAND(lit(1L)), 2 * i)
+      }.reduce(_ + _).cast(LongType))
+    def cut(layout: String, order: Seq[org.apache.spark.sql.Column]) =
+      z.select(lit(layout).as("layout"),
+        ntile(ZFiles).over(Window.orderBy(order: _*)).as("file_id"),
+        col("user_id"), col("hr"),
+        col("u0"), col("u1"), col("h0"), col("h1"))
+    cut("zorder", Seq(col("zkey"), col("event_id")))
+      .unionAll(cut("linear", Seq(col("ms"), col("event_id"))))
+      .groupBy("layout", "file_id", "u0", "u1", "h0", "h1")
+      .agg(count(lit(1)).as("n_rows"),
+        min("user_id").as("min_user"), max("user_id").as("max_user"),
+        min("hr").as("min_hr"), max("hr").as("max_hr"))
+      .select(col("layout"), col("file_id"), col("n_rows"),
+        col("min_user"), col("max_user"), col("min_hr"), col("max_hr"),
+        ((col("max_user") - col("min_user") + 1).cast(DoubleType) /
+          (col("u1") - col("u0") + 1)).as("user_span_frac"),
+        ((col("max_hr") - col("min_hr") + 1).cast(DoubleType) /
+          (col("h1") - col("h0") + 1)).as("hr_span_frac"))
+  }
+
   val all: Seq[Q] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16, s17, c01)
+      s14, s15, s16, s17, s18, c01)
 }

@@ -1055,6 +1055,39 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(got === expect)
   }
 
+  test("s18: z-order layout — Morton tiles bound BOTH dims' zone maps " +
+      "where the linear layout leaves one dim unprunable") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pq").toFile.getAbsolutePath
+    // a 64×64 grid: one event per (user 0..63, hour 0..63) cell.
+    // Normalization maps u → nu = 4u exactly (and h likewise), so
+    // zkey = Morton(u, h) · 16 and the 4096 distinct codes cut into
+    // 32 aligned blocks of 128 — each a 8-user × 16-hour Morton tile.
+    val evs = for (u <- 0L until 64L; h <- 0 until 64) yield
+      (u * 64 + h, new java.sql.Timestamp(h.toLong * 3600000L), u, "t")
+    evs.toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val out = queries.SourceQueries.s18.run(spark, dir).collect()
+    val z = out.filter(_.getAs[String]("layout") == "zorder")
+    val l = out.filter(_.getAs[String]("layout") == "linear")
+    assert(z.length === 32 && l.length === 32)
+    assert(out.forall(_.getAs[Long]("n_rows") === 128L))
+    // linear (time-ordered ingestion): each file = 2 full hours × ALL
+    // users — perfect pruning on time, NONE on user
+    assert(l.forall(_.getAs[Double]("user_span_frac") === 1.0))
+    assert(l.forall(_.getAs[Double]("hr_span_frac") === 2.0 / 64))
+    // z-order: every file is an aligned 8×16 tile — both dims bounded
+    assert(z.forall(_.getAs[Double]("user_span_frac") === 8.0 / 64))
+    assert(z.forall(_.getAs[Double]("hr_span_frac") === 16.0 / 64))
+    // hand-checked interleave: the first tile is users 0..7 × hours
+    // 0..15 (z bits 1,3,5 ← user, bits 0,2,4,6 ← hour)
+    val f1 = z.find(_.getAs[Int]("file_id") == 1).get
+    assert(f1.getAs[Long]("min_user") === 0L)
+    assert(f1.getAs[Long]("max_user") === 7L)
+    assert(f1.getAs[Long]("min_hr") === 0L)
+    assert(f1.getAs[Long]("max_hr") === 15L)
+  }
+
   test("e19: hourly anomaly — 5x spike over a flat baseline flags, " +
       "steady hours and short-history types don't, integer z-algebra") {
     import spark.implicits._

@@ -285,7 +285,14 @@ class PlanAuditSpec extends SparkTestBase {
       //       candidate rows — queries×20-bounded at any corpus
       //       size. A third exchange means the pool stopped
       //       broadcasting and the corpus is being shuffled       -> 2
-      "v17_ivfpq_rerank" -> 2)
+      "v17_ivfpq_rerank" -> 2,
+      //  s18: the normalization bounds are one 1-row agg exchange;
+      //       each layout's NTILE cut pays its global-order sort
+      //       exchange (the demo stand-in for the production
+      //       repartitionByRange write); the zone-map groupBy rides
+      //       the windows' single-partition output. More means the
+      //       broadcast bounds join regressed to a shuffle
+      "s18_zorder_layout" -> 3)
     val got = audited.map { case (name, _) =>
       name -> executedShuffleCount(build(name))
     }
