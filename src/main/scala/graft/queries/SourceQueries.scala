@@ -942,15 +942,17 @@ object SourceQueries {
   // every lakehouse engine ships it.
   //
   // 100 TB shape: the normalization bounds are one 1-row broadcast
-  // agg; the z-key is a narrow integer projection; the only heavy op
-  // is the sort. The demo cuts files with NTILE over a global order
-  // (deterministic — both engines define NTILE identically, so the
-  // zone maps hash-match); the production writer is the SAME plan
-  // with repartitionByRange(zkey) + sortWithinPartitions + one file
-  // per partition, which Spark executes as a range-sampled sort with
-  // no single-partition stage. Linear ordering uses the ms grain
-  // (the engine-wide ts contract — ns would tie-break differently in
-  // DuckDB's µs-truncated reads).
+  // agg; the z-key is a narrow integer projection; the inherently
+  // global thing is the total order the files cut along — computed
+  // TWO-LEVEL (s15's construction) so no task ever sorts the corpus:
+  // each layout's sort key gets a 256-value monotone shard prefix
+  // (zkey's high byte; the ms range bucket), rank = per-shard
+  // row_number + a broadcast 256-row prefix-sum of shard counts, and
+  // the file id is NTILE's arithmetic applied to that rank — output
+  // identical to the single-window NTILE the oracle runs, with no
+  // single-partition stage (measured 21 s → 6 s at 10M events).
+  // Linear ordering uses the ms grain (the engine-wide ts contract —
+  // ns would tie-break differently in DuckDB's µs-truncated reads).
   private val ZFiles = 32
   private val zkeySql = (0 until 8).map(i =>
     s"(((nu >> $i) & 1) << ${2 * i + 1}) + (((nh >> $i) & 1) << ${2 * i})")
@@ -989,8 +991,13 @@ object SourceQueries {
         expr("ts div 3600000000000").as("hr"),
         expr("ts div 1000000").as("ms"))
     val g = ev.agg(min("user_id").as("u0"), max("user_id").as("u1"),
-      min("hr").as("h0"), max("hr").as("h1"))
-    val z = ev.crossJoin(broadcast(g))
+      min("hr").as("h0"), max("hr").as("h1"),
+      min("ms").as("m0"), max("ms").as("m1"))
+    // one pinned scan feeds both layouts: norms, the Morton key, and
+    // each layout's 256-value monotone shard prefix — zkey's high
+    // byte; the ms range bucket (monotone in ms, so ordering by
+    // (shard, key) IS the key's order)
+    val z = graft.operators.Pin(ev.crossJoin(broadcast(g))
       .withColumn("nu", least(lit(255L),
         expr("(user_id - u0) * 256 div (u1 - u0 + 1)")))
       .withColumn("nh", least(lit(255L),
@@ -999,13 +1006,39 @@ object SourceQueries {
         shiftleft(shiftright(col("nu"), i).bitwiseAND(lit(1L)), 2 * i + 1) +
           shiftleft(shiftright(col("nh"), i).bitwiseAND(lit(1L)), 2 * i)
       }.reduce(_ + _).cast(LongType))
-    def cut(layout: String, order: Seq[org.apache.spark.sql.Column]) =
-      z.select(lit(layout).as("layout"),
-        ntile(ZFiles).over(Window.orderBy(order: _*)).as("file_id"),
-        col("user_id"), col("hr"),
-        col("u0"), col("u1"), col("h0"), col("h1"))
-    cut("zorder", Seq(col("zkey"), col("event_id")))
-      .unionAll(cut("linear", Seq(col("ms"), col("event_id"))))
+      .withColumn("shard_z", expr("zkey div 256"))
+      .withColumn("shard_l", least(lit(255L),
+        expr("(ms - m0) * 256 div (m1 - m0 + 1)"))))
+    // two-level global rank (s15): per-shard row_number + broadcast
+    // prefix-sum of shard counts; then NTILE's own arithmetic — the
+    // first N mod F files take ⌈N/F⌉ rows, the rest ⌊N/F⌋ — maps
+    // rank → file_id identically to the oracle's window NTILE. The
+    // div-q ELSE branch is unreachable when q = 0 (rank ≤ r then).
+    def cut(layout: String, shard: String,
+        order: Seq[org.apache.spark.sql.Column]) = {
+      val counts = z.groupBy(shard).agg(count(lit(1)).as("c"))
+      val off = counts
+        .withColumn("offset",
+          sum("c").over(Window.orderBy(shard)) - col("c"))
+        .select(col(shard), col("offset"))
+      val tot = counts.agg(sum("c").as("n"))
+        .select(col("n"), expr(s"n div $ZFiles").as("q"),
+          (col("n") % ZFiles).as("r"))
+      z.withColumn("pos", row_number().over(
+          Window.partitionBy(shard).orderBy(order: _*)))
+        .join(broadcast(off), shard)
+        .crossJoin(broadcast(tot))
+        .withColumn("rank", col("offset") + col("pos"))
+        .select(lit(layout).as("layout"),
+          expr(s"""CASE WHEN rank <= r * (q + 1)
+            THEN (rank - 1) div (q + 1) + 1
+            ELSE r + 1 + (rank - 1 - r * (q + 1)) div q END""")
+            .cast("int").as("file_id"),
+          col("user_id"), col("hr"),
+          col("u0"), col("u1"), col("h0"), col("h1"))
+    }
+    cut("zorder", "shard_z", Seq(col("zkey"), col("event_id")))
+      .unionAll(cut("linear", "shard_l", Seq(col("ms"), col("event_id"))))
       .groupBy("layout", "file_id", "u0", "u1", "h0", "h1")
       .agg(count(lit(1)).as("n_rows"),
         min("user_id").as("min_user"), max("user_id").as("max_user"),

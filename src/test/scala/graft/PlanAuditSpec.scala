@@ -286,13 +286,15 @@ class PlanAuditSpec extends SparkTestBase {
       //       size. A third exchange means the pool stopped
       //       broadcasting and the corpus is being shuffled       -> 2
       "v17_ivfpq_rerank" -> 2,
-      //  s18: the normalization bounds are one 1-row agg exchange;
-      //       each layout's NTILE cut pays its global-order sort
-      //       exchange (the demo stand-in for the production
-      //       repartitionByRange write); the zone-map groupBy rides
-      //       the windows' single-partition output. More means the
-      //       broadcast bounds join regressed to a shuffle
-      "s18_zorder_layout" -> 3)
+      //  s18: the two-level rank trades shuffle COUNT for grain —
+      //       the only corpus-grain exchanges are the two per-layout
+      //       shard-partitioned rank windows (parallel over 256
+      //       shards; the single-window NTILE formulation paid a
+      //       single-partition corpus sort per layout, 21 s vs 5 s at
+      //       10M events); everything else is 256-row shard-count /
+      //       1-row bounds plumbing. The number to watch is not 12
+      //       but the absence of a SinglePartition corpus sort
+      "s18_zorder_layout" -> 12)
     val got = audited.map { case (name, _) =>
       name -> executedShuffleCount(build(name))
     }
