@@ -1870,7 +1870,66 @@ object VectorSearch {
     }
   }
 
+  // ---------------------------------------------------------------
+  // v18 refine-recall report — v06's methodology applied to the
+  // question v17 exists to answer: how much recall@5 does the exact
+  // refine stage recover over raw IVFPQ? Both methods' OWN plans run
+  // verbatim (v10 and v17 outputs joined against v01's exact truth —
+  // re-authoring either here would let the report drift from what it
+  // claims to score); the oracle nests the three queries' full SQL so
+  // the cross-engine hash pins all three algebras at once. Per
+  // (method, query): hits and recall@5. refine > ivfpq on a query
+  // means ADC quantization error demoted a true neighbor below rank
+  // 5 while it was still inside the top-20 pool — the measured value
+  // of the refine knob.
+  //
+  // 100 TB shape: inherits its members' (truth pinned, both methods'
+  // scans bounded); the report tail is queries×5-grain joins.
+  val v18 = Q(
+    "v18_refine_recall",
+    s"""WITH truth0 AS (${v01.oracle.get}),
+      |a10 AS (${v10.oracle.get}),
+      |a17 AS (${v17.oracle.get}),
+      |spine AS (SELECT vec_id AS q_id FROM embeddings
+      |          WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT $V01Queries),
+      |m AS (SELECT 'ivfpq' AS method, q_id, neighbor_id FROM a10
+      |      UNION ALL
+      |      SELECT 'ivfpq_refine', q_id, neighbor_id FROM a17),
+      |hits AS (SELECT m.method, t.q_id, CAST(COUNT(*) AS BIGINT) AS c
+      |         FROM truth0 t JOIN m ON t.q_id = m.q_id
+      |           AND t.neighbor_id = m.neighbor_id
+      |         GROUP BY m.method, t.q_id)
+      |SELECT meth.method, spine.q_id,
+      |  CAST(COALESCE(hits.c, 0) AS BIGINT) AS n_hits,
+      |  COALESCE(hits.c, 0)::DOUBLE / 5.0 AS recall_at_5
+      |FROM spine CROSS JOIN (VALUES ('ivfpq'), ('ivfpq_refine'))
+      |  AS meth(method)
+      |LEFT JOIN hits ON hits.q_id = spine.q_id
+      |  AND hits.method = meth.method""".stripMargin) { (s, dir) =>
+    val truth = graft.operators.Pin(
+      v01.run(s, dir).select("q_id", "neighbor_id"))
+    val m = v10.run(s, dir)
+      .select(lit("ivfpq").as("method"), col("q_id"), col("neighbor_id"))
+      .unionAll(v17.run(s, dir)
+        .select(lit("ivfpq_refine").as("method"), col("q_id"),
+          col("neighbor_id")))
+    val hits = truth.join(m, Seq("q_id", "neighbor_id"))
+      .groupBy("method", "q_id").agg(count(lit(1)).as("c"))
+    val spine = Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id") % 50 === 0)
+      .orderBy("vec_id").limit(V01Queries)
+      .select(col("vec_id").as("q_id"))
+    import s.implicits._
+    spine.crossJoin(
+        broadcast(Seq("ivfpq", "ivfpq_refine").toDF("method")))
+      .join(broadcast(hits), Seq("method", "q_id"), "left")
+      .select(col("method"), col("q_id"),
+        coalesce(col("c"), lit(0L)).as("n_hits"),
+        (coalesce(col("c"), lit(0L)).cast(DoubleType) / lit(5.0))
+          .as("recall_at_5"))
+  }
+
   val all: Seq[Q] =
     Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13,
-      d14, v14, v15, v16, v17)
+      d14, v14, v15, v16, v17, v18)
 }

@@ -755,6 +755,32 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(out(1).getAs[Double]("cosine") < 1.0 - 1e-6)
   }
 
+  test("v18: refine recall — the exact rerank recovers the true " +
+      "neighbor ADC demoted, strictly beating raw IVFPQ") {
+    // v17's spec corpus: truth top-5 for query 0 = {7, 1, 2, 3, 4}
+    // (7 is the exact copy); all label-0 vectors tie on ADC, so raw
+    // IVFPQ's top-5 = {1..5} by id (misses 7 → 4 hits) while the
+    // refine pool (top-20) still holds 7 and reranks it first
+    // (5 hits). The report must show exactly that gap.
+    def vec(overrides: Map[Int, Float], base: Float): Array[Float] =
+      Array.tabulate(64)(i => overrides.getOrElse(i, base))
+    val rows =
+      Seq((0L, vec(Map.empty, 0.5f), 0)) ++
+        (1L to 30L).map { i =>
+          if (i == 7L) (i, vec(Map.empty, 0.5f), 0)
+          else (i, vec(Map(0 -> 0.4f), 0.5f), 0)
+        } ++
+        Seq((40L, vec(Map.empty, -0.5f), 1),
+          (41L, vec(Map(1 -> -0.4f), -0.5f), 1))
+    val out = queries.VectorSearch.v18.run(spark, embDir(rows))
+      .collect().filter(_.getAs[Long]("q_id") == 0L)
+      .map(r => r.getAs[String]("method") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Double]("recall_at_5"))))
+      .toMap
+    assert(out("ivfpq") === ((4L, 0.8)))
+    assert(out("ivfpq_refine") === ((5L, 1.0)))
+  }
+
   test("t14: Zipf audit — hand-computed integer-moment slope: steep " +
       "for a Zipf source, exactly 0 for uniform, NULL when degenerate") {
     // s1 counts a=8 b=4 c=2 d=1: ranks 1..4, x=bits(rank)=(1,2,2,3),

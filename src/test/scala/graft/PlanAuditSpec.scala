@@ -294,7 +294,12 @@ class PlanAuditSpec extends SparkTestBase {
       //       10M events); everything else is 256-row shard-count /
       //       1-row bounds plumbing. The number to watch is not 12
       //       but the absence of a SinglePartition corpus sort
-      "s18_zorder_layout" -> 12)
+      "s18_zorder_layout" -> 12,
+      //  v18: the members pay their audited exchanges in the returned
+      //       plan (v10's pool window 1; v17's 2 — v01's truth window
+      //       runs inside the pin-build job) plus the hit-join
+      //       groupBy; the report joins broadcast at queries×2 grain
+      "v18_refine_recall" -> 4)
     val got = audited.map { case (name, _) =>
       name -> executedShuffleCount(build(name))
     }
