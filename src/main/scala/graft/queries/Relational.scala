@@ -647,7 +647,76 @@ object Relational {
           cume_dist().over(w).as("cume"))
   }
 
+  // ---------------------------------------------------------------
+  // q26 column profiler — the Deequ-style data-quality pass every
+  // ingest runs before training: per column, row/null/exact-distinct
+  // counts plus min/max and an exact-DECIMAL mean for numerics,
+  // lexicographic min/max for strings. ONE column list drives both
+  // engines (a drifted column set cannot hash-match).
+  //
+  // One UNION branch PER COLUMN: each branch's scan prunes to a
+  // single parquet column and the branches' stages schedule
+  // independently. The one-pass alternatives were MEASURED and
+  // rejected at sf0.1: explode-to-(col, value) pays the generator
+  // (3.6–9 s), a single 5-distinct wide agg pays Spark's expand-per-
+  // distinct planning (24 s) — the branch union is 1.2 s, and at
+  // scale per-stage floors amortize while the pruned single-column
+  // scans are exactly what a 100 TB columnar profiler wants. Mean
+  // sums in DECIMAL(38,6) first (order-independent, bit-identical
+  // cross-engine) and divides in double at the end; NULLIF guards
+  // the all-null column. Profiles `events` — the ingest table, and
+  // the one that scales in the campaign corpora.
+  private val ProfileNumCols = Seq("event_id", "user_id", "value")
+  private val ProfileStrCols = Seq("event_type", "props")
+  val q26 = Q(
+    "q26_column_profile",
+    (ProfileNumCols.map(c =>
+      s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+        |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+        |  MIN($c)::DOUBLE AS min_num, MAX($c)::DOUBLE AS max_num,
+        |  CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE)
+        |    / NULLIF(COUNT($c), 0) AS mean_num,
+        |  NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+        |FROM events""".stripMargin) ++
+      ProfileStrCols.map(c =>
+        s"""SELECT '$c', CAST(COUNT(*) AS BIGINT),
+          |  CAST(COUNT(*) - COUNT($c) AS BIGINT),
+          |  CAST(COUNT(DISTINCT $c) AS BIGINT),
+          |  NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE,
+          |  MIN($c), MAX($c)
+          |FROM events""".stripMargin))
+      .mkString("\nUNION ALL\n")) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+    def base(c: String, extra: Column*) = {
+      val aggs = Seq(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col(c))).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).as("mn"), max(col(c)).as("mx")) ++ extra
+      ev.agg(aggs.head, aggs.tail: _*)
+    }
+    val parts =
+      ProfileNumCols.map(c => base(c,
+        (sum(col(c).cast(DecimalType(38, 6))).cast(DoubleType) /
+          nullif(count(col(c)), lit(0L))).as("mean"))
+        .select(lit(c).as("col_name"),
+          col("n_rows"), col("n_null"), col("n_distinct"),
+          col("mn").cast(DoubleType).as("min_num"),
+          col("mx").cast(DoubleType).as("max_num"),
+          col("mean").as("mean_num"),
+          lit(null).cast(StringType).as("min_str"),
+          lit(null).cast(StringType).as("max_str"))) ++
+      ProfileStrCols.map(c => base(c)
+        .select(lit(c).as("col_name"),
+          col("n_rows"), col("n_null"), col("n_distinct"),
+          lit(null).cast(DoubleType).as("min_num"),
+          lit(null).cast(DoubleType).as("max_num"),
+          lit(null).cast(DoubleType).as("mean_num"),
+          col("mn").as("min_str"), col("mx").as("max_str")))
+    parts.reduce(_ unionAll _)
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25)
+    q25, q26)
 }

@@ -781,6 +781,43 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(out("ivfpq_refine") === ((5L, 1.0)))
   }
 
+  test("q26: column profiler — nulls counted per column, exact " +
+      "distincts, DECIMAL-exact mean skips nulls, string min/max") {
+    // the driver testdata has no nulls, so the null paths (COUNT
+    // difference, mean's null-skip, NULLIF guard) only exercise here
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pq").toFile.getAbsolutePath
+    val rows = Seq(
+      (1L, Option(10L), Option(2.0), Option("click"), "O"),
+      (2L, Option(10L), Option(4.0), Option("view"), "O"),
+      (3L, Option.empty[Long], Option.empty[Double],
+        Option.empty[String], "F"))
+    rows.toDF("event_id", "user_id", "value", "event_type", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = queries.Relational.q26.run(spark, dir).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(out.size === 5)
+    assert(out.values.forall(_.getAs[Long]("n_rows") === 3L))
+    val v = out("value")
+    assert(v.getAs[Long]("n_null") === 1L)
+    assert(v.getAs[Long]("n_distinct") === 2L)
+    assert(v.getAs[Double]("min_num") === 2.0)
+    assert(v.getAs[Double]("max_num") === 4.0)
+    assert(v.getAs[Double]("mean_num") === 3.0) // (2+4)/2 — null skipped
+    val u = out("user_id")
+    assert(u.getAs[Long]("n_null") === 1L)
+    assert(u.getAs[Long]("n_distinct") === 1L)
+    assert(u.getAs[Double]("mean_num") === 10.0)
+    val t = out("event_type")
+    assert(t.getAs[Long]("n_null") === 1L)
+    assert(t.getAs[Long]("n_distinct") === 2L)
+    assert(t.getAs[String]("min_str") === "click")
+    assert(t.getAs[String]("max_str") === "view")
+    assert(t.isNullAt(t.fieldIndex("mean_num")))
+    assert(out("props").getAs[Long]("n_distinct") === 2L)
+    assert(out("event_id").getAs[Long]("n_distinct") === 3L)
+  }
+
   test("t14: Zipf audit — hand-computed integer-moment slope: steep " +
       "for a Zipf source, exactly 0 for uniform, NULL when degenerate") {
     // s1 counts a=8 b=4 c=2 d=1: ranks 1..4, x=bits(rank)=(1,2,2,3),

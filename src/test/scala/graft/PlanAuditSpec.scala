@@ -299,7 +299,15 @@ class PlanAuditSpec extends SparkTestBase {
       //       plan (v10's pool window 1; v17's 2 — v01's truth window
       //       runs inside the pin-build job) plus the hit-join
       //       groupBy; the report joins broadcast at queries×2 grain
-      "v18_refine_recall" -> 4)
+      "v18_refine_recall" -> 4,
+      //  q26: five single-column profile branches, each paying its
+      //       two-phase exact-distinct exchanges over a PRUNED
+      //       single-column scan (partial distinct combines map-side;
+      //       the alternatives — explode-to-entries, one wide
+      //       multi-distinct agg — were measured 3–40× worse, see the
+      //       scaladoc). Growth here means a branch stopped pruning
+      //       or a distinct regressed to a corpus-grain sort
+      "q26_column_profile" -> 10)
     val got = audited.map { case (name, _) =>
       name -> executedShuffleCount(build(name))
     }
