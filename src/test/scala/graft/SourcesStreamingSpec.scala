@@ -1085,3 +1085,69 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 }
+
+/** MemoryStream row for the streaming-profiler parity spec (top-level:
+  * inner case classes break the encoder's outer-pointer resolution). */
+case class ProfEvRow(event_id: Long, user_id: Option[Long],
+    value: Option[Double], event_type: Option[String], props: String)
+
+class ProfileStreamSpec extends SparkTestBase {
+  import graft.streaming.ProfileStream
+
+  test("ProfileStream over N microbatches ≡ batch q26 on the union " +
+      "(mergeable stats: counts, nulls, min/max, DECIMAL-exact mean)") {
+    import spark.implicits._
+    // three microbatches with nulls spread across them — the running
+    // fold must equal q26's batch answer on the union, column for
+    // column, INCLUDING the exact-decimal mean (0.1+0.2 style values
+    // that diverge under naive double summation orders)
+    val b1 = Seq(ProfEvRow(1L, Some(10L), Some(0.1), Some("click"), "a"))
+    val b2 = Seq(ProfEvRow(2L, None, Some(0.2), Some("view"), "c"),
+      ProfEvRow(3L, Some(30L), None, None, "b"))
+    val b3 = Seq(ProfEvRow(4L, Some(20L), Some(0.3), Some("buy"), "d"))
+    val all = b1 ++ b2 ++ b3
+
+    val input = MemoryStream[ProfEvRow](spark)
+    val stats = ProfileStream.profile(ProfileStream.entries(
+      input.toDS().toDF(), Seq("event_id", "user_id", "value"),
+      Seq("event_type", "props")))
+    val q = stats.writeStream.format("memory").queryName("prof")
+      .outputMode("update").start()
+    val streamed =
+      try {
+        Seq(b1, b2, b3).foreach { b =>
+          input.addData(b: _*); q.processAllAvailable()
+        }
+        // update-mode memory sink appends every batch's updated rows;
+        // nRows is monotone, so max-nRows per column = the final state
+        spark.table("prof").as[ProfileStream.ColStats].collect()
+          .groupBy(_.colName)
+          .map { case (k, rows) => k -> rows.maxBy(_.nRows) }
+      } finally q.stop()
+
+    val dir = Files.createTempDirectory("profstream")
+      .toFile.getAbsolutePath
+    all.toDF().write.parquet(s"$dir/events.parquet")
+    val batch = queries.Relational.q26.run(spark, dir).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (c, st) =>
+      val row = batch(c)
+      assert(st.nRows === row.getAs[Long]("n_rows"), s"$c n_rows")
+      assert(st.nNull === row.getAs[Long]("n_null"), s"$c n_null")
+      def boxD(f: String): java.lang.Double =
+        if (row.isNullAt(row.fieldIndex(f))) null
+        else java.lang.Double.valueOf(row.getAs[Double](f))
+      assert(st.minNum === boxD("min_num"), s"$c min_num")
+      assert(st.maxNum === boxD("max_num"), s"$c max_num")
+      assert(st.meanNum === boxD("mean_num"), s"$c mean_num (exact)")
+      assert(st.minStr === row.getAs[String]("min_str"), s"$c min_str")
+      assert(st.maxStr === row.getAs[String]("max_str"), s"$c max_str")
+    }
+    // the value column's mean is exact-decimal 0.600000 cast to
+    // double, divided by 3 in IEEE — the precise double both paths
+    // must land on (NOT 0.2: naive per-value double summation can
+    // drift off this by an ulp, which the hash gate would catch)
+    assert(streamed("value").meanNum === 0.6 / 3)
+  }
+}
