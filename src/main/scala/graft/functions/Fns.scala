@@ -134,6 +134,18 @@ object Fns {
         org.apache.spark.sql.GraftColumnBridge.expression(a)))
 
   /** Integer dot product of two pre-scaled vectors. */
+  /** 16-bit Morton key: interleave the low 8 bits of two normalized
+    * BIGINT dimensions (nu → odd bits, nh → even bits) — the z-order
+    * clustering key s18 and [[graft.sources.Compaction.zorderWrite]]
+    * share (ONE bit layout, so the planner's zone maps and the
+    * writer's files cut along the same curve). DuckDB twin:
+    * Σ (((nu >> i) & 1) << (2i+1)) + (((nh >> i) & 1) << (2i)). */
+  def morton8(nu: Column, nh: Column): Column =
+    (0 until 8).map { i =>
+      shiftleft(shiftright(nu, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(nh, i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _).cast(LongType)
+
   def dotInt(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
 

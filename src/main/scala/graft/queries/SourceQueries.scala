@@ -1002,10 +1002,7 @@ object SourceQueries {
         expr("(user_id - u0) * 256 div (u1 - u0 + 1)")))
       .withColumn("nh", least(lit(255L),
         expr("(hr - h0) * 256 div (h1 - h0 + 1)")))
-      .withColumn("zkey", (0 until 8).map { i =>
-        shiftleft(shiftright(col("nu"), i).bitwiseAND(lit(1L)), 2 * i + 1) +
-          shiftleft(shiftright(col("nh"), i).bitwiseAND(lit(1L)), 2 * i)
-      }.reduce(_ + _).cast(LongType))
+      .withColumn("zkey", Fns.morton8(col("nu"), col("nh")))
       .withColumn("shard_z", expr("zkey div 256"))
       .withColumn("shard_l", least(lit(255L),
         expr("(ms - m0) * 256 div (m1 - m0 + 1)"))))

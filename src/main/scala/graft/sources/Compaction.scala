@@ -80,6 +80,49 @@ object Compaction {
       .format("parquet")
       .saveAsTable(tableName)
 
+  /** Z-order clustered write — the PRODUCTION half of
+    * `s18_zorder_layout` (Delta/Iceberg `OPTIMIZE ZORDER BY`): cluster
+    * `df` along the Morton curve of two numeric dimensions and write
+    * `files` parquet files whose per-file min/max zone maps are narrow
+    * in BOTH dimensions, so a scan with a predicate on either one
+    * prunes most files. s18 PLANS the layout (exact NTILE cuts, the
+    * measurable zone-map report); this EXECUTES it the way a cluster
+    * does — `repartitionByRange(zkey)` + `sortWithinPartitions` + one
+    * file per partition. Range boundaries come from Spark's reservoir
+    * sampling, so file sizes are approximately (not exactly) equal —
+    * the production trade for having no single-partition stage at any
+    * scale. The key is [[graft.functions.Fns.morton8]] — the SAME bit
+    * layout s18's audited plan uses, so the planner's report and the
+    * written files cut along the same curve.
+    *
+    * Returns the written files' zone maps (one row per file:
+    * n_rows + min/max of each dimension) read back from the output —
+    * the statistics a scan planner prunes with, verifiable directly. */
+  def zorderWrite(df: DataFrame, dimA: String, dimB: String,
+      outDir: String, files: Int = 32): DataFrame = {
+    val g = df.agg(
+      min(col(dimA)).as("a0"), max(col(dimA)).as("a1"),
+      min(col(dimB)).as("b0"), max(col(dimB)).as("b1"))
+    val z = df.crossJoin(broadcast(g))
+      .withColumn("__na", least(lit(255L),
+        expr(s"($dimA - a0) * 256 div (a1 - a0 + 1)")))
+      .withColumn("__nb", least(lit(255L),
+        expr(s"($dimB - b0) * 256 div (b1 - b0 + 1)")))
+      .withColumn("__zkey",
+        graft.functions.Fns.morton8(col("__na"), col("__nb")))
+      .drop("a0", "a1", "b0", "b1", "__na", "__nb")
+    z.repartitionByRange(files, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(outDir)
+    val spark = df.sparkSession
+    spark.read.parquet(outDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(dimA)).as(s"min_$dimA"), max(col(dimA)).as(s"max_$dimA"),
+        min(col(dimB)).as(s"min_$dimB"), max(col(dimB)).as(s"max_$dimB"))
+  }
+
   /** Freshness-tail union: compacted Parquet ∪ the raw JSON written
     * since the last compaction run — the query-time view that makes
     * compaction invisible to readers. */

@@ -1151,6 +1151,30 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(f1.getAs[Long]("max_hr") === 15L)
   }
 
+  test("s18: fewer rows than files — the q=0 NTILE branch: one row " +
+      "per file, ids 1..N, per-file spans collapse to points") {
+    // N=5 < 32 files → NTILE's q = N div 32 = 0 and r = N: every rank
+    // lands in the first CASE branch ((rank-1) div 1 + 1 = rank); the
+    // ELSE's div-by-q is unreachable. Exercises the arithmetic edge
+    // the sf corpora (N ≫ 32) never hit.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pq").toFile.getAbsolutePath
+    (0 until 5).map(i =>
+        (i.toLong, new java.sql.Timestamp(i.toLong * 3600000L), i.toLong, "t"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val out = queries.SourceQueries.s18.run(spark, dir).collect()
+    assert(out.length === 10) // 5 files × 2 layouts
+    assert(out.forall(_.getAs[Long]("n_rows") === 1L))
+    out.groupBy(_.getAs[String]("layout")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("file_id")).sorted.toSeq
+        === Seq(1, 2, 3, 4, 5))
+    }
+    // single-row files: min == max on both dims
+    assert(out.forall(r => r.getAs[Long]("min_user") ===
+      r.getAs[Long]("max_user")))
+  }
+
   test("e19: hourly anomaly — 5x spike over a flat baseline flags, " +
       "steady hours and short-history types don't, integer z-algebra") {
     import spark.implicits._

@@ -302,6 +302,48 @@ class CompactionSpec extends SparkTestBase {
     assert(view.count() === 3)
   }
 
+  test("zorderWrite: clustered files' zone maps prune BOTH dims " +
+      "where a time-linear write leaves user_id unprunable") {
+    import graft.Tables
+    import org.apache.spark.sql.types.DoubleType
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 3600000000000").as("hr"))
+    val out = Files.createTempDirectory("zw").toString + "/z"
+    val zones = Compaction.zorderWrite(ev, "user_id", "hr", out,
+      files = 8).collect()
+    assert(zones.length === 8)
+    assert(zones.map(_.getAs[Long]("n_rows")).sum === ev.count())
+    // the written data round-trips (no rows altered by the reshuffle)
+    assert(spark.read.parquet(out).select("event_id").distinct().count()
+      === ev.count())
+    def spanFrac(rows: Array[org.apache.spark.sql.Row], dim: String,
+        lo: Long, hi: Long): Double =
+      rows.map(r => (r.getAs[Long](s"max_$dim") -
+        r.getAs[Long](s"min_$dim") + 1).toDouble / (hi - lo + 1))
+        .sum / rows.length
+    val (u0, u1) = (0L, ev.agg(max("user_id")).head.getLong(0))
+    val (h0, h1) = (ev.agg(min("hr")).head.getLong(0),
+      ev.agg(max("hr")).head.getLong(0))
+    val zUser = spanFrac(zones, "user_id", u0, u1)
+    // the linear control: same data written in pure time order
+    val lin = Files.createTempDirectory("zw").toString + "/l"
+    ev.repartitionByRange(8, col("hr"), col("event_id"))
+      .write.parquet(lin)
+    val linZones = spark.read.parquet(lin)
+      .groupBy(input_file_name()).agg(count(lit(1)).as("n_rows"),
+        min("user_id").as("min_user_id"), max("user_id").as("max_user_id"))
+      .collect()
+    val lUser = spanFrac(linZones, "user_id", u0, u1)
+    // time-ordered files see ~every user (no pruning on user_id);
+    // z-ordered files must cut that span at least in half
+    assert(lUser > 0.9, s"control layout should be unprunable: $lUser")
+    assert(zUser < lUser / 2,
+      s"z-order user span $zUser vs linear $lUser")
+    // and the hour dim stays bounded too (not sacrificed for user)
+    assert(spanFrac(zones, "hr", h0, h1) < 0.7)
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     import spark.implicits._
     import graft.sources.Compaction
