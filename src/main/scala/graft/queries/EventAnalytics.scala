@@ -749,6 +749,29 @@ object EventAnalytics {
         countDistinct(col("props")).as("n_payloads"))
   }
 
+  // ---------------------------------------------------------------
+  // e22 — approximate quantiles (the quantile-at-scale path, closing
+  // the sketch tier the way e14 closes distinct): e06's exact
+  // per-type quantiles need a full per-partition sort — at 100 TB the
+  // mergeable-sketch answer is percentile_approx (Spark's KLL-style
+  // quantile summary: bounded state, map-side partial, one exchange
+  // at sketch grain). No oracle — sketch internals differ across
+  // engines, so the driver records the rows-only check; e06 is the
+  // exact twin and the spec asserts every approximate quantile lands
+  // within the sketch's rank-error bound of e06's exact answer at
+  // every SF, the same anchoring contract as e14↔e21.
+  val e22 = Q.noOracle("e22_approx_quantiles") { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        percentile_approx(col("value"), lit(0.5), lit(1000))
+          .as("approx_median"),
+        percentile_approx(col("value"), lit(0.9), lit(1000))
+          .as("approx_p90"),
+        count(lit(1)).as("n_values"))
+  }
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
-    e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21)
+    e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22)
 }

@@ -52,4 +52,25 @@ class FnsSpec extends SparkTestBase {
       .head().getDouble(0)
     assert(cos === 1.0)
   }
+
+  test("morton8: seeded property — column algebra equals bit-by-bit " +
+      "interleave; corners pin the nu-odd/nh-even layout") {
+    def ref(nu: Long, nh: Long): Long =
+      (0 until 8).map(i =>
+        (((nu >> i) & 1L) << (2 * i + 1)) |
+          (((nh >> i) & 1L) << (2 * i))).sum
+    val rng = new scala.util.Random(42)
+    val cases = Seq((0L, 0L), (255L, 0L), (0L, 255L), (255L, 255L)) ++
+      Seq.fill(200)((rng.nextInt(256).toLong, rng.nextInt(256).toLong))
+    val got = cases.toDF("nu", "nh")
+      .select(col("nu"), col("nh"),
+        Fns.morton8(col("nu"), col("nh")).as("z"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    cases.foreach { case (nu, nh) =>
+      assert(got((nu, nh)) === ref(nu, nh), s"nu=$nu nh=$nh")
+    }
+    assert(got((255L, 0L)) === 0xAAAAL)  // odd bits = nu
+    assert(got((0L, 255L)) === 0x5555L)  // even bits = nh
+  }
 }

@@ -930,6 +930,44 @@ class MoreOperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("e22 approx quantiles within the sketch's rank-error bound of " +
+      "e06's exact interpolated twin at every SF") {
+    // e06 is the oracle-checked exact anchor (the e14↔e21 contract on
+    // the quantile axis): percentile_approx(accuracy=1000) guarantees
+    // a returned VALUE whose rank error is ≤ n/1000 — assert the
+    // approximate value's true rank window covers the target
+    // percentile within 1% (10× the nominal bound, noise headroom).
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1").foreach { dir =>
+      val approx = graft.queries.EventAnalytics.e22.run(spark, dir)
+        .collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Double]("approx_median"),
+            r.getAs[Double]("approx_p90")))).toMap
+      val vals = graft.Tables.load(spark, dir, "events")
+        .filter(col("value").isNotNull)
+        .select("event_type", "value").collect()
+        .groupBy(_.getString(0))
+        .map { case (k, rows) =>
+          k -> rows.map(_.getDouble(1)).sorted }
+      assert(approx.keySet === vals.keySet, s"grain mismatch at $dir")
+      def rankFrac(sorted: Array[Double], v: Double): (Double, Double) = {
+        val lo = sorted.count(_ < v)
+        val hi = sorted.count(_ <= v)
+        (lo.toDouble / sorted.length, hi.toDouble / sorted.length)
+      }
+      vals.foreach { case (k, sorted) =>
+        val (m, p90) = approx(k)
+        val (mLo, mHi) = rankFrac(sorted, m)
+        assert(mLo - 0.01 <= 0.5 && 0.5 <= mHi + 0.01,
+          s"$dir $k median rank [$mLo,$mHi] misses 0.5")
+        val (pLo, pHi) = rankFrac(sorted, p90)
+        assert(pLo - 0.01 <= 0.9 && 0.9 <= pHi + 0.01,
+          s"$dir $k p90 rank [$pLo,$pHi] misses 0.9")
+      }
+    }
+  }
+
   test("DataStore: save/append/paginated load/list (data_tools.py:24-355)") {
     import graft.sources.DataStore
     val root = Files.createTempDirectory("dstore").toString
