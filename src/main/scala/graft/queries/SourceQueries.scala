@@ -1048,7 +1048,65 @@ object SourceQueries {
           (col("h1") - col("h0") + 1)).as("hr_span_frac"))
   }
 
+  // ---------------------------------------------------------------
+  // s19 Bloom-filter decontamination — the PRODUCTION-scale path of
+  // the s06/s16 overlap check (Brown et al. 2020 appendix C run their
+  // GPT-3 decontamination exactly this way: a Bloom filter over the
+  // benchmark n-grams, scanned against the training corpus): build a
+  // Bloom sketch over the EVAL side's distinct gram hashes, broadcast
+  // it, and probe every train doc's grams in a single narrow pass —
+  // per train doc, its gram count, the sketched hit count, and the
+  // ≥3-shared-grams flag. The flag is the CORPUS-level screen of
+  // s06's per-pair ≥3 test: a doc sharing <3 grams with the whole
+  // eval SET cannot share ≥3 with any single eval doc, so every doc
+  // s06/s16 would quarantine passes this screen — the cheap first
+  // stage that lets the exact join run on the flagged slice only.
+  //
+  // Why this exists next to s06: s06's inverted-index equi-join is
+  // exact but pays an index-grain shuffle on gid; the Bloom pass
+  // moves ZERO corpus rows — the only corpus-grain work is the
+  // per-doc agg, and the only eval-side cost is the sketch build
+  // (two bounded passes: distinct-count then build). In production
+  // the eval side is a fixed benchmark suite — KB–MB of sketch for
+  // any corpus size — so the bits stay broadcastable at 100 TB by
+  // construction; here eval is the 20 % split so the contract is
+  // exercised at every SF. One-sided error is the trade: no false
+  // negatives ever (a leak cannot hide), ~fpp false positives
+  // (quarantine a hair too much — the safe direction for eval
+  // hygiene).
+  //
+  // No oracle — Bloom bit layouts are engine-specific (rows-only
+  // gate, e14/e22's contract); the anchor spec asserts per-doc
+  // hits ≥ the exact join twin's hits (zero false negatives) and
+  // total overcount within the fpp bound at every SF, against the
+  // same [[TextDedup.cappedGids]] relation s06 audits.
+  private val BloomFpp = 0.01
+  val s19 = Q.noOracle("s19_bloom_decontaminate") { (s, dir) =>
+    val a = graft.operators.Sampling.assignSplits(
+      TextDedup.cappedGids(s, dir), col("doc_id"),
+      Seq("train" -> 80, "eval" -> 100))
+    val evalG = a.filter(col("split") === "eval")
+      .select("gid").distinct()
+    // sketch sizing needs the distinct-gram count up front — the
+    // second (build) pass is the price of a correctly-sized filter.
+    // An empty eval side gets an explicit all-zero filter:
+    // stat.bloomFilter NPEs on zero partitions with data
+    val nEval = evalG.count()
+    val bloom =
+      if (nEval == 0)
+        org.apache.spark.util.sketch.BloomFilter.create(1L, BloomFpp)
+      else evalG.stat.bloomFilter("gid", nEval, BloomFpp)
+    val bc = s.sparkContext.broadcast(bloom)
+    val hit = udf((g: Long) => bc.value.mightContainLong(g))
+    a.filter(col("split") === "train")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(hit(col("gid")), 1L).otherwise(0L)).as("bloom_hits"))
+      .select(col("doc_id"), col("n_grams"), col("bloom_hits"),
+        (col("bloom_hits") >= 3).as("flagged"))
+  }
+
   val all: Seq[Q] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16, s17, s18, c01)
+      s14, s15, s16, s17, s18, s19, c01)
 }

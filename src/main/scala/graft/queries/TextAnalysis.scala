@@ -717,7 +717,53 @@ object TextAnalysis {
       .filter(col("rnk") <= 20)
   }
 
+  // ---------------------------------------------------------------
+  // t16 count-min-sketch token frequencies — the frequency-at-scale
+  // path of t08's exact heavy hitters, completing the sketch tier
+  // (distinct → e14 HLL, quantiles → e22 KLL, membership → s19
+  // Bloom, frequency → CMS; Cormode & Muthukrishnan 2005): per
+  // source, a mergeable count-min sketch over the token stream
+  // (bounded state: width 2/ε × depth ln(1/δ) counters, map-side
+  // partial merge, ONE exchange at sketch grain — ~1 MB per source
+  // at ε = 1e-4 regardless of corpus size, where t08's exact count
+  // must shuffle the full (source, token) vocabulary), then the
+  // exact top-20 tokens (t08's OWN output — single-sourced, the
+  // anchor cannot drift) probed against the sketch: per row the
+  // exact count, the CMS estimate, and the overcount.
+  //
+  // No oracle — sketch internals are engine-specific (e14/e22's
+  // rows-only contract); determinism comes from the fixed seed, and
+  // the anchor spec asserts CMS's two guarantees against t08's
+  // materialized truth at every SF: estimates NEVER undercount, and
+  // overcount stays within ε·N (N = the source's token stream
+  // length). The |sources|-bounded sketch collect is the same
+  // driver-side sync point as s13's 8192-bucket models — bounded by
+  // construction, then broadcast back.
+  private val CmsEps = 1e-4
+  private val CmsConfidence = 0.99
+  private val CmsSeed = 42
+  val t16 = Q.noOracle("t16_cms_topfreq") { (s, dir) =>
+    val sketches = docs(s, dir)
+      .select(col("source"), explode(col("ws")).as("token"))
+      .groupBy("source")
+      .agg(count_min_sketch(col("token"), lit(CmsEps),
+        lit(CmsConfidence), lit(CmsSeed)).as("cms"))
+      .collect()
+      .map(r => r.getString(0) ->
+        org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          r.getAs[Array[Byte]]("cms")))
+      .toMap
+    val bc = s.sparkContext.broadcast(sketches)
+    val est = udf((src: String, tok: String) =>
+      bc.value(src).estimateCount(tok))
+    t08.run(s, dir)
+      .select(col("source"), col("token"), col("rank"),
+        col("n").as("n_exact"))
+      .withColumn("cms_estimate", est(col("source"), col("token")))
+      .withColumn("overcount", col("cms_estimate") - col("n_exact"))
+  }
+
   val all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12,
-      t13, t14, t15)
+      t13, t14, t15, t16)
 }

@@ -1929,7 +1929,86 @@ object VectorSearch {
           .as("recall_at_5"))
   }
 
+  // ---------------------------------------------------------------
+  // v19 hard-negative mining — the contrastive-training data-mining
+  // primitive (triplet/InfoNCE batch construction, Schroff et al.
+  // 2015 FaceNet §3.2 "hard negative" selection): for each query in
+  // the bounded v01 spine, the top-5 highest-cosine vectors with a
+  // DIFFERENT label (the negatives a contrastive loss learns most
+  // from), each annotated with the query's hardest POSITIVE cosine
+  // (max over same-label vectors) and the triplet margin
+  // pos_best − neg_cosine — margin < 0 is a live triplet violation,
+  // the rows a miner would emit into the next training batch.
+  //
+  // Scale shape: v01's exact-baseline regime — the query side is
+  // bounded ([[V01Queries]] rows) and BROADCASTS, the corpus side
+  // streams through the join with no exchange; the negative rank
+  // window and the positive max-agg both key on q_id (≤ V01Queries
+  // partitions of corpus-proportional width, v01's own documented
+  // trade — the mining-at-scale variant swaps the corpus side for
+  // v17's ANN candidate pool, composable by construction since both
+  // end in (q_id, neighbor_id, cosine)). Exactness: scaled-integer
+  // dots ([[Fns.scaleVec]]), neighbor_id tiebreaks, and MAX over
+  // exact-input doubles (order-independent) — both engines select
+  // identical triplets. A query whose label covers the whole corpus
+  // would have no negatives and emits nothing (impossible under the
+  // spine: labels partition the corpus); pos_best is an inner-join
+  // column because every label class has ≥2 members at every SF —
+  // asserted by the LEFT JOIN + IS NOT NULL shape staying green.
+  val v19 = Q(
+    "v19_hard_negatives",
+    s"""$normCte,
+      |lab AS (SELECT e.vec_id, emb.label, e.sx, e.n
+      |        FROM e JOIN embeddings emb ON e.vec_id = emb.vec_id),
+      |q AS (SELECT vec_id AS q_id, label AS q_label, sx AS q_sx,
+      |        n AS q_n
+      |      FROM lab WHERE vec_id % 50 = 0
+      |      ORDER BY vec_id LIMIT $V01Queries),
+      |neg AS (SELECT q.q_id, q.q_label, e.vec_id AS neighbor_id,
+      |          e.label AS neighbor_label,
+      |          $dotSql::DOUBLE / (sqrt(q.q_n::DOUBLE) * sqrt(e.n::DOUBLE))
+      |            AS cosine
+      |        FROM q JOIN lab e ON e.label <> q.q_label),
+      |pos AS (SELECT q.q_id,
+      |          MAX($dotSql::DOUBLE
+      |            / (sqrt(q.q_n::DOUBLE) * sqrt(e.n::DOUBLE)))
+      |            AS pos_best
+      |        FROM q JOIN lab e ON e.label = q.q_label
+      |          AND e.vec_id <> q.q_id
+      |        GROUP BY q.q_id)
+      |SELECT n.q_id, n.q_label, n.neighbor_id, n.neighbor_label,
+      |  n.rnk, n.cosine, p.pos_best, p.pos_best - n.cosine AS margin
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+      |        ORDER BY cosine DESC, neighbor_id) AS rnk FROM neg) n
+      |JOIN pos p ON n.q_id = p.q_id
+      |WHERE n.rnk <= 5""".stripMargin) { (s, dir) =>
+    val lab = elFrame(Tables.load(s, dir, "embeddings"))
+    val q = lab.filter(col("vec_id") % 50 === 0)
+      .orderBy("vec_id").limit(V01Queries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("sx").as("q_sx"), col("n").as("q_n"))
+    val joined = lab.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", Fns.cosineFromScaled(
+        VectorExprs.dotIntNative(col("q_sx"), col("sx")),
+        col("q_n"), col("n")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val neg = joined.filter(col("label") =!= col("q_label"))
+      .select(col("q_id"), col("q_label"),
+        col("vec_id").as("neighbor_id"),
+        col("label").as("neighbor_label"), col("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+    // q_id-grain (≤ V01Queries rows by construction) → broadcast
+    val pos = joined.filter(col("label") === col("q_label"))
+      .groupBy("q_id").agg(max("cosine").as("pos_best"))
+    neg.join(broadcast(pos), Seq("q_id"))
+      .select(col("q_id"), col("q_label"), col("neighbor_id"),
+        col("neighbor_label"), col("rnk"), col("cosine"),
+        col("pos_best"), (col("pos_best") - col("cosine")).as("margin"))
+  }
+
   val all: Seq[Q] =
     Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13,
-      d14, v14, v15, v16, v17, v18)
+      d14, v14, v15, v16, v17, v18, v19)
 }

@@ -487,7 +487,9 @@ class PipelineQueriesSpec extends SparkTestBase {
       queries.TextDedup.d16, queries.SourceQueries.s15,
       queries.SourceQueries.s16, queries.VectorSearch.v15,
       queries.TextDedup.d17, queries.SourceQueries.s17,
-      queries.TextAnalysis.t15, queries.VectorSearch.v16)
+      queries.TextAnalysis.t15, queries.VectorSearch.v16,
+      queries.VectorSearch.v19, queries.SourceQueries.s19,
+      queries.TextAnalysis.t16)
       .foreach { q =>
         assert(q.run(spark, dir).count() === 0L, s"${q.name} not empty")
       }

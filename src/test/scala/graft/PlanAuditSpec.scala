@@ -307,7 +307,29 @@ class PlanAuditSpec extends SparkTestBase {
       //       multi-distinct agg — were measured 3–40× worse, see the
       //       scaladoc). Growth here means a branch stopped pruning
       //       or a distinct regressed to a corpus-grain sort
-      "q26_column_profile" -> 10)
+      "q26_column_profile" -> 10,
+      //  round-8c additions:
+      //  v19: the bounded query spine BROADCASTS against the pinned
+      //       scale+norm corpus scan (builds exchange-free); the two
+      //       exchanges are the negative rank window and the
+      //       queries-bounded positive max agg (whose result
+      //       broadcasts back into the report join). A third
+      //       exchange means the corpus side started shuffling
+      "v19_hard_negatives" -> 2,
+      //  s19: the shared cappedGids relation is a cache hit here
+      //       (d02's earlier audit materialized it — s06's own
+      //       convention); s19's OWN exchanges are the eval-gram
+      //       distinct and the per-train-doc probe agg. The Bloom
+      //       build + sizing count pay in driver jobs (v08's
+      //       codebook pattern); the probe itself is a narrow
+      //       broadcast-sketch scan — THE point of the operator:
+      //       zero corpus-grain joins anywhere
+      "s19_bloom_decontaminate" -> 2,
+      //  t16: t08's own audited tail in the returned plan (vocab agg
+      //       + per-source rank window); the per-source sketch agg
+      //       pays in the driver-collect job, and the probe is a
+      //       narrow UDF over t08's 20-row-per-source output
+      "t16_cms_topfreq" -> 2)
     val got = audited.map { case (name, _) =>
       name -> executedShuffleCount(build(name))
     }

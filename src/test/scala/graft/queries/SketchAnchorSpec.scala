@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Anchor specs for the round-8c sketch queries, completing the
+  * sketch-tier contract (every rows-only sketch query is asserted
+  * against an oracle-checked exact twin at every SF — the e14↔e21 /
+  * e22↔e06 pattern): s19's Bloom decontamination vs the exact join
+  * twin on the same [[TextDedup.cappedGids]] relation, and t16's
+  * count-min estimates vs t08's materialized exact counts. In
+  * package graft.queries to reach the private[queries] internals the
+  * twins are built from. */
+class SketchAnchorSpec extends SparkTestBase {
+
+  private val dirs = Seq("/root/testdata/sf0.001",
+    "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+  test("s19 bloom decontamination: zero false negatives vs the exact " +
+      "join twin; total overcount within the fpp bound at every SF") {
+    dirs.foreach { dir =>
+      val out = SourceQueries.s19.run(spark, dir).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+      // exact twin: the same split of the same capped-gram relation,
+      // train grams LEFT-joined against the distinct eval gram set
+      val a = graft.operators.Sampling.assignSplits(
+        TextDedup.cappedGids(spark, dir), col("doc_id"),
+        Seq("train" -> 80, "eval" -> 100))
+      val evalG = a.filter(col("split") === "eval")
+        .select(col("gid").as("egid")).distinct()
+      val exact = a.filter(col("split") === "train")
+        .join(evalG, col("gid") === col("egid"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("egid").isNotNull, 1L).otherwise(0L))
+            .as("exact_hits"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(out.keySet === exact.keySet, s"doc grain mismatch at $dir")
+      var probes = 0L
+      var trueHits = 0L
+      var overcount = 0L
+      exact.foreach { case (doc, (nGrams, exactHits)) =>
+        val (bloomGrams, bloomHits, flagged) = out(doc)
+        assert(bloomGrams === nGrams, s"$dir doc $doc gram count")
+        // the one-sided error contract: a Bloom filter NEVER misses
+        assert(bloomHits >= exactHits,
+          s"$dir doc $doc false negative: bloom=$bloomHits exact=$exactHits")
+        if (exactHits >= 3)
+          assert(flagged, s"$dir doc $doc leak not flagged")
+        probes += nGrams
+        trueHits += exactHits
+        overcount += bloomHits - exactHits
+      }
+      // expected false positives ≈ fpp · non-member probes; 3× + slack
+      val bound = 0.03 * (probes - trueHits) + 10
+      assert(overcount <= bound,
+        s"$dir bloom overcount $overcount > bound $bound " +
+          s"(probes=$probes trueHits=$trueHits)")
+    }
+  }
+
+  test("t16 count-min estimates never undercount t08's exact truth " +
+      "and overcount stays within eps*N at every SF") {
+    dirs.foreach { dir =>
+      val rows = TextAnalysis.t16.run(spark, dir).collect()
+      assert(rows.nonEmpty, s"empty t16 output at $dir")
+      // N per source = the token STREAM length (what CMS's eps*N
+      // guarantee is stated against), not the vocabulary size
+      val n = graft.Tables.load(spark, dir, "documents")
+        .select(col("source"),
+          size(graft.functions.Fns.tokens(col("text"))).as("k"))
+        .groupBy("source").agg(sum("k").as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      rows.foreach { r =>
+        val src = r.getAs[String]("source")
+        val exact = r.getAs[Long]("n_exact")
+        val est = r.getAs[Long]("cms_estimate")
+        assert(est >= exact,
+          s"$dir $src '${r.getAs[String]("token")}' undercount: " +
+            s"cms=$est exact=$exact")
+        val bound = math.max(2.0, 1e-4 * n(src))
+        assert(est - exact <= bound,
+          s"$dir $src '${r.getAs[String]("token")}' overcount " +
+            s"${est - exact} > $bound")
+      }
+    }
+  }
+}
