@@ -1087,15 +1087,12 @@ object SourceQueries {
       Seq("train" -> 80, "eval" -> 100))
     val evalG = a.filter(col("split") === "eval")
       .select("gid").distinct()
-    // sketch sizing needs the distinct-gram count up front — the
-    // second (build) pass is the price of a correctly-sized filter.
-    // An empty eval side gets an explicit all-zero filter:
-    // stat.bloomFilter NPEs on zero partitions with data
-    val nEval = evalG.count()
-    val bloom =
-      if (nEval == 0)
-        org.apache.spark.util.sketch.BloomFilter.create(1L, BloomFpp)
-      else evalG.stat.bloomFilter("gid", nEval, BloomFpp)
+    // the filter build is the SHARED definition with the streaming
+    // intake gate (graft.streaming.DecontamGate — its screen probes
+    // the same sketch this audit was run with); sizing needs the
+    // distinct-gram count up front, the second (build) pass being
+    // the price of a correctly-sized filter
+    val bloom = graft.streaming.DecontamGate.buildFilter(evalG, BloomFpp)
     val bc = s.sparkContext.broadcast(bloom)
     val hit = udf((g: Long) => bc.value.mightContainLong(g))
     a.filter(col("split") === "train")

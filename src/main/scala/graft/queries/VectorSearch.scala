@@ -1942,12 +1942,18 @@ object VectorSearch {
   //
   // Scale shape: v01's exact-baseline regime — the query side is
   // bounded ([[V01Queries]] rows) and BROADCASTS, the corpus side
-  // streams through the join with no exchange; the negative rank
-  // window and the positive max-agg both key on q_id (≤ V01Queries
-  // partitions of corpus-proportional width, v01's own documented
-  // trade — the mining-at-scale variant swaps the corpus side for
+  // streams through the join with no exchange. The negative top-5 is
+  // TWO-LEVEL (s15/s18's rank construction, applied to top-k): a
+  // per-(q_id, neighbor_id%64) shard window first — queries×64
+  // parallel partitions instead of a |queries|-partition corpus
+  // sort — then the global window over the surviving queries×64×5
+  // bounded rows. Global top-5 ⊆ the union of per-shard top-5s, so
+  // the result is identical to the single window the oracle runs,
+  // while no partition ever sorts more than ~1/64th of a query's
+  // candidates (the positive side needs no such split: max() combines
+  // map-side). The mining-at-scale variant swaps the corpus side for
   // v17's ANN candidate pool, composable by construction since both
-  // end in (q_id, neighbor_id, cosine)). Exactness: scaled-integer
+  // end in (q_id, neighbor_id, cosine). Exactness: scaled-integer
   // dots ([[Fns.scaleVec]]), neighbor_id tiebreaks, and MAX over
   // exact-input doubles (order-independent) — both engines select
   // identical triplets. A query whose label covers the whole corpus
@@ -1991,14 +1997,22 @@ object VectorSearch {
       .withColumn("cosine", Fns.cosineFromScaled(
         VectorExprs.dotIntNative(col("q_sx"), col("sx")),
         col("q_n"), col("n")))
+    val wShard = Window.partitionBy("q_id", "shard")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     val neg = joined.filter(col("label") =!= col("q_label"))
       .select(col("q_id"), col("q_label"),
         col("vec_id").as("neighbor_id"),
         col("label").as("neighbor_label"), col("cosine"))
+      // two-level top-k: shard first (queries×64 parallel windows),
+      // then the global window over ≤ queries×64×5 surviving rows
+      .withColumn("shard", pmod(col("neighbor_id"), lit(64)))
+      .withColumn("r1", row_number().over(wShard))
+      .filter(col("r1") <= 5)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
+      .drop("shard", "r1")
     // q_id-grain (≤ V01Queries rows by construction) → broadcast
     val pos = joined.filter(col("label") === col("q_label"))
       .groupBy("q_id").agg(max("cosine").as("pos_best"))

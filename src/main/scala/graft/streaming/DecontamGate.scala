@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.functions.{Fns, VectorExprs}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Streaming decontamination gate — the intake twin of batch
+  * `s19_bloom_decontaminate` (the d17 ↔ [[IngestDedup]] symmetry, on
+  * the train/eval axis): documents arrive continuously and anything
+  * overlapping the benchmark suite should be flagged BEFORE it lands
+  * in the corpus, with zero per-stream state.
+  *
+  * The split of labor mirrors production: the benchmark side is fixed
+  * and bounded, so its Bloom filter is built ONCE in batch
+  * ([[buildFilter]] — the same builder batch s19 uses, one definition)
+  * and broadcast; the screen itself ([[screen]]) is a stateless
+  * per-row probe — no watermark, no state store, no shuffle — so it
+  * composes with any streaming plan and with batch replays unchanged
+  * (the parity spec asserts stream-over-microbatches ≡ the same call
+  * on the batch union, bit for bit).
+  *
+  * Grain note: the gate probes ALL of a document's distinct gram
+  * hashes, where batch s19 probes the df-CAPPED relation — the cap is
+  * an inverted-index join guard (hub-gram skew) and the gate has no
+  * join to guard. Since the gate's gram set per doc is a superset of
+  * s19's and the filter is one-sided, every doc batch s19 flags is
+  * flagged here too (asserted in the spec) — the stream can only be
+  * MORE conservative, never miss.
+  */
+object DecontamGate {
+
+  /** Benchmark-side filter build (batch, bounded by the benchmark
+    * suite's size): distinct gram hashes → a correctly-sized Bloom.
+    * Shared by batch s19 — the sketch the gate probes can never
+    * drift from the one the batch audit was run with. An empty
+    * benchmark side yields an explicit all-zero filter
+    * (stat.bloomFilter NPEs on empty input). */
+  def buildFilter(gids: DataFrame, fpp: Double = 0.01): BloomFilter = {
+    val g = gids.select(col(gids.columns.head).as("gid")).distinct()
+    val n = g.count()
+    if (n == 0) BloomFilter.create(1L, fpp)
+    else g.stat.bloomFilter("gid", n, fpp)
+  }
+
+  /** Screen documents against a pre-built benchmark filter: adds
+    * `n_grams`, `bloom_hits`, `flagged` (≥ `minShared` sketched
+    * hits — s19's corpus-level screen threshold). Works identically
+    * on streaming and batch frames: the probe is one narrow pass
+    * (native shingle hash → broadcast sketch lookup), stateless by
+    * construction. */
+  def screen(docs: DataFrame, bloom: BloomFilter,
+      minShared: Int = 3): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val probe = udf((gs: Seq[Long]) => {
+      val arr = if (gs == null) Seq.empty[Long] else gs
+      (arr.size.toLong, arr.count(bc.value.mightContainLong).toLong)
+    })
+    docs
+      .withColumn("_probe", probe(VectorExprs.shingleHash60(
+        Fns.tokens(col("text")), distinct = true)))
+      .withColumn("n_grams", col("_probe._1"))
+      .withColumn("bloom_hits", col("_probe._2"))
+      .withColumn("flagged", col("bloom_hits") >= minShared)
+      .drop("_probe")
+  }
+}

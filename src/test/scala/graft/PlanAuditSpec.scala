@@ -310,12 +310,16 @@ class PlanAuditSpec extends SparkTestBase {
       "q26_column_profile" -> 10,
       //  round-8c additions:
       //  v19: the bounded query spine BROADCASTS against the pinned
-      //       scale+norm corpus scan (builds exchange-free); the two
-      //       exchanges are the negative rank window and the
-      //       queries-bounded positive max agg (whose result
-      //       broadcasts back into the report join). A third
-      //       exchange means the corpus side started shuffling
-      "v19_hard_negatives" -> 2,
+      //       scale+norm corpus scan (builds exchange-free); the
+      //       exchanges are the two-level negative top-k (the
+      //       queries×64-way shard window at corpus grain, then the
+      //       global window over its ≤ queries×64×5 survivors) and
+      //       the queries-bounded positive max agg (broadcast back
+      //       into the report join). A fourth exchange means the
+      //       corpus side started shuffling; the number to watch is
+      //       the ABSENCE of a |queries|-partition corpus sort —
+      //       that is what the shard level exists to prevent
+      "v19_hard_negatives" -> 3,
       //  s19: the shared cappedGids relation is a cache hit here
       //       (d02's earlier audit materialized it — s06's own
       //       convention); s19's OWN exchanges are the eval-gram

@@ -62,6 +62,56 @@ class SketchAnchorSpec extends SparkTestBase {
     }
   }
 
+  test("DecontamGate streaming screen ≡ the same screen on the batch " +
+      "union; every batch-s19 flag implies a gate flag (shared filter)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // the gate's filter is the SAME build s19 runs: capped eval grams
+    val a = graft.operators.Sampling.assignSplits(
+      TextDedup.cappedGids(spark, dir), org.apache.spark.sql.functions
+        .col("doc_id"), Seq("train" -> 80, "eval" -> 100))
+    val bloom = graft.streaming.DecontamGate.buildFilter(
+      a.filter(col("split") === "eval").select("gid"))
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text")
+    // batch reference: one screen over the whole corpus
+    val batch = graft.streaming.DecontamGate.screen(docs, bloom)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("bloom_hits"),
+          r.getAs[Boolean]("flagged")))).toMap
+    // streaming twin: same docs across 3 microbatches
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)](spark)
+    val out = graft.streaming.DecontamGate.screen(
+      input.toDF().toDF("doc_id", "text"), bloom)
+    val q = out.writeStream.format("memory")
+      .queryName("decontam_gate_parity").outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { batchRows =>
+        input.addData(batchRows.toSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("decontam_gate_parity").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_grams"), r.getAs[Long]("bloom_hits"),
+            r.getAs[Boolean]("flagged")))).toMap
+      assert(streamed === batch,
+        "stream-over-microbatches diverged from the batch screen")
+    } finally q.stop()
+    // conservativeness: the gate probes a SUPERSET of s19's capped
+    // grams with the same one-sided filter, so every doc the batch
+    // audit flags must be flagged at the gate too
+    SourceQueries.s19.run(spark, dir).collect().foreach { r =>
+      if (r.getAs[Boolean]("flagged")) {
+        val id = r.getAs[Long]("doc_id")
+        assert(batch(id)._3,
+          s"doc $id flagged by batch s19 but missed by the gate")
+      }
+    }
+  }
+
   test("t16 count-min estimates never undercount t08's exact truth " +
       "and overcount stays within eps*N at every SF") {
     dirs.foreach { dir =>
