@@ -716,7 +716,88 @@ object Relational {
     parts.reduce(_ unionAll _)
   }
 
+  // ---------------------------------------------------------------
+  // q27 data-quality constraint verdicts — the CHECK half of q26's
+  // profile half (Deequ's Check/VerificationSuite shape, Schelter et
+  // al. 2018 §3.2): declared constraints over the ingest table, each
+  // evaluated to (metric, threshold, passed) in ONE corpus pass —
+  // completeness(event_id/user_id/props), uniqueness(event_id),
+  // non-negativity(value), and set-membership(event_type). The gate a
+  // 100 TB ingest runs before admitting a partition: every metric is
+  // a ratio of exact counts (deterministic in IEEE double on both
+  // engines), the whole suite is ONE aggregate row fanned out to
+  // |constraints| verdict rows — no second scan per check (Deequ's
+  // own scan-sharing design), and the distinct for uniqueness is the
+  // only non-trivially-mergeable term (q26/e21's documented class;
+  // e14's HLL is the sketch alternative at the extreme).
+  private val KnownEventTypes =
+    Seq("click", "error", "purchase", "signup", "view")
+  val q27 = Q(
+    "q27_quality_checks",
+    s"""WITH a AS (SELECT
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT(event_id) AS BIGINT) AS nn_id,
+      |    CAST(COUNT(DISTINCT event_id) AS BIGINT) AS d_id,
+      |    CAST(COUNT(user_id) AS BIGINT) AS nn_user,
+      |    CAST(COUNT(props) AS BIGINT) AS nn_props,
+      |    CAST(COUNT(value) AS BIGINT) AS nn_val,
+      |    CAST(SUM(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS nonneg,
+      |    CAST(SUM(CASE WHEN event_type IN
+      |      (${KnownEventTypes.map(t => s"'$t'").mkString(",")})
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS known
+      |  FROM events)
+      |SELECT 'event_id_complete' AS check_name,
+      |  nn_id::DOUBLE / n AS metric, 1.0::DOUBLE AS threshold,
+      |  nn_id::DOUBLE / n >= 1.0 AS passed FROM a
+      |UNION ALL SELECT 'event_id_unique',
+      |  d_id::DOUBLE / nn_id, 1.0::DOUBLE,
+      |  d_id::DOUBLE / nn_id >= 1.0 FROM a
+      |UNION ALL SELECT 'user_id_complete',
+      |  nn_user::DOUBLE / n, 0.99::DOUBLE,
+      |  nn_user::DOUBLE / n >= 0.99 FROM a
+      |UNION ALL SELECT 'props_complete',
+      |  nn_props::DOUBLE / n, 0.99::DOUBLE,
+      |  nn_props::DOUBLE / n >= 0.99 FROM a
+      |UNION ALL SELECT 'value_nonnegative',
+      |  nonneg::DOUBLE / nn_val, 0.95::DOUBLE,
+      |  nonneg::DOUBLE / nn_val >= 0.95 FROM a
+      |UNION ALL SELECT 'event_type_known',
+      |  known::DOUBLE / n, 1.0::DOUBLE,
+      |  known::DOUBLE / n >= 1.0 FROM a"""
+      .stripMargin) { (s, dir) =>
+    // pinned: ONE corpus pass feeds all six verdict branches (the
+    // oracle's CTE computes once for the same reason)
+    val a = graft.operators.Pin(Tables.load(s, dir, "events").agg(
+      count(lit(1)).as("n"),
+      count(col("event_id")).as("nn_id"),
+      countDistinct(col("event_id")).as("d_id"),
+      count(col("user_id")).as("nn_user"),
+      count(col("props")).as("nn_props"),
+      count(col("value")).as("nn_val"),
+      sum(when(col("value") >= 0, 1L).otherwise(0L)).as("nonneg"),
+      sum(when(col("event_type").isInCollection(KnownEventTypes), 1L)
+        .otherwise(0L)).as("known")))
+    def verdict(name: String, metric: Column, threshold: Double) =
+      a.select(lit(name).as("check_name"),
+        metric.as("metric"), lit(threshold).as("threshold"),
+        (metric >= threshold).as("passed"))
+    // empty-table guard (t09's pattern): a 0-denominator metric must
+    // be the oracle's x/0 NULL, not an ANSI DIVIDE_BY_ZERO abort
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, num.cast(DoubleType) / den)
+    Seq(
+      verdict("event_id_complete", frac(col("nn_id"), col("n")), 1.0),
+      verdict("event_id_unique", frac(col("d_id"), col("nn_id")), 1.0),
+      verdict("user_id_complete", frac(col("nn_user"), col("n")), 0.99),
+      verdict("props_complete", frac(col("nn_props"), col("n")), 0.99),
+      verdict("value_nonnegative",
+        frac(col("nonneg"), col("nn_val")), 0.95),
+      verdict("event_type_known", frac(col("known"), col("n")), 1.0))
+      .reduce(_ unionAll _)
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26)
+    q25, q26, q27)
 }

@@ -462,8 +462,9 @@ class PipelineQueriesSpec extends SparkTestBase {
     Seq.empty[(Long, Array[Float], Int)]
       .toDF("vec_id", "embedding", "label")
       .write.parquet(s"$dir/embeddings.parquet")
-    Seq.empty[(Long, Long, String, java.sql.Timestamp)]
-      .toDF("user_id", "event_id", "event_type", "ts")
+    Seq.empty[(Long, Long, String, java.sql.Timestamp, Option[Double],
+        String)]
+      .toDF("user_id", "event_id", "event_type", "ts", "value", "props")
       .write.parquet(s"$dir/events.parquet")
     // per-row / filtered queries: empty in, empty out
     Seq(queries.TextAnalysis.t09, queries.TextAnalysis.t10,
@@ -500,6 +501,15 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_hits") === 0L)
     assert(r.isNullAt(r.fieldIndex("lsh_recall")))
     assert(r.isNullAt(r.fieldIndex("lsh_precision")))
+    // q27 is a |constraints|-row report — on an empty table every
+    // metric is a 0/0 NULL (never an abort) and so is its verdict
+    val checks = queries.Relational.q27.run(spark, dir).collect()
+    assert(checks.length === 6)
+    checks.foreach { c =>
+      assert(c.isNullAt(c.fieldIndex("metric")),
+        s"${c.getAs[String]("check_name")} metric not null on empty")
+      assert(c.isNullAt(c.fieldIndex("passed")))
+    }
   }
 
   test("v06: clustered corpus where true neighbors share the query's " +

@@ -333,7 +333,13 @@ class PlanAuditSpec extends SparkTestBase {
       //       + per-source rank window); the per-source sketch agg
       //       pays in the driver-collect job, and the probe is a
       //       narrow UDF over t08's 20-row-per-source output
-      "t16_cms_topfreq" -> 2)
+      "t16_cms_topfreq" -> 2,
+      //  q27: the pinned 1-row stats agg pays its exchanges once in
+      //       the cache build (global agg + the event_id distinct's
+      //       expand — q26/e21's documented cost); the six verdict
+      //       branches are 1-row selects off the cache. Growth means
+      //       a branch stopped reading the pin and re-scans events
+      "q27_quality_checks" -> 2)
     val got = audited.map { case (name, _) =>
       name -> executedShuffleCount(build(name))
     }
