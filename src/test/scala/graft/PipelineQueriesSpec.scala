@@ -1817,4 +1817,53 @@ class PipelineQueriesSpec extends SparkTestBase {
         && r.getAs[Int]("cell") === 1))
     assert(out(2).getAs[Double]("adc_dist") === 4.0)
   }
+  test("property: v19 two-level top-k ≡ brute-force triplet miner on " +
+      "random vectors with engineered cosine ties (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(123)
+    val dir = Files.createTempDirectory("pq").toFile.getAbsolutePath
+    // 120 vectors, 3 labels; ids 0/50/100 hit the %50 spine. Exact
+    // duplicates force cosine TIES, so the neighbor_id tiebreak (both
+    // in the shard window and the global window) is load-bearing.
+    val base = (0 until 120).map { i =>
+      val v = Array.fill(4)(rnd.nextFloat() - 0.5f)
+      (i.toLong, v, i % 3)
+    }
+    val dup = base.filter(r => r._1 % 7 == 3)
+      .map { case (id, v, l) => (200L + id, v.clone(), (l + 1) % 3) }
+    val all = base ++ dup
+    all.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+
+    // plain-Scala reference: same HALF_UP 1e6 scaling, same formula
+    def sx(v: Array[Float]): Array[Long] = v.map(x =>
+      BigDecimal(x.toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val scaled = all.map { case (id, v, l) =>
+      val s = sx(v); (id, l, s, s.map(x => x * x).sum)
+    }
+    def cos(a: (Long, Int, Array[Long], Long),
+        b: (Long, Int, Array[Long], Long)): Double = {
+      val dot = a._3.zip(b._3).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a._4.toDouble) * math.sqrt(b._4.toDouble))
+    }
+    val queries20 = scaled.filter(_._1 % 50 == 0).sortBy(_._1).take(20)
+    val expect = queries20.flatMap { q =>
+      val negs = scaled.filter(e => e._2 != q._2)
+        .map(e => (e._1, e._2, cos(q, e)))
+        .sortBy { case (id, _, c) => (-c, id) }.take(5)
+      val posBest = scaled
+        .filter(e => e._2 == q._2 && e._1 != q._1)
+        .map(e => cos(q, e)).max
+      negs.zipWithIndex.map { case ((nid, nl, c), i) =>
+        (q._1, nid) -> ((q._2, nl, i + 1, c, posBest, posBest - c))
+      }
+    }.toMap
+    val got = queries.VectorSearch.v19.run(spark, dir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")) ->
+        ((r.getAs[Int]("q_label"), r.getAs[Int]("neighbor_label"),
+          r.getAs[Int]("rnk"), r.getAs[Double]("cosine"),
+          r.getAs[Double]("pos_best"), r.getAs[Double]("margin")))).toMap
+    assert(got === expect)
+  }
 }
