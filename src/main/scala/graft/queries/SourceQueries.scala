@@ -1080,19 +1080,19 @@ object SourceQueries {
   // hits ≥ the exact join twin's hits (zero false negatives) and
   // total overcount within the fpp bound at every SF, against the
   // same [[TextDedup.cappedGids]] relation s06 audits.
-  private val BloomFpp = 0.01
+  private[queries] val BloomFpp = 0.01
   val s19 = Q.noOracle("s19_bloom_decontaminate") { (s, dir) =>
     val a = graft.operators.Sampling.assignSplits(
       TextDedup.cappedGids(s, dir), col("doc_id"),
       Seq("train" -> 80, "eval" -> 100))
-    val evalG = a.filter(col("split") === "eval")
-      .select("gid").distinct()
-    // the filter build is the SHARED definition with the streaming
-    // intake gate (graft.streaming.DecontamGate — its screen probes
-    // the same sketch this audit was run with); sizing needs the
-    // distinct-gram count up front, the second (build) pass being
-    // the price of a correctly-sized filter
-    val bloom = graft.streaming.DecontamGate.buildFilter(evalG, BloomFpp)
+    // the filter build (incl. the dedup it owns) is the SHARED
+    // definition with the streaming intake gate
+    // (graft.streaming.DecontamGate — its screen probes the same
+    // sketch this audit was run with); sizing needs the distinct-gram
+    // count up front, the second (build) pass being the price of a
+    // correctly-sized filter
+    val bloom = graft.streaming.DecontamGate.buildFilter(
+      a.filter(col("split") === "eval").select("gid"), BloomFpp)
     val bc = s.sparkContext.broadcast(bloom)
     val hit = udf((g: Long) => bc.value.mightContainLong(g))
     a.filter(col("split") === "train")
@@ -1100,7 +1100,8 @@ object SourceQueries {
       .agg(count(lit(1)).as("n_grams"),
         sum(when(hit(col("gid")), 1L).otherwise(0L)).as("bloom_hits"))
       .select(col("doc_id"), col("n_grams"), col("bloom_hits"),
-        (col("bloom_hits") >= 3).as("flagged"))
+        (col("bloom_hits") >= graft.streaming.DecontamGate.MinShared)
+          .as("flagged"))
   }
 
   val all: Seq[Q] =

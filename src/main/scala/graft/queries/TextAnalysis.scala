@@ -739,7 +739,7 @@ object TextAnalysis {
   // length). The |sources|-bounded sketch collect is the same
   // driver-side sync point as s13's 8192-bucket models — bounded by
   // construction, then broadcast back.
-  private val CmsEps = 1e-4
+  private[queries] val CmsEps = 1e-4
   private val CmsConfidence = 0.99
   private val CmsSeed = 42
   val t16 = Q.noOracle("t16_cms_topfreq") { (s, dir) =>

@@ -30,14 +30,29 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object DecontamGate {
 
+  /** The corpus-level screen threshold (≥ MinShared sketched gram
+    * hits flags a document) — ONE definition shared by batch s19 and
+    * [[screen]]'s default, so the batch audit and the intake gate
+    * can never flag at different thresholds. */
+  val MinShared = 3
+
   /** Benchmark-side filter build (batch, bounded by the benchmark
     * suite's size): distinct gram hashes → a correctly-sized Bloom.
     * Shared by batch s19 — the sketch the gate probes can never
-    * drift from the one the batch audit was run with. An empty
-    * benchmark side yields an explicit all-zero filter
-    * (stat.bloomFilter NPEs on empty input). */
+    * drift from the one the batch audit was run with. Owns the
+    * dedup (callers pass the raw gram column); requires exactly one
+    * `gid` column so a mis-projected frame fails loudly instead of
+    * silently building the filter over the wrong column (which
+    * would turn the no-false-negative screen into an
+    * everything-passes screen). An empty benchmark side yields an
+    * explicit all-zero filter (stat.bloomFilter NPEs on empty
+    * input). */
   def buildFilter(gids: DataFrame, fpp: Double = 0.01): BloomFilter = {
-    val g = gids.select(col(gids.columns.head).as("gid")).distinct()
+    require(gids.columns.sameElements(Array("gid")),
+      s"buildFilter expects exactly one column named 'gid', got " +
+        s"[${gids.columns.mkString(", ")}] — project the gram-hash " +
+        "column explicitly")
+    val g = gids.distinct()
     val n = g.count()
     if (n == 0) BloomFilter.create(1L, fpp)
     else g.stat.bloomFilter("gid", n, fpp)
@@ -50,7 +65,7 @@ object DecontamGate {
     * (native shingle hash → broadcast sketch lookup), stateless by
     * construction. */
   def screen(docs: DataFrame, bloom: BloomFilter,
-      minShared: Int = 3): DataFrame = {
+      minShared: Int = MinShared): DataFrame = {
     val bc = docs.sparkSession.sparkContext.broadcast(bloom)
     val probe = udf((gs: Seq[Long]) => {
       val arr = if (gs == null) Seq.empty[Long] else gs

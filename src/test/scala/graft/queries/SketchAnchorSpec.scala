@@ -55,7 +55,7 @@ class SketchAnchorSpec extends SparkTestBase {
         overcount += bloomHits - exactHits
       }
       // expected false positives ≈ fpp · non-member probes; 3× + slack
-      val bound = 0.03 * (probes - trueHits) + 10
+      val bound = 3 * SourceQueries.BloomFpp * (probes - trueHits) + 10
       assert(overcount <= bound,
         s"$dir bloom overcount $overcount > bound $bound " +
           s"(probes=$probes trueHits=$trueHits)")
@@ -131,7 +131,7 @@ class SketchAnchorSpec extends SparkTestBase {
         assert(est >= exact,
           s"$dir $src '${r.getAs[String]("token")}' undercount: " +
             s"cms=$est exact=$exact")
-        val bound = math.max(2.0, 1e-4 * n(src))
+        val bound = math.max(2.0, TextAnalysis.CmsEps * n(src))
         assert(est - exact <= bound,
           s"$dir $src '${r.getAs[String]("token")}' overcount " +
             s"${est - exact} > $bound")
