@@ -138,7 +138,7 @@ def main():
         return bad
 
     bad = judge(got)
-    if bad and len(bad) <= 3:
+    if bad and len(bad) <= 8:
         # A full profile takes minutes; a transient I/O-wait burst
         # covering one query's timed reps fakes a regression on a
         # RANDOM query (observed: consecutive loaded runs each
@@ -160,6 +160,31 @@ def main():
             print(f"{'REGRESSED' if n in still else 'ok':9s} {n:28s} "
                   f"ref={ref[n]:6.3f}  "
                   f"retry={'missing' if rv is None else f'{rv:6.3f}'}")
+        bad = still
+    if bad and len(bad) <= 8:
+        # Third stage: the full-profile retry clears RANDOM bursts but
+        # not the systematic kind — with 60+ pinned relations in one
+        # JVM, the cache-heaviest family's in-suite reps inflate from
+        # eviction churn in BOTH passes while the median scale (set by
+        # the 50+ light queries) doesn't move (observed: the d-family
+        # flagging at 1.6-2x in-suite while its ISOLATED steady states
+        # sit at the uniform machine scale). Isolated timing is the
+        # lower-noise estimator and a real plan regression is
+        # data-path work that shows up isolated too — so profile just
+        # the surviving flags in a fresh JVM and fail only what is
+        # still over threshold there.
+        print(f"\n{len(bad)} still flagged — isolated re-profile "
+              "(cache-pressure check; plan regressions survive "
+              "isolation)...")
+        iso = run_profile(bad)
+        still = [n for n in bad
+                 if iso.get(n, float("inf")) > ref[n] * scale * (1 + REL_TOL)
+                 and iso.get(n, float("inf")) > ref[n] * scale + ABS_TOL]
+        for n in bad:
+            rv = iso.get(n)
+            print(f"{'REGRESSED' if n in still else 'ok':9s} {n:28s} "
+                  f"ref={ref[n]:6.3f}  "
+                  f"isolated={'missing' if rv is None else f'{rv:6.3f}'}")
         bad = still
     if bad:
         print(f"\nFAIL: {len(bad)} quer{'y' if len(bad) == 1 else 'ies'} "

@@ -2022,7 +2022,126 @@ object VectorSearch {
         col("pos_best"), (col("pos_best") - col("cosine")).as("margin"))
   }
 
+  // ---------------------------------------------------------------
+  // v20 corpus-wide triplet mining — v19's job at the corpus grain
+  // (the batch mining pass a contrastive-training pipeline actually
+  // runs: EVERY vector is an anchor, not a 20-query spine). Blocking
+  // makes it linear: candidates come only from the anchor's 8-bit
+  // orthant cell (the sign structure d06/d13/v16 block on — and the
+  // right block for mining, because same-cell different-label vectors
+  // point the same way, i.e. are exactly the HARD negatives). Per
+  // anchor: the top-3 highest-cosine different-label negatives, the
+  // hardest same-label positive in the cell (NULL when the anchor is
+  // alone among its label there — the narrow-cell trade v16
+  // documents), and the triplet margin.
+  //
+  // Scale shape: d06's audited in-join pattern — the cell self-join's
+  // sides are the N compact vector rows (never materialized
+  // candidates), the cosine computes INSIDE the join, and the
+  // candidate blow-up is bounded by Σ cell². The cell width is
+  // AUTO-DERIVED from the corpus size (the autoDfCap/d14-auto-k move,
+  // measured necessary: at fixed 8 bits the 100× campaign read 50 s —
+  // quadratic cell growth): bits = smallest b in [8..16] with
+  // N ≤ [[MineTargetCell]]·2^b, computed as EXACT integer
+  // comparisons — 2^Σ[indicator] = Π(1+indicator) — so Spark and the
+  // oracle derive the identical width at every SF (no float log2,
+  // whose last-ulp could differ across libm). The cell itself is the
+  // 16-bit orthant masked to the derived width (orthant(1,16) mod 2^b
+  // ≡ orthant(1,b) by the bit layout). The join runs twice (negative
+  // and positive sides — bounded 2× compute, the d06 two-band
+  // precedent); the rank window and the positive max-agg key on
+  // vec_id, corpus-wide parallel. The pos join is vec-grain and
+  // deliberately NOT broadcast (d10's removed-set reasoning: it is
+  // corpus-proportional).
+  private val MineTargetCell = 80L
+  private val MineMaxBits = 16
+  private val MineK = 3
+  /** Oracle fragment: 2^(derived bits) as Π(1+[N > target·2^(j-1)]),
+    * j = 9..[[MineMaxBits]] — needs CTE `tot(nv)` in scope. */
+  private val minePow2Sql: String =
+    "256" + (9 to MineMaxBits).map { j =>
+      s" * (1 + (tot.nv > ${MineTargetCell * (1L << (j - 1))})::BIGINT)"
+    }.mkString
+  /** Spark twin of [[minePow2Sql]] over the 1-row corpus total. */
+  private def minePow2Col: Column =
+    (9 to MineMaxBits).map { j =>
+      lit(1L) + when(col("nv") > MineTargetCell * (1L << (j - 1)), 1L)
+        .otherwise(0L)
+    }.foldLeft(lit(256L))(_ * _)
+  val v20 = Q(
+    "v20_triplet_mine",
+    s"""WITH e AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> round(x::DOUBLE*1e6)::BIGINT) AS sx
+      |  FROM embeddings),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM embeddings),
+      |n AS (SELECT vec_id, label, sx,
+      |    CAST(list_sum(list_transform(sx, x -> x*x)) AS BIGINT) AS nn,
+      |    (${TextDedup.orthantSql(1, MineMaxBits)}) % ($minePow2Sql)
+      |      AS cell
+      |  FROM e, tot),
+      |p AS (SELECT a.vec_id, a.label, b.vec_id AS neighbor_id,
+      |        b.label AS neighbor_label,
+      |        CAST(list_sum(list_transform(list_zip(a.sx, b.sx),
+      |          x -> x[1]*x[2])) AS BIGINT)::DOUBLE
+      |          / (sqrt(a.nn::DOUBLE) * sqrt(b.nn::DOUBLE)) AS cosine
+      |      FROM n a JOIN n b ON a.cell = b.cell
+      |        AND a.vec_id <> b.vec_id),
+      |neg AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |          ORDER BY cosine DESC, neighbor_id) AS rnk
+      |        FROM p WHERE label <> neighbor_label),
+      |pos AS (SELECT vec_id, MAX(cosine) AS pos_best
+      |        FROM p WHERE label = neighbor_label GROUP BY vec_id)
+      |SELECT g.vec_id, g.label, g.neighbor_id, g.neighbor_label,
+      |  g.rnk, g.cosine, pos.pos_best,
+      |  pos.pos_best - g.cosine AS margin
+      |FROM (SELECT * FROM neg WHERE rnk <= $MineK) g
+      |LEFT JOIN pos ON g.vec_id = pos.vec_id""".stripMargin) { (s, dir) =>
+    // pinned: scale+norm+cell runs once, both join passes read it;
+    // the derived cell width joins in as a broadcast 1-row total
+    // (t10's corpus-total pattern)
+    val tot = Tables.load(s, dir, "embeddings")
+      .agg(count(lit(1)).as("nv"))
+      .select(minePow2Col.as("pow2"))
+    val n = graft.operators.Pin(Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        Fns.scaleVec(col("embedding")).as("sx"))
+      .withColumn("nn", VectorExprs.normSqIntNative(col("sx")))
+      .crossJoin(broadcast(tot))
+      .withColumn("cell",
+        TextDedup.orthantCol(1, MineMaxBits) % col("pow2"))
+      .drop("pow2"))
+    val cos = Fns.cosineFromScaled(
+      VectorExprs.dotIntNative(col("sx_a"), col("sx_b")),
+      col("nn_a"), col("nn_b"))
+    def cellJoin(sameLabel: Boolean) = {
+      val labelCond =
+        if (sameLabel) col("label_a") === col("label_b")
+        else col("label_a") =!= col("label_b")
+      n.select(col("vec_id").as("vec_id_a"), col("label").as("label_a"),
+          col("cell"), col("sx").as("sx_a"), col("nn").as("nn_a"))
+        .join(n.select(col("vec_id").as("vec_id_b"),
+          col("label").as("label_b"), col("cell"),
+          col("sx").as("sx_b"), col("nn").as("nn_b")), Seq("cell"))
+        .filter(col("vec_id_a") =!= col("vec_id_b") && labelCond)
+    }
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val neg = cellJoin(sameLabel = false)
+      .select(col("vec_id_a").as("vec_id"), col("label_a").as("label"),
+        col("vec_id_b").as("neighbor_id"),
+        col("label_b").as("neighbor_label"), cos.as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= MineK)
+    val pos = cellJoin(sameLabel = true)
+      .select(col("vec_id_a").as("vec_id"), cos.as("cosine"))
+      .groupBy("vec_id").agg(max("cosine").as("pos_best"))
+    neg.join(pos, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("neighbor_id"),
+        col("neighbor_label"), col("rnk"), col("cosine"),
+        col("pos_best"), (col("pos_best") - col("cosine")).as("margin"))
+  }
+
   val all: Seq[Q] =
     Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13,
-      d14, v14, v15, v16, v17, v18, v19)
+      d14, v14, v15, v16, v17, v18, v19, v20)
 }

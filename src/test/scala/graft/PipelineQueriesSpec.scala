@@ -490,7 +490,7 @@ class PipelineQueriesSpec extends SparkTestBase {
       queries.TextDedup.d17, queries.SourceQueries.s17,
       queries.TextAnalysis.t15, queries.VectorSearch.v16,
       queries.VectorSearch.v19, queries.SourceQueries.s19,
-      queries.TextAnalysis.t16)
+      queries.TextAnalysis.t16, queries.VectorSearch.v20)
       .foreach { q =>
         assert(q.run(spark, dir).count() === 0L, s"${q.name} not empty")
       }

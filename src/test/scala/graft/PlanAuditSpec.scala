@@ -339,7 +339,18 @@ class PlanAuditSpec extends SparkTestBase {
       //       expand — q26/e21's documented cost); the six verdict
       //       branches are 1-row selects off the cache. Growth means
       //       a branch stopped reading the pin and re-scans events
-      "q27_quality_checks" -> 2)
+      "q27_quality_checks" -> 2,
+      //  v20: the pin build pays the 1-row corpus-total agg (the
+      //       auto-cell-width derivation, t10's pattern — broadcast
+      //       back, never corpus-grain); both cell self-joins
+      //       broadcast at this SF (at scale: the two cell-key
+      //       shuffles, d06's audited trade); the other counted
+      //       exchanges are the per-anchor negative rank window and
+      //       the per-anchor positive max agg — the final left join
+      //       REUSES their shared vec_id partitioning. Growth means
+      //       the join stopped aligning or the width derivation
+      //       regressed to a corpus-grain pass
+      "v20_triplet_mine" -> 3)
     val got = audited.map { case (name, _) =>
       name -> executedShuffleCount(build(name))
     }
