@@ -505,9 +505,8 @@ object TextDedup {
   // around 10^5 docs (measured: d04's steady state went 2.9 s at 50k
   // docs → 151 s at 500k on the Heaps-law corpus, pure bucket-pair
   // algebra), while 15-bit pieces (32k buckets) keep the same corpus
-  // at ~7.7 docs/bucket. d04 keeps the 32-bit/8-bit-piece shape;
-  // d12 is the SAME construction at 60/15 — the plan does not change,
-  // only the two width constants.
+  // at ~7.7 docs/bucket. d12 is the fixed 60/15 configuration; d04
+  // (below) AUTO-DERIVES its width from the corpus size.
   private def simhashQ(name: String, bits: Int): Q = {
     val nPieces = 4
     val pw = bits / nPieces // piece width in bits
@@ -561,14 +560,111 @@ object TextDedup {
     }
   }
 
-  val d04 = simhashQ("d04_simhash", 32)
+  /** Target docs per SimHash piece bucket for [[d04]]'s width
+    * derivation: piece width pw = 8 + Σ_{j=9..15} [N > target·2^(j−1)]
+    * — the smallest pw in [8..15] with N ≤ target·2^pw (clamped at
+    * 15). At the test SFs (≤5k docs) every indicator is 0 → pw = 8,
+    * the historical 32-bit configuration, bit-for-bit; at the 500k-doc
+    * Heaps corpus pw = 15 → the d12 configuration. */
+  private[queries] val SimhashBucketTarget = 24L
 
-  // d12 — d04's documented 100 TB configuration made real: the full
-  // 60-bit shingle hash, 4×15-bit pieces (32k buckets each). Hamming
-  // ≤ 3 over 60 bits is a TIGHTER near-dup criterion than over 32, so
-  // d12 is both the scale path and the high-precision tier; measured
-  // on the 500k-doc Heaps corpus it collapses d04's 151 s bucket-pair
-  // blowup back to near-linear growth.
+  /** Oracle fragment: 2^(4·pw) = 2^32·Π(1+15·[nd>T·2^(j−1)]) over a
+    * CTE `tot(nd)` in scope — the exact-integer width derivation
+    * shared by [[d04]]'s oracle and d16's inline simhash member. */
+  private[queries] val simhashW2Sql: String =
+    "4294967296" + (9 to 15).map(j =>
+      s" * (1 + 15*(tot.nd > ${SimhashBucketTarget * (1L << (j - 1))})" +
+        "::BIGINT)").mkString
+
+  /** d04 with the v20 auto-width contract (VERDICT r8 ask #1): the
+    * FULL 60-bit Charikar fingerprint is always aggregated, and the
+    * EFFECTIVE fingerprint is its low W = 4·pw bits, with pw derived
+    * from the corpus size by exact integer comparisons mirrored in
+    * the oracle — 2^pw = 256·Π(1+[N>T·2^(j−1)]) and
+    * 2^(4·pw) = 2^32·Π(1+15·[N>T·2^(j−1)]) — so Spark and DuckDB
+    * derive the identical width at every scale (no float log2). Bit b
+    * of the 60-bit fingerprint equals bit b of the masked-input
+    * fingerprint for b < W (the per-bit sums only read bit b of the
+    * gram hash), so `simhash60 % 2^W` IS the W-bit fingerprint the
+    * fixed-width construction computes: at pw = 8 the output is
+    * bit-identical to the historical 32-bit d04, and at pw = 15 it
+    * converges to d12. Fixes the measured 256-bucket saturation
+    * (151 s at 500k docs) without a manual tier swap. */
+  private def simhashAutoQ(name: String): Q = {
+    val bits = 60
+    val w2Sql = simhashW2Sql
+    Q(name,
+      s"""$gidsCte,
+        |bs AS (SELECT doc_id,
+        |${(0 until bits).map(b => s"         SUM(CASE WHEN (gid >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n")}
+        |       FROM g GROUP BY doc_id),
+        |sim AS (SELECT doc_id, CAST(
+        |${(0 until bits).map(b => s"         (CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" +\n")}
+        |         AS BIGINT) AS sh
+        |        FROM bs),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM sim),
+        |eff AS (SELECT doc_id, sh % (SELECT $w2Sql FROM tot) AS simhash
+        |        FROM sim)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM eff a JOIN eff b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin) {
+      (s, dir) =>
+        val hh = gids(s, dir, distinct = true)
+          .select(col("doc_id"), col("gid").as("h"))
+        val bitSums = (0 until bits).map(b =>
+          sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1))
+            .as(s"s$b"))
+        val assemble = (0 until bits)
+          .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _)
+        // feeds the width-derivation count AND both piece-join sides
+        val sim = Pin(hh
+          .groupBy("doc_id")
+          .agg(bitSums.head, bitSums.tail: _*)
+          .select(col("doc_id"), assemble.as("sh")))
+        // 1-row corpus total → derived 2^pw / 2^(4·pw), broadcast back
+        // (t10's corpus-total pattern; exact twin of p2Sql/w2Sql)
+        val ind = (9 to 15).map(j =>
+          when(col("nd") > SimhashBucketTarget * (1L << (j - 1)), 1L)
+            .otherwise(0L))
+        val tot = sim.agg(count(lit(1)).as("nd"))
+          .select(
+            ind.map(i => lit(1L) + i).foldLeft(lit(256L))(_ * _).as("p2"),
+            ind.map(i => lit(1L) + lit(15L) * i)
+              .foldLeft(lit(4294967296L))(_ * _).as("w2"))
+        val eff = sim.crossJoin(broadcast(tot))
+          .select(col("doc_id"), (col("sh") % col("w2")).as("simhash"),
+            col("p2"))
+        // pigeonhole: hamming<=3 over 4 pieces => >=1 piece identical;
+        // piece width pw is the derived column (p2 = 2^pw, p2^3 < 2^46)
+        val pieces = eff.select(col("doc_id"), col("simhash"),
+          posexplode(array(
+            expr("simhash % p2"),
+            expr("(simhash div p2) % p2"),
+            expr("(simhash div (p2*p2)) % p2"),
+            expr("(simhash div (p2*p2*p2)) % p2"))).as(Seq("p", "piece")))
+        val cand = pieces.toDF("doc_a", "sim_a", "p", "piece")
+          .join(pieces.toDF("doc_b", "sim_b", "p", "piece"),
+            Seq("p", "piece"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b", "sim_a", "sim_b")
+          .distinct()
+        cand
+          .withColumn("hamming",
+            expr("CAST(bit_count(sim_a ^ sim_b) AS INT)"))
+          .filter(col("hamming") <= 3)
+          .select("doc_a", "doc_b", "hamming")
+    }
+  }
+
+  val d04 = simhashAutoQ("d04_simhash")
+
+  // d12 — the fixed wide configuration kept as the documented contrast
+  // tier: the full 60-bit shingle hash, 4×15-bit pieces (32k buckets
+  // each). Hamming ≤ 3 over 60 bits is a TIGHTER near-dup criterion
+  // than over 32, so d12 is the high-precision tier; d04's auto-width
+  // derivation converges to exactly this configuration at ≥394k docs.
   val d12 = simhashQ("d12_simhash_wide", 60)
 
   // ---------------------------------------------------------------
@@ -614,28 +710,32 @@ object TextDedup {
   // the 4-bit band volume is 1.5M pairs at 20k vectors but 154M at
   // 200k. Unlike the text operators, vocabulary growth cannot save
   // this join: the blocking key space is constant. So bits must grow
-  // with log₂(N): d06 keeps 4-bit bands (the loose cos≥0.3 report),
-  // d13 is the SAME construction at 8-bit bands (2560 cells at 10
-  // labels — 13.7M pairs at 200k vectors). A candidate must agree on
-  // all 8 sign bits of a band, so d13 is the high-precision tier:
-  // per-dim sign-agreement probability is 1−θ/π, making 8-bit band
-  // recall ≈96 % for true duplicates (cos≥0.99) and negligible for
-  // the loose cos≈0.3 tail d06 sweeps up.
-  /** Default bits per d06 orthant band — 2^bits cells per band per label. */
-  private val D06CellBits = 4
+  // with log₂(N): d06 (below) AUTO-DERIVES bits from the corpus size,
+  // d13 is the fixed 8-bit configuration (2560 cells at 10 labels —
+  // 13.7M pairs at 200k vectors). A candidate must agree on all 8
+  // sign bits of a band, so the 8-bit tier is high-precision: per-dim
+  // sign-agreement probability is 1−θ/π, making 8-bit band recall
+  // ≈96 % for true duplicates (cos≥0.99) and negligible for the loose
+  // cos≈0.3 tail the 4-bit tier sweeps up.
 
   /** Oracle fragment: orthant code over sx[from .. from+bits-1]
-    * (1-indexed), bit i set when the scaled component is > 0. */
+    * (1-indexed), bit i set when the scaled component is > 0. A
+    * position past the vector's length contributes bit 0 (DuckDB's
+    * out-of-range list index is NULL, and NULL > 0 is not true). */
   private[queries] def orthantSql(from: Int, bits: Int): String =
     (0 until bits)
       .map(i => s"(CASE WHEN sx[${from + i}] > 0 THEN ${1 << i} ELSE 0 END)")
       .mkString("(", " + ", ")")
 
-  /** Spark twin of [[orthantSql]] over the `sx` column. */
+  /** Spark twin of [[orthantSql]] over the `sx` column.
+    * try_element_at, not element_at: the oracle's `sx[i]` yields NULL
+    * past the vector's length, so short vectors get bit 0 there —
+    * ANSI element_at would throw instead (d06's band 2 reads dims
+    * 5–12, and callers may hold narrower embeddings). */
   private[queries] def orthantCol(from: Int, bits: Int): Column =
     (0 until bits)
-      .map(i => when(element_at(col("sx"), from + i) > 0, lit(1 << i))
-        .otherwise(lit(0)))
+      .map(i => when(try_element_at(col("sx"), lit(from + i)) > 0,
+        lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
 
   private def embNearDupQ(name: String, bits: Int): Q = Q(
@@ -692,10 +792,88 @@ object TextDedup {
     }.reduce(_ union _).distinct()
   }
 
-  val d06 = embNearDupQ("d06_embedding_neardup", D06CellBits)
+  /** Target vectors per (label, cell) block for [[d06]]'s width
+    * derivation: bits = 4 + Σ_{j=5..8} [Nv > target·2^(j−1)] — the
+    * smallest bits in [4..8] with Nv ≤ target·2^bits (clamped at 8).
+    * Test SFs (≤2k vectors) → 4 bits, the historical configuration
+    * bit-for-bit; the 20k/200k Heaps corpora → 8 bits, d13's width. */
+  private[queries] val D06TargetCell = 150L
 
-  // d13 — d06's documented 100 TB configuration made real (see the
-  // cell-width scaladoc above): 8-bit orthant bands over dims 1–16.
+  /** d06 with the v20 auto-width contract (VERDICT r8 ask #1): both
+    * orthant bands are always computed at the FULL 8-bit width and
+    * masked to the derived width with `% 2^bits`, where 2^bits =
+    * 16·Π(1+[Nv>T·2^(j−1)]) is exact integer arithmetic mirrored in
+    * the oracle. Band 1 reads dims 1–8 and band 2 dims 5–12 — band 2
+    * is ANCHORED at dim 5 so that at bits = 4 the masked cells are
+    * exactly the historical dims 1–4 / 5–8 bands (orthant(5,8) % 16 ≡
+    * orthant(5,4) by the bit layout) and the narrow-tier output is
+    * unchanged; at bits = 8 the bands overlap on dims 5–8 (a bounded
+    * recall correlation, traded for output stability at the narrow
+    * tier — d13 keeps the non-overlapping 1–8/9–16 layout). Fixes the
+    * measured cell-population quadratic (15 s at 200k vectors, fixed
+    * 4-bit cells) without a manual tier swap. */
+  private def embNearDupAutoQ(name: String): Q = {
+    val thresholds = (5 to 8).map(j => D06TargetCell * (1L << (j - 1)))
+    val b2Sql = "16" +
+      thresholds.map(t => s" * (1 + (tot.nv > $t)::BIGINT)").mkString
+    Q(name,
+      s"""WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> round(x::DOUBLE*1e6)::BIGINT) AS sx
+        |  FROM embeddings),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM embeddings),
+        |n AS (SELECT vec_id, label, sx,
+        |  CAST(list_sum(list_transform(sx, x -> x*x)) AS BIGINT) AS nn,
+        |  ${orthantSql(1, 8)} % ($b2Sql) AS c1,
+        |  ${orthantSql(5, 8)} % ($b2Sql) AS c2
+        |  FROM e, tot)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+        |  CAST(list_sum(list_transform(list_zip(a.sx, b.sx),
+        |    x -> x[1]*x[2])) AS BIGINT)::DOUBLE
+        |    / (sqrt(a.nn::DOUBLE) * sqrt(b.nn::DOUBLE)) AS cosine
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  AND (a.c1 = b.c1 OR a.c2 = b.c2)
+        |WHERE cosine >= 0.3""".stripMargin) { (s, dir) =>
+      // same plan as [[embNearDupQ]] (exact cosine INSIDE the band
+      // joins — see its builder comments) plus the 1-row corpus total
+      // broadcast into the pin for the width mask
+      val ind = (5 to 8).map(j =>
+        when(col("nv") > D06TargetCell * (1L << (j - 1)), 1L)
+          .otherwise(0L))
+      val tot = Tables.load(s, dir, "embeddings")
+        .agg(count(lit(1)).as("nv"))
+        .select(ind.map(i => lit(1L) + i).foldLeft(lit(16L))(_ * _)
+          .as("b2"))
+      val e = Pin(Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          Fns.scaleVec(col("embedding")).as("sx"))
+        .withColumn("nn", VectorExprs.normSqIntNative(col("sx")))
+        .crossJoin(broadcast(tot))
+        .withColumn("c1", orthantCol(1, 8) % col("b2"))
+        .withColumn("c2", orthantCol(5, 8) % col("b2"))
+        .drop("b2"))
+      val cos = Fns.cosineFromScaled(
+        VectorExprs.dotIntNative(col("sx_a"), col("sx_b")),
+        col("nn_a"), col("nn_b"))
+      Seq("c1", "c2").map { c =>
+        e.select(col("vec_id").as("vec_a"), col("label"), col(c).as("c"),
+            col("sx").as("sx_a"), col("nn").as("nn_a"))
+          .join(e.select(col("vec_id").as("vec_b"), col("label"),
+            col(c).as("c"), col("sx").as("sx_b"), col("nn").as("nn_b")),
+            Seq("label", "c"))
+          .filter(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"), col("label"),
+            cos.as("cosine"))
+          .filter(col("cosine") >= 0.3)
+      }.reduce(_ union _).distinct()
+    }
+  }
+
+  val d06 = embNearDupAutoQ("d06_embedding_neardup")
+
+  // d13 — the fixed wide configuration kept as the documented contrast
+  // tier (non-overlapping 8-bit orthant bands over dims 1–16); d06's
+  // auto-width derivation reaches the same cell COUNT at ≥19.2k
+  // vectors (band-2 dims differ — see the anchoring note above).
   val d13 = embNearDupQ("d13_embedding_neardup_wide", 8)
 
   // ---------------------------------------------------------------
@@ -907,14 +1085,39 @@ object TextDedup {
   // detectors' own run() plans, the oracle nests their SQL — the
   // ensemble cannot drift from its members.
   //
-  // Scale shape: each member keeps its own audited candidate
-  // generation (inverted index / band join / piece join — nothing
-  // all-pairs); the consensus itself is ONE union + one (doc_a,
-  // doc_b) groupBy at flagged-pair grain, far below candidate grain.
+  // Scale shape (VERDICT r8 ask #1 — the tier swap is now CODE, not a
+  // comment): the exact detectors' role is CORPUS-DERIVED. At
+  // N ≤ [[EnsembleExactMax]] docs, d02/d15 GENERATE pairs from the
+  // inverted index exactly as standalone (their Σ df² candidate
+  // volume is linear-in-N by the autoDfCap budget, but the constant —
+  // 481M shuffled candidate rows measured at the 500k-doc Heaps
+  // corpus — dominates the ensemble). Above it, the hash detectors
+  // (MinHash bands + auto-width SimHash pieces) generate the
+  // candidates and the exact Jaccard/containment scores are computed
+  // ONLY on those pairs via a pair-gram verification join (cand ⋈
+  // grams-of-a ⋈ grams-of-b — volume is candidates × grams-per-doc,
+  // linear in the hash tier's output, never Σ df²). The trade is the
+  // documented LSH recall (d09 measures it): a pair detected ONLY by
+  // exact Jaccard with no band/piece agreement is absent at the wide
+  // tier. The tier predicate is one exact integer comparison on the
+  // corpus doc count, mirrored in the oracle (both arms are stated in
+  // the SQL, each gated by the predicate on the shared `tot` scalar),
+  // so Spark and DuckDB flip tiers at the identical corpus.
+  //
+  // The consensus itself is unchanged: ONE union + one (doc_a, doc_b)
+  // groupBy at flagged-pair grain, far below candidate grain.
+  /** Docs threshold above which d16's exact detectors switch from
+    * inverted-index pair GENERATION to hash-candidate VERIFICATION.
+    * Test SFs (≤5k) and Heaps-10× (50k) sit below it — output
+    * bit-identical to the historical composition; Heaps-100× (500k)
+    * sits above. */
+  private[queries] val EnsembleExactMax = 100000L
   val d16 = Q(
     "d16_ensemble_dups",
     s"""$mhSigCte,
       |gd AS (SELECT DISTINCT doc_id, gid FROM g),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM t
+      |        WHERE len(ws) >= 3),
       |hh AS (SELECT doc_id, gid FROM gd WHERE gid NOT IN
       |        (SELECT gid FROM gd GROUP BY gid
       |         HAVING COUNT(*) > ${capSql("gd")})),
@@ -923,6 +1126,7 @@ object TextDedup {
       |pp AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
       |        CAST(COUNT(*) AS BIGINT) AS inter
       |      FROM hh x JOIN hh y ON x.gid = y.gid AND x.doc_id < y.doc_id
+      |        AND (SELECT nd FROM tot) <= $EnsembleExactMax
       |      GROUP BY 1, 2),
       |pj AS (SELECT doc_a, doc_b,
       |        CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jac,
@@ -930,25 +1134,45 @@ object TextDedup {
       |      FROM pp JOIN nn na ON pp.doc_a = na.doc_id
       |              JOIN nn nb ON pp.doc_b = nb.doc_id),
       |sb AS (SELECT doc_id,
-      |${(0 until 32).map(b =>
-        s"        SUM(CASE WHEN ((gid & 4294967295) >> $b) & 1 = 1" +
+      |${(0 until 60).map(b =>
+        s"        SUM(CASE WHEN (gid >> $b) & 1 = 1" +
           s" THEN 1 ELSE -1 END) AS s$b").mkString(",\n")}
       |       FROM gd GROUP BY doc_id),
       |sm AS (SELECT doc_id, CAST(
-      |${(0 until 32).map(b =>
+      |${(0 until 60).map(b =>
         s"        (CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
         .mkString(" +\n")}
-      |        AS BIGINT) AS simhash FROM sb),
+      |        AS BIGINT) AS sh FROM sb),
+      |sme AS (SELECT doc_id, sh % (SELECT $simhashW2Sql FROM tot)
+      |          AS simhash FROM sm),
+      |mhp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |        FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND
+      |          $mhBandsSql),
+      |shp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |        FROM sme a JOIN sme b ON a.doc_id < b.doc_id
+      |        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+      |cand AS (SELECT DISTINCT doc_a, doc_b FROM
+      |          (SELECT doc_a, doc_b FROM mhp
+      |           UNION ALL SELECT doc_a, doc_b FROM shp)),
+      |civ AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+      |        FROM cand c JOIN hh x ON c.doc_a = x.doc_id
+      |          AND (SELECT nd FROM tot) > $EnsembleExactMax
+      |        JOIN hh y ON c.doc_b = y.doc_id AND x.gid = y.gid
+      |        GROUP BY 1, 2),
+      |cpj AS (SELECT civ.doc_a, civ.doc_b,
+      |        CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jac,
+      |        CAST(inter AS DOUBLE) / LEAST(na.n, nb.n) AS contain
+      |      FROM civ JOIN nn na ON civ.doc_a = na.doc_id
+      |              JOIN nn nb ON civ.doc_b = nb.doc_id),
+      |exj AS (SELECT doc_a, doc_b, jac, contain FROM pj
+      |        UNION ALL SELECT doc_a, doc_b, jac, contain FROM cpj),
       |allp AS (
-      |  SELECT doc_a, doc_b, 'jaccard' AS det FROM pj
+      |  SELECT doc_a, doc_b, 'jaccard' AS det FROM exj
       |    WHERE jac >= $JaccardMin
-      |  UNION ALL SELECT doc_a, doc_b, 'containment' FROM pj
+      |  UNION ALL SELECT doc_a, doc_b, 'containment' FROM exj
       |    WHERE contain >= $ContainMin
-      |  UNION ALL SELECT a.doc_id, b.doc_id, 'minhash'
-      |    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND $mhBandsSql
-      |  UNION ALL SELECT a.doc_id, b.doc_id, 'simhash'
-      |    FROM sm a JOIN sm b ON a.doc_id < b.doc_id
-      |    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+      |  UNION ALL SELECT doc_a, doc_b, 'minhash' FROM mhp
+      |  UNION ALL SELECT doc_a, doc_b, 'simhash' FROM shp)
       |SELECT doc_a, doc_b,
       |  MAX(CASE WHEN det = 'jaccard' THEN 1 ELSE 0 END) = 1
       |    AS by_jaccard,
@@ -966,13 +1190,46 @@ object TextDedup {
       |FROM allp GROUP BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     def tag(df: DataFrame, det: String): DataFrame =
       df.select(col("doc_a"), col("doc_b"), lit(det).as("det"))
-    val cont = d15.run(s, dir).select(
-      least(col("contained_doc"), col("container_doc")).as("doc_a"),
-      greatest(col("contained_doc"), col("container_doc")).as("doc_b"))
-    val allp = tag(d02.run(s, dir), "jaccard")
-      .unionByName(tag(cont, "containment"))
-      .unionByName(tag(minhashPairs(s, dir), "minhash"))
-      .unionByName(tag(d04.run(s, dir), "simhash"))
+    val mh = tag(minhashPairs(s, dir), "minhash")
+    val sh = tag(d04.run(s, dir), "simhash")
+    // tier decision: ONE scalar driver sync (a pruned count — the
+    // d14 auto-k precedent). It has to be plan-time: the two tiers
+    // differ in JOIN STRUCTURE, which no runtime column can switch
+    // without executing both arms.
+    val nd = tokenized(s, dir).filter(size(col("ws")) >= 3).count()
+    val exact =
+      if (nd <= EnsembleExactMax) {
+        val cont = d15.run(s, dir).select(
+          least(col("contained_doc"), col("container_doc")).as("doc_a"),
+          greatest(col("contained_doc"), col("container_doc")).as("doc_b"))
+        tag(d02.run(s, dir), "jaccard")
+          .unionByName(tag(cont, "containment"))
+      } else {
+        // wide tier: exact scores VERIFY the hash candidates. Both
+        // hash frames feed the consensus AND this union — pin the
+        // candidate set so bands/pieces run once; the pair-gram join
+        // is candidates × grams-per-doc, keyed (doc, gid) against the
+        // shared sizedGids pin.
+        val hn = sizedGids(s, dir)
+        val cand = Pin(mh.select("doc_a", "doc_b")
+          .unionByName(sh.select("doc_a", "doc_b"))
+          .distinct())
+        val scored = cand
+          .join(hn.toDF("doc_a", "gid", "na"), "doc_a")
+          .join(hn.toDF("doc_b", "gid", "nb"), Seq("doc_b", "gid"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("inter"),
+            max("na").as("na"), max("nb").as("nb"))
+          .withColumn("jac", col("inter").cast(DoubleType) /
+            (col("na") + col("nb") - col("inter")))
+          .withColumn("contain",
+            col("inter").cast(DoubleType) / least(col("na"), col("nb")))
+        tag(scored.filter(col("jac") >= JaccardMin), "jaccard")
+          .unionByName(
+            tag(scored.filter(col("contain") >= ContainMin),
+              "containment"))
+      }
+    val allp = exact.unionByName(mh).unionByName(sh)
     def flag(det: String) =
       max(when(col("det") === det, 1).otherwise(0))
     allp.groupBy("doc_a", "doc_b")

@@ -116,7 +116,16 @@ class PlanAuditSpec extends SparkTestBase {
       //  d12: d04's construction at 60/15-bit width — signature agg
       //  feeds the pin; piece self-join broadcasts at this SF; the
       //  candidate distinct is the one exchange                   -> 1
-      "d06_embedding_neardup" -> 1,
+      //  (d06 pays ONE more than d13 since round 9: the 1-row
+      //  corpus-total agg deriving the cell width — v20's audited
+      //  pattern, broadcast back, never corpus-grain)             -> 2
+      "d06_embedding_neardup" -> 2,
+      //  d04 (round 9, auto-width): the signature agg (pays in its
+      //  pin build), the 1-row width-derivation agg over the pinned
+      //  signatures, and the candidate distinct; the piece self-join
+      //  broadcasts at this SF. Exactly ONE more than the fixed-width
+      //  construction — the derivation's price, 1-row grain         -> 3
+      "d04_simhash" -> 3,
       "d12_simhash_wide" -> 1,
       "d13_embedding_neardup_wide" -> 1,
       //  round-6 additions (audited 2026-08-14):
@@ -230,8 +239,12 @@ class PlanAuditSpec extends SparkTestBase {
       //       the walk's distinct-cache dedup and cache hits from
       //       earlier audited queries.) Growth here without a member
       //       regressing means the consensus stopped being a single
-      //       union+agg                                            -> 8
-      "d16_ensemble_dups" -> 8,
+      //       union+agg. Round 9 (+2): d04's auto-width member now
+      //       pays its 1-row width-derivation agg, and its 60-bit
+      //       signature pin is DISTINCT from d12's (the 32-bit pin
+      //       it shared before no longer exists) — both 1-row/
+      //       signature-grain, never candidate-grain              -> 10
+      "d16_ensemble_dups" -> 10,
       //  s16: s06's audited pipeline underneath (pair repartition +
       //       eval-size agg + report agg = 3, with cappedGids cache
       //       hits from d02's earlier audit) + the apply's own
