@@ -138,7 +138,7 @@ def main():
         return bad
 
     bad = judge(got)
-    if bad and len(bad) <= 8:
+    if bad and len(bad) <= 4:
         # A full profile takes minutes; a transient I/O-wait burst
         # covering one query's timed reps fakes a regression on a
         # RANDOM query (observed: consecutive loaded runs each
@@ -161,7 +161,7 @@ def main():
                   f"ref={ref[n]:6.3f}  "
                   f"retry={'missing' if rv is None else f'{rv:6.3f}'}")
         bad = still
-    if bad and len(bad) <= 8:
+    if bad and len(bad) <= 4:
         # Third stage: the full-profile retry clears RANDOM bursts but
         # not the systematic kind — with 60+ pinned relations in one
         # JVM, the cache-heaviest family's in-suite reps inflate from
@@ -171,20 +171,37 @@ def main():
         # sit at the uniform machine scale). Isolated timing is the
         # lower-noise estimator and a real plan regression is
         # data-path work that shows up isolated too — so profile just
-        # the surviving flags in a fresh JVM and fail only what is
-        # still over threshold there.
+        # the surviving flags in a fresh JVM. ADVICE r8: isolation may
+        # EXCUSE only the documented cache-heavy pin families (d*/v*
+        # — the multi-pin dedup/vector queries whose in-suite reps
+        # churn each other's caches); for every other query the
+        # isolated reading is printed as DIAGNOSTIC and the flag
+        # stands — a suite-regime slowdown there is a real finding,
+        # not cache pressure. GRAFT_GUARD_ISOLATE_ALL=1 restores the
+        # old excuse-everything behavior for manual triage.
         print(f"\n{len(bad)} still flagged — isolated re-profile "
               "(cache-pressure check; plan regressions survive "
               "isolation)...")
         iso = run_profile(bad)
+        excusable = (lambda n: True) if \
+            os.environ.get("GRAFT_GUARD_ISOLATE_ALL") == "1" else \
+            (lambda n: n[0] in ("d", "v"))
         still = [n for n in bad
-                 if iso.get(n, float("inf")) > ref[n] * scale * (1 + REL_TOL)
-                 and iso.get(n, float("inf")) > ref[n] * scale + ABS_TOL]
+                 if not excusable(n)
+                 or (iso.get(n, float("inf")) > ref[n] * scale * (1 + REL_TOL)
+                     and iso.get(n, float("inf")) > ref[n] * scale + ABS_TOL)]
         for n in bad:
             rv = iso.get(n)
-            print(f"{'REGRESSED' if n in still else 'ok':9s} {n:28s} "
-                  f"ref={ref[n]:6.3f}  "
-                  f"isolated={'missing' if rv is None else f'{rv:6.3f}'}")
+            iso_ok = (rv is not None
+                      and not (rv > ref[n] * scale * (1 + REL_TOL)
+                               and rv > ref[n] * scale + ABS_TOL))
+            tag = ("ok" if n not in still else
+                   "REGRESSED" if not iso_ok else "REGRESSED")
+            note = "" if excusable(n) or not iso_ok else \
+                " (isolated ok, but not cache-heavy: flag stands)"
+            print(f"{tag:9s} {n:28s} ref={ref[n]:6.3f}  "
+                  f"isolated={'missing' if rv is None else f'{rv:6.3f}'}"
+                  f"{note}")
         bad = still
     if bad:
         print(f"\nFAIL: {len(bad)} quer{'y' if len(bad) == 1 else 'ies'} "

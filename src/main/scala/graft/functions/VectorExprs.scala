@@ -542,69 +542,53 @@ case class ScaleVec1e6(child: Expression)
       : Expression = copy(child = newChild)
 }
 
-/** d14's two-level (coarse → member) nearest-seed assignment in ONE
-  * native pass — [[CentroidArgmin]]'s exact rounded-term arithmetic
-  * (Σ round((xᵢ−mᵢ)²·1e12) in BIGINT, ties → smallest id) applied
-  * twice: argmin over the √k coarse seeds picks a coarse cell, then
-  * argmin over THAT cell's member seeds picks the final cell. This is
-  * the IVF-style assignment SemDeDup needs once k scales with the
-  * corpus (Abbas et al. 2023 §3 — k ∝ N holds cell size constant):
-  * a flat argmin is N·k·d = O(N²·d/target) and stops being a scan at
-  * ~10⁵ cells, while two levels cost N·2√k·d. Seed ids are the
-  * corpus's own BIGINT vector ids (not a dense 0..k range), so the
-  * result is LongType. Null elements skip (SUM semantics); a null
-  * vector yields null (callers filter).
-  */
-case class HierArgmin(child: Expression, coarseIds: Seq[Long],
-    coarse: Seq[Seq[Double]], memberIds: Seq[Seq[Long]],
-    memberCens: Seq[Seq[Seq[Double]]])
-    extends UnaryExpression with CodegenFallback {
+/** Exact rounded squared L2 distance between two vector COLUMNS —
+  * Σ round((xᵢ−yᵢ)²·1e12) in BIGINT over the shared prefix, the same
+  * per-term arithmetic as [[CentroidArgmin]] but with both sides as
+  * runtime columns instead of literals. This is d14's member-seed
+  * distance computed INSIDE the coarse-cell join (the round-9
+  * replacement for the O(k·d) literal seed table HierArgmin baked
+  * into the task binary — the seed table is now a distributed
+  * relation and only the √k coarse centroids are driver state). A
+  * term where either side is a null element contributes nothing (the
+  * oracle's per-position join yields a NULL product there and SUM
+  * skips it); a null vector on either side yields null (callers
+  * filter). */
+case class L2RoundE12(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
 
-  require(coarseIds.length == coarse.length &&
-    coarseIds.length == memberIds.length &&
-    coarseIds.length == memberCens.length,
-    s"coarse arity mismatch: ${coarseIds.length} ids, " +
-      s"${coarse.length} centroids, ${memberIds.length}/" +
-      s"${memberCens.length} member lists")
-  require(memberIds.zip(memberCens).forall(p => p._1.length == p._2.length),
-    "member ids/centroids length mismatch")
-  require(coarseIds.nonEmpty,
-    "empty seed set — callers handle the 0-vector corpus before this")
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
-      TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects array<float|double>, got $t")
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
   }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<float|double>, got " +
+        s"${left.dataType} / ${right.dataType}")
 
   override def dataType: DataType = LongType
 
-  override def prettyName: String = "graft_hier_argmin"
+  override def prettyName: String = "graft_l2_round_e12"
 
-  @transient private lazy val isFloat =
-    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
-  @transient private lazy val coarseIdArr: Array[Long] = coarseIds.toArray
-  @transient private lazy val coarseArr: Array[Array[Double]] =
-    coarse.map(_.toArray).toArray
-  @transient private lazy val memIdArr: Array[Array[Long]] =
-    memberIds.map(_.toArray).toArray
-  @transient private lazy val memCenArr: Array[Array[Array[Double]]] =
-    memberCens.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val leftFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val rightFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  /** Exact distance with EARLY ABANDONMENT: every term is ≥ 0, so the
-    * partial sum is monotone and the scan can stop the moment it
-    * exceeds `bound` (the running argmin best) — the returned value is
-    * then > bound and loses the comparison exactly as the full sum
-    * would. Argmin results are bit-identical to the full scan. */
-  private def dist(x: ArrayData, m: Array[Double], bound: Long): Long = {
-    val n = math.min(x.numElements(), m.length)
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val x = l.asInstanceOf[ArrayData]
+    val y = r.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
     var s = 0L
     var i = 0
-    while (i < n && s <= bound) {
-      if (!x.isNullAt(i)) {
-        val xi = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
-        val diff = xi - m(i)
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val xi = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val yi = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+        val diff = xi - yi
         s += ExactRound.halfUp(diff * diff * 1e12)
       }
       i += 1
@@ -612,39 +596,9 @@ case class HierArgmin(child: Expression, coarseIds: Seq[Long],
     s
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val x = input.asInstanceOf[ArrayData]
-    var bestDs = Long.MaxValue
-    var bestIdx = -1
-    var k = 0
-    while (k < coarseArr.length) {
-      val s = dist(x, coarseArr(k), bestDs)
-      if (s < bestDs ||
-          (s == bestDs && (bestIdx < 0 ||
-            coarseIdArr(k) < coarseIdArr(bestIdx)))) {
-        bestDs = s
-        bestIdx = k
-      }
-      k += 1
-    }
-    val ids = memIdArr(bestIdx)
-    val cens = memCenArr(bestIdx)
-    var mBest = Long.MaxValue
-    var mId = Long.MaxValue
-    var j = 0
-    while (j < cens.length) {
-      val s = dist(x, cens(j), mBest)
-      if (s < mBest || (s == mBest && ids(j) < mId)) {
-        mBest = s
-        mId = ids(j)
-      }
-      j += 1
-    }
-    mId
-  }
-
-  override protected def withNewChildInternal(newChild: Expression)
-      : Expression = copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** v08's product-quantization encoder in ONE native pass (FAISS `PQ`
@@ -896,15 +850,11 @@ object VectorExprs {
     GraftColumnBridge.column(CentroidArgmin(
       GraftColumnBridge.expression(x), cells, centroids))
 
-  /** Column wrapper: native two-level nearest-seed assignment. Like
-    * [[centroidArgmin]], the seed parameters are literals born from a
-    * driver-collected bounded seed table — no SQL registration. */
-  def hierArgmin(x: Column, coarseIds: Seq[Long], coarse: Seq[Seq[Double]],
-      memberIds: Seq[Seq[Long]],
-      memberCens: Seq[Seq[Seq[Double]]]): Column =
-    GraftColumnBridge.column(HierArgmin(
-      GraftColumnBridge.expression(x), coarseIds, coarse, memberIds,
-      memberCens))
+  /** Column wrapper: native exact rounded pairwise L2 distance
+    * between two vector columns (d14's in-join member distance). */
+  def l2RoundE12(x: Column, y: Column): Column =
+    GraftColumnBridge.column(L2RoundE12(
+      GraftColumnBridge.expression(x), GraftColumnBridge.expression(y)))
 
   /** Column wrapper: native ADC table-lookup scan over a PQ code
     * word. Like [[centroidArgmin]], the per-query LUTs are literals

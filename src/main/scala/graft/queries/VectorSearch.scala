@@ -1293,19 +1293,38 @@ object VectorSearch {
   // every SF; at N ≤ 128 the single cell degrades to exact brute
   // dedup, strictly better semantics than label blocking. A flat
   // argmin over k ∝ N seeds is N·k·d = O(N²d/128) — itself the new
-  // cliff — so assignment is IVF-style TWO-LEVEL ([[graft.functions
-  // .HierArgmin]], one native zero-shuffle pass): nearest of the √k
-  // coarse seeds, then nearest member seed of that coarse cell,
-  // N·2√k·d total. The seed table (k·d doubles, ~(N/128)·d) is the
-  // driver sync point, same class as v07's Lloyd's collect; past the
-  // point where k·d literals stop fitting a task binary (~10⁷ cells)
-  // assignment itself becomes an ANN problem — the engine's own v02
-  // IVF tier over the seed table is the documented handoff. Candidate
+  // cliff — so assignment is IVF-style TWO-LEVEL: nearest of the √k
+  // coarse seeds (native [[graft.functions.CentroidArgmin]] over √k·d
+  // literals, zero-shuffle), then nearest member seed of that coarse
+  // cell via a cidx equi-join with the exact distance computed
+  // in-join ([[graft.functions.L2RoundE12]]) — N·2√k·d flops total.
+  // Driver state is ONLY the √k coarse centroids (round 9; the
+  // previous design collected all k seeds — O(N/128·d) driver memory,
+  // ~4 GB at 1B vectors); the k-seed table stays a distributed
+  // relation, broadcast by AQE at small SF and shuffled by cell at
+  // scale. Past ~10¹⁴ vectors (√k·d literals outgrowing a task
+  // binary) assignment itself becomes an ANN problem — the engine's
+  // own v02 IVF tier over the seed table is the documented handoff.
+  // Candidate
   // pairs exist ONLY inside a cell equi-join with the cosine computed
   // in-join (d06's shape); Σ cell² ≈ N·128, linear by construction.
   // The decision agg is one groupBy on the dropped side only.
   private val D14Tau = 0.4
   private val D14TargetCell = 128
+
+  /** The k1 coarse seeds (smallest vec_ids, ascending) — the ONLY
+    * embedding rows d14 collects. O(√k·d) driver memory by
+    * construction; spec-pinned (VERDICT r8 ask #3). Element type
+    * normalized to double at the driver boundary — exact float→double
+    * widening, the same values the native argmin reads per row. */
+  private[graft] def d14Coarse(nemb: org.apache.spark.sql.DataFrame,
+      k1: Int): Array[(Long, Array[Double])] =
+    nemb.orderBy("vec_id").limit(k1)
+      .select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("e"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
   val d14 = Q(
     "d14_semantic_dedup",
     s"""WITH nemb AS (SELECT vec_id, embedding FROM embeddings
@@ -1372,10 +1391,11 @@ object VectorSearch {
       // the output), via one size predicate on the INPUT column (v07's
       // lesson: a filter on `cell` re-runs the native argmin per row).
       val nemb = emb.filter(size(col("embedding")) > 0)
-      // auto-k sync point: one pruned count + one bounded top-k seed
-      // collect (k·d doubles). Element type normalized to double at
-      // the driver boundary — exact float→double widening, the same
-      // values HierArgmin reads per row.
+      // auto-k sync points, ALL O(√k·d) or scalar (VERDICT r8 ask #3 —
+      // the previous k-seed collect was O(N/128·d) ≈ 4 GB of driver
+      // memory at 1B vectors): one pruned count, the k-th smallest
+      // vec_id (TakeOrdered over 8-byte ids — seed EMBEDDINGS never
+      // reach the driver), and the k1 = ⌈√k⌉ coarse seed rows.
       val nVec = nemb.count()
       if (nVec == 0L) {
         emb.select(col("vec_id"), col("vec_id").as("cell"),
@@ -1383,55 +1403,39 @@ object VectorSearch {
       } else {
         val k = ((nVec + D14TargetCell - 1) / D14TargetCell).toInt
         val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
-        val seeds: Array[(Long, Array[Double])] = nemb
-          .orderBy("vec_id").limit(k)
-          .select(col("vec_id"),
-            col("embedding").cast(ArrayType(DoubleType)).as("e"))
-          .collect()
-          .map(r => (r.getLong(0),
-            r.getSeq[Double](1).toArray))
-        val coarse = seeds.take(k1)
-        // seed→coarse assignment replayed in the driver with the SAME
-        // exact arithmetic (rounded 1e12-scale BIGINT terms, ties →
-        // smallest id) the oracle's sdist/sa CTEs compute — k·√k·d
-        // driver flops, trivial next to the collect itself
-        def distL(x: Array[Double], m: Array[Double]): Long = {
-          val nn = math.min(x.length, m.length)
-          var acc = 0L
-          var i = 0
-          while (i < nn) {
-            val d = x(i) - m(i)
-            acc += graft.functions.ExactRound.halfUp(d * d * 1e12)
-            i += 1
-          }
-          acc
-        }
-        val memberIds = Array.fill(coarse.length)(
-          scala.collection.mutable.ArrayBuffer.empty[Long])
-        val memberCens = Array.fill(coarse.length)(
-          scala.collection.mutable.ArrayBuffer.empty[Seq[Double]])
-        seeds.foreach { case (sid, se) =>
-          var bi = 0
-          var bd = Long.MaxValue
-          var ci = 0
-          while (ci < coarse.length) {
-            val d = distL(se, coarse(ci)._2)
-            if (d < bd) { bd = d; bi = ci } // ascending cid scan: ties
-            ci += 1                         // keep the smaller cid
-          }
-          memberIds(bi) += sid
-          memberCens(bi) += se.toSeq
-        }
-        // A coarse cell is empty ONLY when its seed has a coordinate-
-        // identical twin with a smaller id (the twin won the tie) —
-        // and then every vector's distance ties too and prefers the
-        // twin, in both engines. Dropping the unreachable cell from
-        // the literals is a no-op for results and keeps HierArgmin's
-        // member loop total.
-        val live = coarse.indices.filter(memberIds(_).nonEmpty)
-        val best = VectorExprs.hierArgmin(col("embedding"),
-          live.map(coarse(_)._1), live.map(coarse(_)._2.toSeq),
-          live.map(memberIds(_).toSeq), live.map(memberCens(_).toSeq))
+        val coarse = d14Coarse(nemb, k1)
+        val coarseCens = coarse.map(_._2.toSeq).toSeq
+        val thr = nemb.select(col("vec_id")).orderBy("vec_id").limit(k)
+          .agg(max("vec_id")).head.getLong(0)
+        // distributed seed relation + its coarse assignment (the
+        // oracle's sd/sa CTEs, no longer a driver replay): argmin over
+        // the k1 coarse LITERALS. Position index is the cell id —
+        // coarse is sorted by vec_id, so the argmin's ties-to-smallest-
+        // position IS the oracle's ORDER BY ds, cid.
+        val sa = nemb.filter(col("vec_id") <= thr)
+          .select(col("vec_id").as("sid"), col("embedding").as("semb"))
+          .withColumn("cidx", VectorExprs.centroidArgmin(col("semb"),
+            coarse.indices, coarseCens))
+        // vector → coarse: the same native zero-shuffle argmin pass;
+        // → member seed: exact distance computed INSIDE the cidx join
+        // (L2RoundE12), argmin as min(struct(ds, sid)) ≡ the oracle's
+        // ORDER BY ds, sid, with map-side partial min collapsing each
+        // vector to one row before the vec_id exchange. sx/nn ride
+        // along (functionally dependent on vec_id; first() reads the
+        // one value). The seed side is corpus/128 — AQE broadcasts it
+        // at small SF; at scale it shuffles by cidx, the price of not
+        // holding N/128 embeddings in the task binary or the driver.
+        // A coarse cell is "empty" ONLY when its seed has a
+        // coordinate-identical twin with a smaller id — then every
+        // vector ties toward the twin in both engines, so the inner
+        // cidx join never drops a vector (the oracle's vd2 is the
+        // same inner join).
+        val va1 = nemb
+          .select(col("vec_id"), col("embedding"),
+            Fns.scaleVec(col("embedding")).as("sx"))
+          .withColumn("nn", VectorExprs.normSqIntNative(col("sx")))
+          .withColumn("cidx", VectorExprs.centroidArgmin(col("embedding"),
+            coarse.indices, coarseCens))
         // pinned: both self-join sides and the final left join read
         // it — assignment + scale + norm run once per vector. The pin
         // is MATERIALIZED eagerly (one count over the cache build):
@@ -1439,10 +1443,15 @@ object VectorSearch {
         // with a lazy pin each raced to compute the argmin pass before
         // any could populate the cache — measured 3×35 s of identical
         // concurrent stages at the 100× corpus vs one 12 s build.
-        val m = graft.operators.Pin(nemb
-          .select(col("vec_id"), Fns.scaleVec(col("embedding")).as("sx"),
-            best.as("cell"))
-          .withColumn("nn", VectorExprs.normSqIntNative(col("sx"))))
+        val m = graft.operators.Pin(va1.join(sa, "cidx")
+          .select(col("vec_id"), col("sx"), col("nn"),
+            struct(
+              VectorExprs.l2RoundE12(col("embedding"), col("semb"))
+                .as("ds"),
+              col("sid")).as("dsid"))
+          .groupBy("vec_id")
+          .agg(min(col("dsid")).getField("sid").as("cell"),
+            first(col("sx")).as("sx"), first(col("nn")).as("nn")))
         m.count()
         val cos = Fns.cosineFromScaled(
           VectorExprs.dotIntNative(col("sx_u"), col("sx_b")),

@@ -405,17 +405,12 @@ class VectorExprsSpec extends SparkTestBase {
     assert(d2.getSeq[Any](0).toSeq === d2.getSeq[Any](1).toSeq)
   }
 
-  test("property: HierArgmin ≡ a no-abandon driver replay of the " +
-      "two-level rule on random vectors (seeded); ties at both " +
-      "levels break to the smaller id") {
-    import graft.functions.HierArgmin
+  test("property: L2RoundE12 ≡ a driver replay of the exact rounded-" +
+      "term distance on random vectors (seeded); length mismatch " +
+      "sums the shared prefix; null elements contribute no term") {
+    import graft.functions.L2RoundE12
     val rnd = new scala.util.Random(29)
-    def vec(): Array[Double] = Array.fill(12)(rnd.nextDouble() * 2 - 1)
-    val k = 23
-    val k1 = 5
-    val seeds = (0 until k).map(i => (100L + i, vec()))
-    val coarse = seeds.take(k1)
-    // driver reference: full-scan (NO early abandonment) exact terms
+    def vec(n: Int): Array[Double] = Array.fill(n)(rnd.nextDouble() * 2 - 1)
     def dist(x: Array[Double], m: Array[Double]): Long = {
       var s = 0L
       var i = 0
@@ -427,33 +422,34 @@ class VectorExprsSpec extends SparkTestBase {
       }
       s
     }
-    def argmin(x: Array[Double],
-        cands: Seq[(Long, Array[Double])]): Long =
-      cands.map { case (id, m) => (dist(x, m), id) }.min._2
-    val members = seeds.groupBy(sd => argmin(sd._2, coarse))
-    val memIds = coarse.map(c => members.getOrElse(c._1, Seq.empty)
-      .map(_._1))
-    val memCens = coarse.map(c => members.getOrElse(c._1, Seq.empty)
-      .map(_._2.toSeq))
-    val expr = HierArgmin(
+    val expr = L2RoundE12(
       BoundReference(0, ArrayType(DoubleType), nullable = true),
-      coarse.map(_._1), coarse.map(_._2.toSeq), memIds, memCens)
+      BoundReference(1, ArrayType(DoubleType), nullable = true))
     (0 until 400).foreach { i =>
-      val x = vec()
-      val got = expr.eval(
-        InternalRow(ArrayData.toArrayData(x))).asInstanceOf[Long]
-      val want = argmin(x, members(argmin(x, coarse)))
-      assert(got === want, s"vec $i")
+      val x = vec(12)
+      val y = vec(12)
+      val got = expr.eval(InternalRow(
+        ArrayData.toArrayData(x), ArrayData.toArrayData(y)))
+        .asInstanceOf[Long]
+      assert(got === dist(x, y), s"vec $i")
     }
-    // duplicate-coordinate seeds tie at both levels: smaller id wins
-    val same = vec()
-    val tied = HierArgmin(
-      BoundReference(0, ArrayType(DoubleType), nullable = true),
-      Seq(7L, 3L), Seq(same.toSeq, same.toSeq),
-      Seq(Seq(7L, 9L), Seq(3L)), Seq(Seq(same.toSeq, same.toSeq),
-        Seq(same.toSeq)))
-    val got = tied.eval(
-      InternalRow(ArrayData.toArrayData(same))).asInstanceOf[Long]
-    assert(got === 3L) // coarse tie -> 3, member 3 at distance 0
+    // shared-prefix semantics (the oracle's per-position join emits
+    // rows only for positions present on BOTH sides)
+    val a = vec(12)
+    val b = vec(8)
+    val gotShort = expr.eval(InternalRow(
+      ArrayData.toArrayData(a), ArrayData.toArrayData(b)))
+      .asInstanceOf[Long]
+    assert(gotShort === dist(a, b))
+    // a null ELEMENT contributes no term (oracle: NULL product, SUM
+    // skips); identical vectors are at distance 0
+    val withNull: Array[Any] = Array(0.5, null, -0.25)
+    val other = Array(0.5, 0.9, -0.25)
+    val gotNull = expr.eval(InternalRow(
+      ArrayData.toArrayData(withNull), ArrayData.toArrayData(other)))
+      .asInstanceOf[Long]
+    assert(gotNull === 0L)
+    assert(expr.eval(InternalRow(
+      ArrayData.toArrayData(a), ArrayData.toArrayData(a))) === 0L)
   }
 }
