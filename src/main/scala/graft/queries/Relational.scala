@@ -797,7 +797,41 @@ object Relational {
       .reduce(_ unionAll _)
   }
 
+  // ---------------------------------------------------------------
+  // q28 — the reference's #1 query entry point made oracle-checked
+  // (VERDICT r8 ask #4): `csv_sql` loads a header CSV, registers it
+  // as table `data`, and runs a gated SELECT (`csv_tool.py:273-386`;
+  // docstring contract queries :297-309 — GROUP BY aggregate, LIKE
+  // filter, ORDER BY/LIMIT — composed into one report). The Spark
+  // side goes through the REAL entry point ([[graft.plans.SqlGate
+  // .csvSql]]: parsed-plan gate → header/inferSchema load → temp view
+  // → spark.sql) over a committed fixture; DuckDB reads the same file
+  // with read_csv_auto — exactly how the reference executes it.
+  // Money sums in DECIMAL then cast to DOUBLE (float summation order
+  // differs between engines); COUNT/SUM(int) cast to BIGINT (DuckDB
+  // widens to HUGEINT, which no parquet type carries). The fixture is
+  // SF-independent — the operator under test is the CSV SQL surface,
+  // not the corpus.
+  private[queries] val Q28Csv =
+    "/root/repo/src/test/resources/fixtures/q28_sales.csv"
+  private val q28Select =
+    """SELECT category,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(qty) AS BIGINT) AS total_qty,
+      |  CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM data
+      |WHERE region LIKE 'N%'
+      |GROUP BY category
+      |ORDER BY revenue DESC, category
+      |LIMIT 3""".stripMargin
+  val q28 = Q(
+    "q28_csv_sql",
+    s"""WITH data AS (SELECT * FROM read_csv_auto('$Q28Csv', header=true))
+      |${q28Select.replace("\n", "\n")}""".stripMargin) { (s, _) =>
+    graft.plans.SqlGate.csvSql(s, Q28Csv, q28Select)
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27)
+    q25, q26, q27, q28)
 }

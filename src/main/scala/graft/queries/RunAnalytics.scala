@@ -220,5 +220,80 @@ object RunAnalytics {
               .otherwise(lit(""))).as("narrative"))
   }
 
-  val all: Seq[Q] = Seq(a01, b01, b02, b03, b04, b05)
+  // ---------------------------------------------------------------
+  // b06 — the COMPOSED find_patterns report (`builder/query.py:
+  // 222-282`; VERDICT r8 ask #5): per goal, ONE frame carrying the
+  // success rate, the top-5 failure-message histogram (count-desc,
+  // message tie-break) and the >0.10-failure-rate nodes (rate-desc) —
+  // b01/b02 oracle-check the pieces, this entry locks the composition
+  // via [[graft.operators.BuilderQueries.findPatterns]] itself. Event
+  // mapping (the family-B convention): run = user stream, goal =
+  // user_id % 5, decision success = value ≥ 50 (b01's rule), run
+  // failed iff it has an 'error' event, and the failure MESSAGE is
+  // the min error value bucketed by 25 ('e0'..'e4' — a deterministic
+  // stand-in for the reference's error strings). The two list columns
+  // are emitted as comma-joined strings (b03's convention: native
+  // list columns are not hash-stable cross-engine).
+  val b06 = Q(
+    "b06_find_patterns",
+    """WITH runs AS (
+      |  SELECT user_id % 5 AS goal_id,
+      |    CASE WHEN SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |      > 0 THEN 'failed' ELSE 'completed' END AS status,
+      |    CASE WHEN SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |      > 0 THEN 'e' || CAST(CAST(floor(COALESCE(
+      |        MIN(CASE WHEN event_type = 'error' THEN value END), -25.0)
+      |        / 25.0) AS BIGINT) AS VARCHAR) END AS error
+      |  FROM events GROUP BY user_id),
+      |rates AS (SELECT goal_id, CAST(COUNT(*) AS BIGINT) AS total_runs,
+      |    AVG(CASE WHEN status = 'completed' THEN 1.0::DOUBLE
+      |        ELSE 0.0::DOUBLE END) AS success_rate
+      |  FROM runs GROUP BY goal_id),
+      |tf AS (SELECT goal_id, error, COUNT(*) AS n FROM runs
+      |       WHERE status = 'failed' AND error IS NOT NULL
+      |       GROUP BY 1, 2),
+      |tf5 AS (SELECT goal_id, error, rn FROM
+      |         (SELECT *, ROW_NUMBER() OVER (PARTITION BY goal_id
+      |            ORDER BY n DESC, error) AS rn FROM tf)
+      |        WHERE rn <= 5),
+      |tfa AS (SELECT goal_id, string_agg(error, ',' ORDER BY rn)
+      |          AS top_failures FROM tf5 GROUP BY goal_id),
+      |pd AS (SELECT user_id % 5 AS goal_id, event_type AS node_id,
+      |    AVG(CASE WHEN value >= 50 THEN 0.0::DOUBLE
+      |        ELSE 1.0::DOUBLE END) AS failure_rate
+      |  FROM events GROUP BY 1, 2),
+      |pna AS (SELECT goal_id, string_agg(node_id, ','
+      |          ORDER BY failure_rate DESC, node_id) AS problematic_nodes
+      |        FROM pd WHERE failure_rate > 0.10 GROUP BY goal_id)
+      |SELECT r.goal_id, r.total_runs, r.success_rate,
+      |  COALESCE(tfa.top_failures, '') AS top_failures,
+      |  COALESCE(pna.problematic_nodes, '') AS problematic_nodes
+      |FROM rates r LEFT JOIN tfa ON r.goal_id = tfa.goal_id
+      |LEFT JOIN pna ON r.goal_id = pna.goal_id""".stripMargin) {
+    (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val nErr = sum(when(col("event_type") === "error", 1).otherwise(0))
+      val errMin = min(when(col("event_type") === "error", col("value")))
+      val runs = ev.groupBy("user_id")
+        .agg(nErr.as("n_err"), errMin.as("err_min"))
+        .select(
+          col("user_id").as("run_id"),
+          (col("user_id") % 5).as("goal_id"),
+          when(col("n_err") > 0, "failed").otherwise("completed")
+            .as("status"),
+          when(col("n_err") > 0, concat(lit("e"),
+            floor(coalesce(col("err_min"), lit(-25.0)) / 25.0)
+              .cast(LongType).cast(StringType))).as("error"))
+      val decisions = ev.select(
+        (col("user_id") % 5).as("goal_id"),
+        col("event_type").as("node_id"),
+        when(col("value") >= 50, true).otherwise(false).as("success"))
+      graft.operators.BuilderQueries.findPatterns(runs, decisions)
+        .select(col("goal_id"), col("total_runs"), col("success_rate"),
+          array_join(col("top_failures"), ",").as("top_failures"),
+          array_join(col("problematic_nodes"), ",")
+            .as("problematic_nodes"))
+  }
+
+  val all: Seq[Q] = Seq(a01, b01, b02, b03, b04, b05, b06)
 }

@@ -1,0 +1,137 @@
+package graft.sources
+
+import java.io.OutputStream
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, StandardOpenOption}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.Sessions
+
+/** Live HTTP ingress for [[WebhookSource]] (VERDICT r8 ask #6;
+  * reference `runtime/webhook_server.py:55-171`).
+  *
+  * A zero-dependency JDK `com.sun.net.httpserver` listener that
+  * performs the reference server's per-request decision — route match
+  * → method check → HMAC-SHA256 verify → ack — and APPENDS every
+  * request as one JSONL envelope (the [[WebhookSource.requestSchema]]
+  * layout) into the drop directory [[WebhookSource.fromDropDir]]
+  * consumes. The engine-side pipeline ([[WebhookSource.ingest]])
+  * re-derives the same outcome columnar-style, so the listener's
+  * synchronous HTTP status and the engine's replayed classification
+  * can be asserted equal (the spec does) — the listener is transport,
+  * never the source of truth.
+  *
+  * Response statuses mirror `webhook_server.py:105-145`: unknown path
+  * → 404, method not registered → 405 (aiohttp router behavior), bad
+  * or missing signature on a secreted route → 401, else 202 with an
+  * `{"status":"accepted"}` body. Signature = `sha256=` + lowercase hex
+  * HMAC-SHA256 of the RAW body under the route secret, read from
+  * `X-Hub-Signature-256` case-insensitively (`:152-158`).
+  *
+  * Single-threaded executor: envelope appends stay ordered and the
+  * append itself is a single `Files.write(APPEND)` per request — at
+  * real scale the collector tier is many such listeners writing to
+  * partitioned logs; this class is the reference-shaped single node.
+  */
+final class WebhookServer(
+    routes: Seq[WebhookSource.WebhookRoute],
+    dropDir: Path,
+    port: Int = 0) extends AutoCloseable {
+
+  Files.createDirectories(dropDir)
+  private val envelopes = dropDir.resolve("requests.jsonl")
+  private val server =
+    HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.createContext("/", (exchange: HttpExchange) => handle(exchange))
+  server.setExecutor(null)
+  server.start()
+
+  /** The ephemeral port actually bound (pass port=0 in tests). */
+  def boundPort: Int = server.getAddress.getPort
+
+  override def close(): Unit = server.stop(0)
+
+  private def hmacHex(secret: String, body: Array[Byte]): String = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(
+      secret.getBytes(UTF_8), "HmacSHA256"))
+    mac.doFinal(body).map("%02x".format(_)).mkString
+  }
+
+  private def handle(exchange: HttpExchange): Unit = {
+    try {
+      val path = exchange.getRequestURI.getPath
+      val method = exchange.getRequestMethod
+      val body = exchange.getRequestBody.readAllBytes()
+      // first value per header name (the reference reads single
+      // values off its CIMultiDict); original case preserved — the
+      // engine side matches case-insensitively
+      val headers = {
+        val it = exchange.getRequestHeaders.entrySet().iterator()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) {
+          val e = it.next()
+          if (!e.getValue.isEmpty) b += e.getKey -> e.getValue.get(0)
+        }
+        b.result()
+      }
+      val query = Option(exchange.getRequestURI.getRawQuery)
+        .map(_.split("&").iterator.filter(_.nonEmpty).map { kv =>
+          val i = kv.indexOf('=')
+          if (i < 0) urlDecode(kv) -> ""
+          else urlDecode(kv.take(i)) -> urlDecode(kv.drop(i + 1))
+        }.toMap).getOrElse(Map.empty[String, String])
+      val route = routes.find(_.path == path)
+      val sig = headers.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("x-hub-signature-256") => v
+      }.getOrElse("")
+      val status =
+        if (route.isEmpty) 404
+        else if (!route.get.methods.contains(method)) 405
+        else if (route.get.secret.exists(s =>
+          sig != "sha256=" + hmacHex(s, body))) 401
+        else 202
+      // EVERY request is enveloped — the engine pipeline re-derives
+      // the outcome, and rejected requests are an audit trail, not a
+      // silent drop
+      appendEnvelope(path, method, headers, query, new String(body, UTF_8))
+      val resp = status match {
+        case 202 => """{"status":"accepted"}"""
+        case 401 => """{"error":"Invalid signature"}"""
+        case 404 => """{"error":"Not found"}"""
+        case _ => """{"error":"Method not allowed"}"""
+      }
+      val bytes = resp.getBytes(UTF_8)
+      exchange.getResponseHeaders.set("Content-Type", "application/json")
+      exchange.sendResponseHeaders(status, bytes.length)
+      val os: OutputStream = exchange.getResponseBody
+      os.write(bytes)
+      os.close()
+    } finally exchange.close()
+  }
+
+  private def urlDecode(s: String): String =
+    java.net.URLDecoder.decode(s, UTF_8)
+
+  private def jsonMap(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) =>
+      Sessions.jsonEscape(k) + ":" + Sessions.jsonEscape(v)
+    }.mkString("{", ",", "}")
+
+  private def appendEnvelope(path: String, method: String,
+      headers: Map[String, String], query: Map[String, String],
+      body: String): Unit = synchronized {
+    val line = "{" +
+      "\"path\":" + Sessions.jsonEscape(path) + "," +
+      "\"method\":" + Sessions.jsonEscape(method) + "," +
+      "\"headers\":" + jsonMap(headers) + "," +
+      "\"query_params\":" + jsonMap(query) + "," +
+      "\"body\":" + Sessions.jsonEscape(body) + "," +
+      "\"ts\":" + Sessions.jsonEscape(java.time.Instant.now().toString) +
+      "}\n"
+    Files.write(envelopes, line.getBytes(UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+}

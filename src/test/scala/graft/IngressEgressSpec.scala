@@ -122,6 +122,69 @@ class WebhookSourceSpec extends SparkTestBase {
     val data = norm.getAs[Map[String, String]]("data")
     assert(data("path") === "/hooks/open" && data("payload") === """{"a":1}""")
   }
+
+  test("live HTTP ingress: real localhost POSTs → listener statuses " +
+      "(202/401/404/405) → drop-dir envelopes → ingest replays the " +
+      "same outcomes → normalizeReferenceEvents (webhook_server.py:" +
+      "105-145; VERDICT r8 ask #6)") {
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val dir = java.nio.file.Files.createTempDirectory("whs")
+    val srv = new graft.sources.WebhookServer(Seq(
+      WebhookRoute("gh", "/hooks/github", Seq("POST"), Some("s3cret")),
+      WebhookRoute("open", "/hooks/open", Seq("POST", "PUT"), None)),
+      dir)
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val client = HttpClient.newHttpClient()
+      def post(path: String, body: String,
+          headers: Map[String, String] = Map.empty,
+          method: String = "POST"): Int = {
+        var b = HttpRequest.newBuilder(java.net.URI.create(base + path))
+          .method(method, HttpRequest.BodyPublishers.ofString(body))
+        headers.foreach { case (k, v) => b = b.header(k, v) }
+        client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+          .statusCode()
+      }
+      val body = """{"action":"push"}"""
+      val live = Seq(
+        post("/hooks/github", body, Map("X-Hub-Signature-256" ->
+          s"sha256=${hmacHex("s3cret", body)}")),
+        post("/hooks/github", body, Map("X-Hub-Signature-256" ->
+          ("sha256=" + "0" * 64))),
+        post("/nope", "{}"),
+        post("/hooks/open", "{}", method = "PUT"),
+        post("/hooks/open", "{}", method = "DELETE"))
+      assert(live === Seq(202, 401, 404, 202, 405))
+      // engine replay over the listener's own envelopes: the columnar
+      // classification must agree with every synchronous HTTP status
+      val envelopes = spark.read
+        .schema(WebhookSource.requestSchema)
+        .json(dir.toString)
+      assert(envelopes.count() === 5) // rejected requests audit too
+      val replayed = WebhookSource.ingest(envelopes, routes)
+      val byKey = replayed
+        .select("path", "method", "headers", "status").collect()
+        .map(r => (r.getString(0), r.getString(1),
+          r.getAs[Map[String, String]](2)
+            .exists(_._2.startsWith("sha256=0")), r.getInt(3)))
+      assert(byKey.count(_._4 == 202) === 2) // signed gh + open PUT
+      assert(byKey.find(k => k._1 == "/hooks/github" && k._3)
+        .map(_._4) === Some(401))
+      assert(byKey.find(_._1 == "/nope").map(_._4) === Some(404))
+      assert(byKey.find(_._2 == "DELETE").map(_._4) === Some(405))
+      // accepted rows flow end-to-end into the normalized event model
+      val norm = EventStream.normalizeReferenceEvents(
+        WebhookSource.events(replayed)).collect()
+      assert(norm.length === 2)
+      assert(norm.map(_.getAs[String]("eventType")).toSet ===
+        Set("webhook_received"))
+      assert(norm.map(_.getAs[String]("streamId")).toSet ===
+        Set("gh", "open"))
+      assert(norm.forall(_.getAs[Timestamp]("ts") != null))
+      val gh = norm.find(_.getAs[String]("streamId") == "gh").get
+      assert(gh.getAs[Map[String, String]]("data")("payload") === body)
+    } finally srv.close()
+  }
 }
 
 class SseSinkSpec extends SparkTestBase {
