@@ -1093,12 +1093,14 @@ object SourceQueries {
     // correctly-sized filter
     val bloom = graft.streaming.DecontamGate.buildFilter(
       a.filter(col("split") === "eval").select("gid"), BloomFpp)
-    val bc = s.sparkContext.broadcast(bloom)
-    val hit = udf((g: Long) => bc.value.mightContainLong(g))
+    // the probe is Spark's own codegen'd BloomFilterMightContain over
+    // the serialized sketch literal (VERDICT r8 ask #8) — the corpus
+    // scan stays inside whole-stage codegen, no ScalaUDF hop
+    val hit = graft.streaming.DecontamGate.mightContain(bloom, col("gid"))
     a.filter(col("split") === "train")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
-        sum(when(hit(col("gid")), 1L).otherwise(0L)).as("bloom_hits"))
+        sum(when(hit, 1L).otherwise(0L)).as("bloom_hits"))
       .select(col("doc_id"), col("n_grams"), col("bloom_hits"),
         (col("bloom_hits") >= graft.streaming.DecontamGate.MinShared)
           .as("flagged"))

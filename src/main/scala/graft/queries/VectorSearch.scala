@@ -29,7 +29,7 @@ object VectorSearch {
 
   /** v01's query-set bound: the broadcast side is at most this many
     * rows no matter how large the corpus grows. */
-  private val V01Queries = 20
+  private[graft] val V01Queries = 20
 
   /** Oracle fragment: embeddings pre-scaled to integer vectors
     * (sx_i = round(x_i·1e6), one rounding per element per VECTOR), plus
@@ -1969,7 +1969,10 @@ object VectorSearch {
   // would have no negatives and emits nothing (impossible under the
   // spine: labels partition the corpus); pos_best is an inner-join
   // column because every label class has ≥2 members at every SF —
-  // asserted by the LEFT JOIN + IS NOT NULL shape staying green.
+  // a singleton class would silently DROP its spine query in both
+  // engines (the oracle shares the join, so the hash gate can't see
+  // it), which is why the spine-coverage spec asserts every spine
+  // query emits rows at every SF (ADVICE r8).
   val v19 = Q(
     "v19_hard_negatives",
     s"""$normCte,

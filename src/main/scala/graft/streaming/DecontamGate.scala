@@ -47,6 +47,28 @@ object DecontamGate {
     * everything-passes screen). An empty benchmark side yields an
     * explicit all-zero filter (stat.bloomFilter NPEs on empty
     * input). */
+  /** The sketch probe as Spark's OWN codegen'd native (VERDICT r8 ask
+    * #8): `BloomFilterMightContain` over the serialized filter as a
+    * binary literal — the expression Spark's runtime row-group
+    * filtering uses, with a direct `mightContainLong` call generated
+    * into whole-stage codegen. Replaces the interpreted ScalaUDF hop
+    * on s19's corpus-grain scan. The literal rides the task binary
+    * instead of a broadcast — sound here because the benchmark-side
+    * sketch is KB–MB at any corpus size by construction (see the
+    * class doc); a corpus-sized sketch would want the broadcast
+    * back. */
+  def mightContain(bloom: BloomFilter, gid: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bos.toByteArray,
+          org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.GraftColumnBridge.expression(gid)))
+  }
+
   def buildFilter(gids: DataFrame, fpp: Double = 0.01): BloomFilter = {
     require(gids.columns.sameElements(Array("gid")),
       s"buildFilter expects exactly one column named 'gid', got " +

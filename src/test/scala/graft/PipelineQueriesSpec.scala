@@ -1885,4 +1885,22 @@ class PipelineQueriesSpec extends SparkTestBase {
           r.getAs[Double]("pos_best"), r.getAs[Double]("margin")))).toMap
     assert(got === expect)
   }
+
+  test("v19 emits rows for EVERY spine query at every SF — the inner " +
+      "join on pos would silently drop a singleton-label spine query " +
+      "(ADVICE r8: the oracle shares the join, so the hash gate " +
+      "cannot catch that drop)") {
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1").foreach { dir =>
+      val spine = Tables.load(spark, dir, "embeddings")
+        .filter(size(col("embedding")) > 0 && col("vec_id") % 50 === 0)
+        .count().min(queries.VectorSearch.V01Queries.toLong)
+      val emitted = queries.VectorSearch.v19.run(spark, dir)
+        .select("q_id").distinct().count()
+      assert(emitted === spine,
+        s"$dir: v19 emitted $emitted distinct spine queries, corpus " +
+          s"has $spine — a spine query was dropped (singleton label " +
+          "class or empty negative set)")
+    }
+  }
 }

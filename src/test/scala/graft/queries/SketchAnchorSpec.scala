@@ -18,7 +18,16 @@ class SketchAnchorSpec extends SparkTestBase {
     "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
   test("s19 bloom decontamination: zero false negatives vs the exact " +
-      "join twin; total overcount within the fpp bound at every SF") {
+      "join twin; total overcount within the fpp bound at every SF; " +
+      "the probe is codegen-native (no ScalaUDF hop on the corpus scan)") {
+    // VERDICT r8 ask #8: the probe compiles to Spark's own
+    // BloomFilterMightContain — the corpus-grain scan must carry no
+    // interpreted UDF node
+    val plan = SourceQueries.s19.run(spark, dirs.head)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      plan.take(2000))
+    assert(plan.contains("might_contain"), plan.take(2000))
     dirs.foreach { dir =>
       val out = SourceQueries.s19.run(spark, dir).collect()
         .map(r => r.getLong(0) ->
@@ -124,18 +133,33 @@ class SketchAnchorSpec extends SparkTestBase {
           size(graft.functions.Fns.tokens(col("text"))).as("k"))
         .groupBy("source").agg(sum("k").as("n")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // the never-undercount half is a DETERMINISTIC CMS property —
+      // it must hold for every probe on any fixture
       rows.foreach { r =>
-        val src = r.getAs[String]("source")
-        val exact = r.getAs[Long]("n_exact")
-        val est = r.getAs[Long]("cms_estimate")
-        assert(est >= exact,
-          s"$dir $src '${r.getAs[String]("token")}' undercount: " +
-            s"cms=$est exact=$exact")
-        val bound = math.max(2.0, TextAnalysis.CmsEps * n(src))
-        assert(est - exact <= bound,
-          s"$dir $src '${r.getAs[String]("token")}' overcount " +
-            s"${est - exact} > $bound")
+        assert(r.getAs[Long]("cms_estimate") >= r.getAs[Long]("n_exact"),
+          s"$dir ${r.getAs[String]("source")} " +
+            s"'${r.getAs[String]("token")}' undercount: " +
+            s"cms=${r.getAs[Long]("cms_estimate")} " +
+            s"exact=${r.getAs[Long]("n_exact")}")
       }
+      // the eps*N half is only PER-QUERY probabilistic (1−δ = 0.99):
+      // a per-row assertion held before only because seed and corpus
+      // are fixed (ADVICE r8). Tolerate ≤1 % of probes over the bound
+      // so a new SF/fixture fails only on a real sketch bug, not on
+      // the expected δ tail — and name the dependence in the message.
+      val over = rows.filter { r =>
+        val bound = math.max(2.0, TextAnalysis.CmsEps * n(r.getAs[String]("source")))
+        r.getAs[Long]("cms_estimate") - r.getAs[Long]("n_exact") > bound
+      }
+      val allowed = math.max(1, rows.length / 100)
+      assert(over.length <= allowed,
+        s"$dir ${over.length}/${rows.length} probes exceed eps*N " +
+          s"(allowed $allowed at delta=0.01). If this fires after a " +
+          "fixture/SF change it may be the expected per-query delta " +
+          "tail (fixed-seed dependence), not a regression — check " +
+          s"the offenders: ${over.take(3).map(r =>
+            r.getAs[String]("source") + "/" + r.getAs[String]("token"))
+            .mkString(", ")}")
     }
   }
 }
