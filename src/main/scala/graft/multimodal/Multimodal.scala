@@ -514,8 +514,9 @@ object Multimodal {
   // programs), pages are the document-order content streams that
   // contain BT (exact for the common one-stream-per-page layout;
   // object-stream-packed pages degrade like the metadata tier), and
-  // LZW/DCT/other filters skip. Tolerant throughout: a malformed
-  // stream contributes nothing, never a dead row.
+  // DCT/JBIG2/other image filters skip (FlateDecode and LZWDecode
+  // both decode). Tolerant throughout: a malformed stream
+  // contributes nothing, never a dead row.
 
   val pdfTextSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -537,6 +538,60 @@ object Multimodal {
       while (n > 0) { out.write(buf, 0, n); n = inf.inflate(buf) }
       inf.end()
       if (out.size == 0) None else Some(out.toByteArray)
+    } catch { case _: Exception => None }
+
+  /** Decode a PDF LZWDecode stream body (PDF 32000-1 §7.4.4:
+    * TIFF-convention LZW — 9→12-bit codes packed MSB-first, code 256
+    * clears the table, 257 is EOD, new entries start at 258, and the
+    * code width grows one entry EARLY by default, `earlyChange` = 1,
+    * matching the spec's default DecodeParms). None on malformed
+    * input, same tolerance contract as [[inflate]]. */
+  private[graft] def lzwDecode(b: Array[Byte], from: Int, until: Int,
+      earlyChange: Int = 1): Option[Array[Byte]] =
+    try {
+      val out = new java.io.ByteArrayOutputStream(
+        math.max(64, (until - from) * 4))
+      val entries = new Array[Array[Byte]](4096) // 258+ composite codes
+      var next = 258
+      var width = 9
+      var prev: Array[Byte] = null
+      var bitBuf = 0L
+      var bitCnt = 0
+      var i = from
+      var done = false
+      var bad = false
+      while (!done && !bad && (bitCnt >= width || i < until)) {
+        while (bitCnt < width && i < until) {
+          bitBuf = (bitBuf << 8) | (b(i) & 0xffL); bitCnt += 8; i += 1
+        }
+        if (bitCnt < width) done = true // trailing partial code: pad bits
+        else {
+          val code = ((bitBuf >>> (bitCnt - width)) & ((1L << width) - 1)).toInt
+          bitCnt -= width
+          if (code == 256) { next = 258; width = 9; prev = null }
+          else if (code == 257) done = true
+          else {
+            val entry: Array[Byte] =
+              if (code < 256) Array(code.toByte)
+              else if (code >= 258 && code < next) entries(code)
+              else if (code == next && prev != null) prev :+ prev(0) // KwKwK
+              else { bad = true; null } // code ahead of the table
+            if (!bad) {
+              out.write(entry, 0, entry.length)
+              if (prev != null && next < 4096) {
+                entries(next) = prev :+ entry(0)
+                next += 1
+                // decoder lags the encoder by one entry; EarlyChange=1
+                // bumps at 511/1023/2047 (pdf.js's nextCode+earlyChange)
+                if (width < 12 && next + earlyChange >= (1 << width))
+                  width += 1
+              }
+              prev = entry
+            }
+          }
+        }
+      }
+      if (bad || out.size == 0) None else Some(out.toByteArray)
     } catch { case _: Exception => None }
 
   /** Replay the text-showing operators of ONE decoded content stream.
@@ -681,6 +736,9 @@ object Multimodal {
           math.min(i - objStart, 512), "ISO-8859-1")
         val decoded: Option[Array[Byte]] =
           if (dict.contains("/FlateDecode")) inflate(b, from, until)
+          else if (dict.contains("/LZWDecode"))
+            lzwDecode(b, from, until,
+              earlyChange = if (dict.contains("/EarlyChange 0")) 0 else 1)
           else if (dict.contains("/Filter")) None // unsupported codec
           else Some(java.util.Arrays.copyOfRange(b, from, until))
         decoded.flatMap(contentText).foreach { t =>

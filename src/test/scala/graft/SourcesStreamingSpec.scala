@@ -190,6 +190,96 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(1).isNullAt(out(1).fieldIndex("content")))
   }
 
+  // PDF-variant LZW encoder (PDF 32000-1 §7.4.4 TIFF convention) for
+  // building LZWDecode fixtures: 9→12-bit MSB-first, 256=clear,
+  // 257=EOD, EarlyChange=1. The encoder's table runs one entry ahead
+  // of the decoder's, so its width bump threshold is one higher
+  // (next + 1 > 2^w where the decoder uses next + 1 >= 2^w).
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val dict = scala.collection.mutable.HashMap.empty[Seq[Byte], Int]
+    (0 until 256).foreach(c => dict(Seq(c.toByte)) = c)
+    var next = 258
+    var width = 9
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L
+    var bitCnt = 0
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code; bitCnt += width
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >>> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8
+      }
+    }
+    put(256)
+    var w = Vector.empty[Byte]
+    data.foreach { ch =>
+      val wc = w :+ ch
+      if (dict.contains(wc)) w = wc
+      else {
+        put(dict(w))
+        if (next < 4096) {
+          dict(wc.toSeq) = next; next += 1
+          if (width < 12 && next + 1 > (1 << width)) width += 1
+        }
+        w = Vector(ch)
+      }
+    }
+    if (w.nonEmpty) put(dict(w))
+    put(257)
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  test("pdf LZWDecode: the PDF 32000-1 §7.4.4.2 published vector, a " +
+      "9→10-bit width-boundary round trip, and an LZW page extracting " +
+      "identically to its Flate twin") {
+    // the spec's own worked example — an independent byte-exact check
+    // of the decoder (clear, literal, KwKwK-adjacent composites, EOD)
+    val specEncoded = Array(0x80, 0x0B, 0x60, 0x50, 0x22, 0x0C, 0x0C,
+      0x85, 0x01).map(_.toByte)
+    val specPlain = Array(45, 45, 45, 45, 45, 65, 45, 45, 45, 66)
+      .map(_.toByte)
+    assert(Multimodal.lzwDecode(specEncoded, 0, specEncoded.length)
+      .get.toSeq === specPlain.toSeq)
+    // and the fixture encoder reproduces the spec's encoding exactly
+    assert(lzwEncode(specPlain).toSeq === specEncoded.toSeq)
+    // width boundary: enough distinct digrams to push the table past
+    // entry 511 (9→10-bit switch on BOTH sides, else garbage decode)
+    val rnd = new scala.util.Random(42)
+    val big = Array.fill(4000)((rnd.nextInt(64) + 32).toByte)
+    val enc = lzwEncode(big)
+    assert(Multimodal.lzwDecode(enc, 0, enc.length).get.toSeq ===
+      big.toSeq)
+    // pure-KwKwK stream (aaaa… emits code==next immediately)
+    val runs = Array.fill(600)('a'.toByte)
+    val encR = lzwEncode(runs)
+    assert(Multimodal.lzwDecode(encR, 0, encR.length).get.toSeq ===
+      runs.toSeq)
+    // malformed: a code ahead of the table must yield None, not junk
+    // (0x80 0xFF 0xC0 = clear(256) then code 511 on an empty table)
+    val badBytes = Array(0x80, 0xFF, 0xC0).map(_.toByte)
+    assert(Multimodal.lzwDecode(badBytes, 0, 3).isEmpty)
+    // page fixture: identical content stream once Flate, once LZW —
+    // extraction must be byte-identical (VERDICT r8 ask #9)
+    val page = "BT (Deep\\nEnd) Tj T* (fin.) Tj ET"
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(page.getBytes("ISO-8859-1"))
+    deflater.finish()
+    val zbuf = new Array[Byte](1024)
+    val zlen = deflater.deflate(zbuf)
+    val lzw = lzwEncode(page.getBytes("ISO-8859-1"))
+    def pdfWith(body: Array[Byte], filter: String): Array[Byte] =
+      (s"%PDF-1.5\n1 0 obj\n<< /Type /Page >>\nendobj\n" +
+        s"2 0 obj\n<< /Length ${body.length} /Filter /$filter >>\nstream\n")
+        .getBytes("ISO-8859-1") ++ body ++
+        "\nendstream\nendobj\ntrailer\n%%EOF".getBytes("ISO-8859-1")
+    val flateR = Multimodal.pdfText(
+      pdfWith(java.util.Arrays.copyOf(zbuf, zlen), "FlateDecode"))
+    val lzwR = Multimodal.pdfText(pdfWith(lzw, "LZWDecode"))
+    assert(flateR.getString(2) === "--- Page 1 ---\nDeep\nEnd\nfin.\n")
+    assert(lzwR.getString(2) === flateR.getString(2))
+    assert(lzwR.getLong(1) === 1L && lzwR.getLong(3) === flateR.getLong(3))
+  }
+
   test("sampleFrameIndexes: metadata-only frame sampling") {
     val rows = java.util.Arrays.asList(
       Row(7L, "video", null, null, 1000L, null))
