@@ -407,10 +407,16 @@ object Multimodal {
   // library. Page counting scans for uncompressed `/Type /Page`
   // dictionaries (the standard codec-free heuristic); stream bodies
   // (`stream`..`endstream`) are skipped so compressed bytes can't
-  // false-positive the counters. Pages stored inside compressed
-  // object streams (PDF 1.5+ xref streams) still undercount — the
-  // honest limit of the zero-dependency rule, the same degrade
-  // contract as the codec-less video tier.
+  // false-positive the counters — EXCEPT compressed object streams
+  // (PDF 1.5+ `/Type /ObjStm`, where modern writers pack the page
+  // dicts): those decode through the same Flate/LZW path the text
+  // tier uses and their INNER objects are counted — pages by the
+  // same `/Type /Page` scan (an ObjStm holds only non-stream
+  // objects, so no binary bytes can false-positive inside), objects
+  // by the dict's own /N declaration. Pages behind filters this
+  // engine doesn't decode (DCT etc.) still undercount — the honest
+  // limit of the zero-dependency rule, the same degrade contract as
+  // the codec-less video tier.
 
   val pdfSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -440,16 +446,58 @@ object Multimodal {
     var pages = 0L
     var objs = 0L
     var i = 0
+    var objStart = 0 // start of the current object (ObjStm sniffing)
+    // `/Type <ws*> /Page` scan over an already-DECODED byte run (an
+    // ObjStm body holds only non-stream objects — no binary data)
+    def countPages(s: Array[Byte]): Long = {
+      var n = 0L
+      var k = 0
+      while (k < s.length) {
+        if ((s(k) & 0xff) == '/' && ascii(s, k, "/Type")) {
+          var j = k + 5
+          while (j < s.length && isPdfWs(s(j) & 0xff)) j += 1
+          if (ascii(s, j, "/Page")) {
+            val nxt = if (j + 5 < s.length) s(j + 5) & 0xff else -1
+            if (!(nxt >= 'A' && nxt <= 'Z') && !(nxt >= 'a' && nxt <= 'z'))
+              n += 1
+          }
+        }
+        k += 1
+      }
+      n
+    }
     while (i < b.length) {
       if ((b(i) & 0xff) == 's' && ascii(b, i, "stream") &&
           !(i >= 3 && ascii(b, i - 3, "endstream")) &&
           i > 0 && ((b(i - 1) & 0xff) == '>' || isPdfWs(b(i - 1) & 0xff))) {
         // jump past the matching endstream (or EOF on truncation)
-        var k = i + 6
+        var from = i + 6
+        if (from < b.length && (b(from) & 0xff) == '\r') from += 1
+        if (from < b.length && (b(from) & 0xff) == '\n') from += 1
+        var k = from
         var end = -1
         while (end < 0 && k < b.length) {
           if ((b(k) & 0xff) == 'e' && ascii(b, k, "endstream")) end = k
           k += 1
+        }
+        val until = if (end >= 0) end else b.length
+        // a compressed object stream: decode and count what it packs
+        val dict = new String(b, objStart,
+          math.min(i - objStart, 512), "ISO-8859-1")
+        if (dict.contains("/ObjStm")) {
+          val decoded: Option[Array[Byte]] =
+            if (dict.contains("/FlateDecode")) inflate(b, from, until)
+            else if (dict.contains("/LZWDecode"))
+              lzwDecode(b, from, until,
+                earlyChange = if (dict.contains("/EarlyChange 0")) 0 else 1)
+            else if (dict.contains("/Filter")) None
+            else Some(java.util.Arrays.copyOfRange(b, from, until))
+          decoded.foreach { body =>
+            pages += countPages(body)
+            // the dict declares how many objects it packs
+            objs += """/N\s+(\d+)""".r.findFirstMatchIn(dict)
+              .map(_.group(1).toLong).getOrElse(0L)
+          }
         }
         i = if (end >= 0) end + 9 else b.length
       } else {
@@ -466,8 +514,10 @@ object Multimodal {
         if ((b(i) & 0xff) == 'o' && ascii(b, i, "obj") &&
             i > 0 && isPdfWs(b(i - 1) & 0xff) &&
             (i + 3 >= b.length || isPdfWs(b(i + 3) & 0xff) ||
-              (b(i + 3) & 0xff) == '<'))
+              (b(i + 3) & 0xff) == '<')) {
           objs += 1
+          objStart = i
+        }
         i += 1
       }
     }

@@ -280,6 +280,52 @@ class MultimodalSpec extends SparkTestBase {
     assert(lzwR.getLong(1) === 1L && lzwR.getLong(3) === flateR.getLong(3))
   }
 
+  test("pdf ObjStm: pages and objects packed in PDF 1.5+ compressed " +
+      "object streams count via Flate/LZW decode; undecodable filters " +
+      "degrade to the outer scan") {
+    def deflate(s: String): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(s.getBytes("ISO-8859-1")); d.finish()
+      val buf = new Array[Byte](4096)
+      java.util.Arrays.copyOf(buf, d.deflate(buf))
+    }
+    // two page dicts + a /Pages tree node (must NOT count) packed the
+    // way writers emit ObjStm bodies: the offset pair table, then the
+    // serialized non-stream objects
+    val inner = "3 0 4 38 5 76 " +
+      "<< /Type /Pages /Count 2 >>\n" +
+      "<< /Type /Page /Parent 5 0 R >>\n<< /Type /Page /Parent 5 0 R >>"
+    def doc(body: Array[Byte], filter: String): Array[Byte] =
+      ("%PDF-1.5\n" +
+        "1 0 obj\n<< /Type /Catalog >>\nendobj\n" +
+        "2 0 obj\n<< /Type /Page >>\nendobj\n" + // one uncompressed page
+        s"6 0 obj\n<< /Type /ObjStm /N 3 /First 12 " +
+        s"/Length ${body.length} /Filter /$filter >>\nstream\n")
+        .getBytes("ISO-8859-1") ++ body ++
+        "\nendstream\nendobj\ntrailer\n%%EOF".getBytes("ISO-8859-1")
+    val flate = Multimodal.sniffPdf(doc(deflate(inner), "FlateDecode"))
+    assert(flate.getLong(1) === 3L) // 1 uncompressed + 2 packed pages
+    assert(flate.getLong(2) === 6L) // 3 outer obj headers + /N 3 inner
+    // LZW twin decodes identically
+    val lzw = Multimodal.sniffPdf(doc(lzwEncode(
+      inner.getBytes("ISO-8859-1")), "LZWDecode"))
+    assert(lzw.getLong(1) === 3L && lzw.getLong(2) === 6L)
+    // an undecodable ObjStm degrades to the outer counts, no crash
+    val dct = Multimodal.sniffPdf(doc(deflate(inner), "DCTDecode"))
+    assert(dct.getLong(1) === 1L && dct.getLong(2) === 3L)
+    // a NON-ObjStm compressed stream still never feeds the counters,
+    // even when its bytes would decode to page-dict lookalikes
+    val decoy = ("%PDF-1.5\n1 0 obj\n<< /Length 1 /Filter " +
+      "/FlateDecode >>\nstream\n").getBytes("ISO-8859-1") ++
+      deflate("<< /Type /Page >> 9 0 obj") ++
+      "\nendstream\nendobj\n%%EOF".getBytes("ISO-8859-1")
+    val d2 = Multimodal.sniffPdf(decoy)
+    assert(d2.getLong(1) === 0L && d2.getLong(2) === 1L)
+    // and the text tier's total_pages picks up the packed count
+    val t = Multimodal.pdfText(doc(deflate(inner), "FlateDecode"))
+    assert(t.getLong(0) === 3L)
+  }
+
   test("sampleFrameIndexes: metadata-only frame sampling") {
     val rows = java.util.Arrays.asList(
       Row(7L, "video", null, null, 1000L, null))
