@@ -93,15 +93,20 @@ class RocksDbSoakSpec extends SparkTestBase {
       val horizonBatches = 10 // watermark "10 minutes", 1 min per batch
       val t0 = 1700000000000L
 
-      // deterministic text per docId: 8 tokens over a 5000-word
-      // vocabulary. Every 5th row copies the NEXT row of a batch
+      // deterministic text per docId: 8 tokens over a 2M-word
+      // vocabulary (large enough that two ORIGINALS sharing a 3-gram
+      // min-shingle is birthday-negligible even at 1M docs — at 5k
+      // words a handful of far-apart originals collided on their
+      // fingerprint, which is legitimate beyond-horizon stream
+      // behavior but breaks the exact parity assertions).
+      // Every 5th row copies the NEXT row of a batch
       // 1..8 minutes earlier — an exact dup inside the horizon, of a
       // row that is itself an ORIGINAL (j+1 is never ≡0 mod 5), so
       // no dup chain can stretch past the watermark and stream-kept
       // must equal the batch twin's global dedup.
       def textFor(id: Long): String = {
         val r = new scala.util.Random(id * 2654435761L)
-        Seq.fill(8)("tok" + r.nextInt(5000)).mkString(" ")
+        Seq.fill(8)("tok" + r.nextInt(1 << 21)).mkString(" ")
       }
       def batchRows(b: Int): Seq[SoakDoc] = {
         val ts = new Timestamp(t0 + b * 60000L)
