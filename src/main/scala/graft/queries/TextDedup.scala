@@ -623,27 +623,33 @@ object TextDedup {
           .groupBy("doc_id")
           .agg(bitSums.head, bitSums.tail: _*)
           .select(col("doc_id"), assemble.as("sh")))
-        // 1-row corpus total → derived 2^pw / 2^(4·pw), broadcast back
-        // (t10's corpus-total pattern; exact twin of p2Sql/w2Sql)
-        val ind = (9 to 15).map(j =>
-          when(col("nd") > SimhashBucketTarget * (1L << (j - 1)), 1L)
-            .otherwise(0L))
-        val tot = sim.agg(count(lit(1)).as("nd"))
-          .select(
-            ind.map(i => lit(1L) + i).foldLeft(lit(256L))(_ * _).as("p2"),
-            ind.map(i => lit(1L) + lit(15L) * i)
-              .foldLeft(lit(4294967296L))(_ * _).as("w2"))
-        val eff = sim.crossJoin(broadcast(tot))
-          .select(col("doc_id"), (col("sh") % col("w2")).as("simhash"),
-            col("p2"))
-        // pigeonhole: hamming<=3 over 4 pieces => >=1 piece identical;
-        // piece width pw is the derived column (p2 = 2^pw, p2^3 < 2^46)
+        // width derivation as ONE driver-side scalar sync off the pin
+        // (the d16/d14 plan-time precedent) — the same exact-integer
+        // indicator algebra as the oracle's p2Sql/w2Sql, but yielding
+        // LITERAL divisors: with the derivation in-plan (a 1-row agg
+        // crossJoined ABOVE the pin) the two piece-join sides were no
+        // longer identical subtrees, defeating exchange reuse — each
+        // bench rep shuffled the pieces twice and d04 ran 2.4× d12's
+        // steady state at Heaps-100× despite deriving d12's exact
+        // configuration. Literals restore d12's plan shape (one
+        // reused exchange, constant-folded piece math).
+        val nd = sim.count()
+        val indL = (9 to 15).map(j =>
+          if (nd > SimhashBucketTarget * (1L << (j - 1))) 1L else 0L)
+        val p2 = indL.foldLeft(256L)((acc, i) => acc * (1L + i))
+        val w2 = indL.foldLeft(4294967296L)((acc, i) =>
+          acc * (1L + 15L * i))
+        val eff = sim.select(col("doc_id"),
+          (col("sh") % lit(w2)).as("simhash"))
+        // pigeonhole: hamming<=3 over 4 pieces => >=1 piece identical
+        // (p2 = 2^pw, p2^3 < 2^46 so the div chain stays in BIGINT)
         val pieces = eff.select(col("doc_id"), col("simhash"),
           posexplode(array(
-            expr("simhash % p2"),
-            expr("(simhash div p2) % p2"),
-            expr("(simhash div (p2*p2)) % p2"),
-            expr("(simhash div (p2*p2*p2)) % p2"))).as(Seq("p", "piece")))
+            expr(s"simhash % ${p2}L"),
+            expr(s"(simhash div ${p2}L) % ${p2}L"),
+            expr(s"(simhash div ${p2 * p2}L) % ${p2}L"),
+            expr(s"(simhash div ${p2 * p2 * p2}L) % ${p2}L")))
+            .as(Seq("p", "piece")))
         val cand = pieces.toDF("doc_a", "sim_a", "p", "piece")
           .join(pieces.toDF("doc_b", "sim_b", "p", "piece"),
             Seq("p", "piece"))

@@ -120,12 +120,17 @@ class PlanAuditSpec extends SparkTestBase {
       //  corpus-total agg deriving the cell width — v20's audited
       //  pattern, broadcast back, never corpus-grain)             -> 2
       "d06_embedding_neardup" -> 2,
-      //  d04 (round 9, auto-width): the signature agg (pays in its
-      //  pin build), the 1-row width-derivation agg over the pinned
-      //  signatures, and the candidate distinct; the piece self-join
-      //  broadcasts at this SF. Exactly ONE more than the fixed-width
-      //  construction — the derivation's price, 1-row grain         -> 3
-      "d04_simhash" -> 3,
+      //  d04 (round 9, auto-width): the width derivation is a
+      //  DRIVER-side scalar count off the pin (d16's plan-time
+      //  precedent), so the audited plan is EXACTLY the fixed-width
+      //  construction's — d12's 1 (signature agg pays in the pin
+      //  build, piece self-join broadcasts at this SF, candidate
+      //  distinct is the one exchange). The previous in-plan 1-row
+      //  derivation crossJoined above the pin made the two
+      //  piece-join sides non-identical subtrees, defeating exchange
+      //  reuse (measured 2.4× d12 at Heaps-100×). A second exchange
+      //  here means the derivation moved back in-plan             -> 1
+      "d04_simhash" -> 1,
       "d12_simhash_wide" -> 1,
       "d13_embedding_neardup_wide" -> 1,
       //  round-6 additions (audited 2026-08-14):
@@ -239,12 +244,12 @@ class PlanAuditSpec extends SparkTestBase {
       //       the walk's distinct-cache dedup and cache hits from
       //       earlier audited queries.) Growth here without a member
       //       regressing means the consensus stopped being a single
-      //       union+agg. Round 9 (+2): d04's auto-width member now
-      //       pays its 1-row width-derivation agg, and its 60-bit
-      //       signature pin is DISTINCT from d12's (the 32-bit pin
-      //       it shared before no longer exists) — both 1-row/
-      //       signature-grain, never candidate-grain              -> 10
-      "d16_ensemble_dups" -> 10,
+      //       union+agg. Round 9: d04's auto-width member audits at
+      //       d12's exact shape (its width derivation is a
+      //       driver-side count, not an exchange), so the ensemble
+      //       stays at its historical 8 — signature-grain members,
+      //       never candidate-grain                                -> 8
+      "d16_ensemble_dups" -> 8,
       //  s16: s06's audited pipeline underneath (pair repartition +
       //       eval-size agg + report agg = 3, with cappedGids cache
       //       hits from d02's earlier audit) + the apply's own
