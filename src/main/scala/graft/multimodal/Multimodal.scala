@@ -559,9 +559,12 @@ object Multimodal {
   // text-showing operators (Tj, ', ", TJ) replay inside BT..ET blocks
   // with PDF literal-string escapes (\n \r \t \b \f \( \) \\ \ooo,
   // line continuations), hex strings, and Td/TD/T*/'/" line breaks.
-  // Documented limits of the zero-dependency rule: bytes map through
-  // Latin-1 (standard-font PDFs; CID/CMap-encoded fonts need font
-  // programs), pages are the document-order content streams that
+  // Documented limits of the zero-dependency rule: literal-string
+  // bytes map through Latin-1 (standard-font PDFs), HEX strings map
+  // through the document's /ToUnicode CMaps when fully covered (the
+  // dominant CID-text encoding — see [[toUnicodeCMap]]; per-font
+  // resolution of CONFLICTING 2-byte codes would need the object
+  // graph), pages are the document-order content streams that
   // contain BT (exact for the common one-stream-per-page layout;
   // object-stream-packed pages degrade like the metadata tier), and
   // DCT/JBIG2/other image filters skip (FlateDecode and LZWDecode
@@ -644,10 +647,102 @@ object Multimodal {
       if (bad || out.size == 0) None else Some(out.toByteArray)
     } catch { case _: Exception => None }
 
+  /** Parse a decoded /ToUnicode CMap stream (PDF 32000-1 §9.10.3)
+    * into a 2-byte-code → Unicode map: `beginbfchar` pairs, both
+    * `beginbfrange` forms (incrementing destination and explicit
+    * array), destinations decoded as UTF-16BE (so ligature multi-unit
+    * values work). None when the bytes are not a CMap, carry no
+    * 4-hex-digit (2-byte) source codes, or are malformed — the
+    * tolerance contract of the other decoders. Range expansion is
+    * capped at the 2-byte code space. */
+  private[graft] def toUnicodeCMap(s: Array[Byte]): Option[Map[Int, String]] = {
+    val text = new String(s, "ISO-8859-1")
+    if (!text.contains("begincmap") ||
+        !(text.contains("beginbfchar") || text.contains("beginbfrange")))
+      return None
+    // PDF hex strings may carry whitespace between digits — strip it
+    // at the token boundary so writer line-wrapping can't break codes
+    def clean(h: String): String = h.replaceAll("\\s", "")
+    def hexStr(h0: String): String = {
+      val h = clean(h0)
+      val even = if (h.length % 2 == 1) h + "0" else h
+      val bytes = even.grouped(2)
+        .map(x => Integer.parseInt(x, 16).toByte).toArray
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_16BE)
+    }
+    val m = scala.collection.mutable.HashMap.empty[Int, String]
+    val hexTok = "<([0-9A-Fa-f\\s]+)>".r
+    try {
+      for (sec <- "(?s)beginbfchar(.*?)endbfchar".r
+          .findAllMatchIn(text)) {
+        hexTok.findAllMatchIn(sec.group(1)).map(_.group(1)).toSeq
+          .grouped(2).foreach {
+            case Seq(src, dst) if clean(src).length == 4 =>
+              m(Integer.parseInt(clean(src), 16)) = hexStr(dst)
+            case _ => ()
+          }
+      }
+      for (sec <- "(?s)beginbfrange(.*?)endbfrange".r
+          .findAllMatchIn(text)) {
+        // tokens: hex strings and the array brackets of form 2
+        val toks = "<([0-9A-Fa-f\\s]+)>|\\[|\\]".r
+          .findAllMatchIn(sec.group(1)).toIndexedSeq
+        var i = 0
+        def hex(k: Int): String =
+          if (k < toks.length && toks(k).group(1) != null)
+            clean(toks(k).group(1))
+          else null
+        while (i + 2 < toks.length) {
+          val lo0 = hex(i)
+          val hi0 = hex(i + 1)
+          if (lo0 != null && hi0 != null &&
+              lo0.length == 4 && hi0.length == 4) {
+            val lo = Integer.parseInt(lo0, 16)
+            val hi = math.min(Integer.parseInt(hi0, 16), 0xffff)
+            if (hex(i + 2) != null) { // <lo> <hi> <dstStart>
+              val base = hexStr(hex(i + 2))
+              var d = 0
+              while (lo + d <= hi) {
+                m(lo + d) =
+                  if (d == 0) base
+                  else { // the LAST code unit increments (§9.10.3)
+                    val cs = base.toCharArray
+                    cs(cs.length - 1) = (cs(cs.length - 1) + d).toChar
+                    new String(cs)
+                  }
+                d += 1
+              }
+              i += 3
+            } else { // <lo> <hi> [ <d0> <d1> ... ]
+              var j = i + 3 // past '['
+              var code = lo
+              while (j < toks.length && hex(j) != null && code <= hi) {
+                m(code) = hexStr(hex(j)); code += 1; j += 1
+              }
+              if (j < toks.length && hex(j) == null) j += 1 // ']'
+              i = j
+            }
+          } else i += 1
+        }
+      }
+    } catch { case _: Exception => return None }
+    if (m.isEmpty) None else Some(m.toMap)
+  }
+
   /** Replay the text-showing operators of ONE decoded content stream.
     * Returns None when the stream has no BT block (an image/xref/font
-    * stream, not page content). */
-  private[graft] def contentText(s: Array[Byte]): Option[String] = {
+    * stream, not page content).
+    *
+    * `cmap`: the document's merged /ToUnicode mapping. A HEX string
+    * whose byte count is even and whose 2-byte codes are ALL mapped
+    * emits the mapped Unicode (the dominant CID-text encoding — TJ/Tj
+    * arrays of 2-byte hex CIDs); any other string keeps the Latin-1
+    * byte mapping, so documents without CID fonts are byte-identical
+    * to the pre-CMap behavior. Literal strings never map (CID text in
+    * literal strings would need the font's codespace to segment —
+    * the documented remaining degrade). */
+  private[graft] def contentText(s: Array[Byte],
+      cmap: Map[Int, String] = Map.empty): Option[String] = {
     val out = new StringBuilder
     var sawBT = false
     var inBT = false
@@ -723,7 +818,18 @@ object Multimodal {
         }
         if (hi >= 0) sb.append((hi << 4).toChar) // odd count pads 0
         i += 1
-        if (inArray) pendingArr ::= sb.toString else pending ::= sb.toString
+        // CID path: a fully-mapped even-length hex string is 2-byte
+        // codes through the document's ToUnicode CMap; otherwise the
+        // raw Latin-1 bytes (identical to the pre-CMap behavior)
+        val raw = sb.toString
+        val mapped =
+          if (cmap.nonEmpty && raw.nonEmpty && raw.length % 2 == 0 &&
+              raw.grouped(2).forall(p =>
+                cmap.contains((p.charAt(0) << 8) | p.charAt(1))))
+            raw.grouped(2).map(p =>
+              cmap((p.charAt(0) << 8) | p.charAt(1))).mkString
+          else raw
+        if (inArray) pendingArr ::= mapped else pending ::= mapped
       } else if (c == '<') { i += 2 } // '<<' dict open
       else if (c == '[') { inArray = true; pendingArr = Nil; i += 1 }
       else if (c == ']') { inArray = false; i += 1 }
@@ -753,12 +859,22 @@ object Multimodal {
   }
 
   /** pypdf-shaped text extraction of one PDF blob: (total_pages,
-    * pages_extracted, content, char_count); all-null = not a PDF. */
+    * pages_extracted, content, char_count); all-null = not a PDF.
+    *
+    * Two passes over the blob's streams: pass 1 decodes every stream
+    * body (Flate/LZW/raw), pass 2 first merges any /ToUnicode CMaps
+    * found among them (CMaps regularly appear AFTER the content
+    * streams that need them, so this cannot be one pass), then
+    * replays the content streams with the merged CID mapping.
+    * Multiple CMaps union with later definitions winning — the
+    * per-font resolution a full object-graph walk would give is the
+    * documented remaining degrade (fonts with CONFLICTING 2-byte
+    * codes in one document). */
   private[graft] def pdfText(b: Array[Byte]): Row = {
     if (b == null || b.length < 8 || !ascii(b, 0, "%PDF-"))
       return Row(null, null, null, null)
     val meta = sniffPdf(b)
-    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val bodies = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var i = 0
     val n = b.length
     var objStart = 0 // start of the current object (for dict sniffing)
@@ -791,11 +907,19 @@ object Multimodal {
               earlyChange = if (dict.contains("/EarlyChange 0")) 0 else 1)
           else if (dict.contains("/Filter")) None // unsupported codec
           else Some(java.util.Arrays.copyOfRange(b, from, until))
-        decoded.flatMap(contentText).foreach { t =>
-          parts += s"--- Page ${parts.length + 1} ---\n$t"
-        }
+        decoded.foreach(bodies += _)
         i = if (end >= 0) end + 9 else n
       } else i += 1
+    }
+    val cmaps = bodies.map(toUnicodeCMap)
+    val cmap = cmaps.flatten
+      .foldLeft(Map.empty[Int, String])(_ ++ _)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    bodies.zip(cmaps).foreach { case (body, cm) =>
+      if (cm.isEmpty) // a CMap stream is never page content
+        contentText(body, cmap).foreach { t =>
+          parts += s"--- Page ${parts.length + 1} ---\n$t"
+        }
     }
     val content = parts.mkString("\n\n")
     Row(meta.get(1), parts.length.toLong, content, content.length.toLong)

@@ -326,6 +326,63 @@ class MultimodalSpec extends SparkTestBase {
     assert(t.getLong(0) === 3L)
   }
 
+  test("pdf ToUnicode CMap: bfchar + both bfrange forms map 2-byte " +
+      "hex-string CIDs to Unicode; unmapped strings keep Latin-1; " +
+      "Latin-1 documents are byte-identical without a CMap") {
+    // a writer-shaped ToUnicode CMap: bfchar pairs, an incrementing
+    // bfrange (last code unit steps), an array bfrange, a ligature
+    // destination (2 UTF-16 units)
+    val cmapBody =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0041> <0048>
+        |<0042> <00E9>
+        |endbfchar
+        |2 beginbfrange
+        |<0050> <0052> <0061>
+        |<0060> <0061> [<0077 006F> <0021>]
+        |endbfrange
+        |endcmap
+        |CMap defined
+        |end""".stripMargin
+    val cm = Multimodal.toUnicodeCMap(
+      cmapBody.getBytes("ISO-8859-1")).get
+    assert(cm(0x41) === "H" && cm(0x42) === "é")
+    assert(cm(0x50) === "a" && cm(0x51) === "b" && cm(0x52) === "c")
+    assert(cm(0x60) === "wo" && cm(0x61) === "!") // ligature + array
+    // not-a-CMap inputs degrade to None
+    assert(Multimodal.toUnicodeCMap("BT (x) Tj ET".getBytes).isEmpty)
+    assert(Multimodal.toUnicodeCMap(
+      "begincmap endcmap".getBytes).isEmpty)
+    // end-to-end: a CID page (hex-string codes) next to a Latin-1
+    // page, CMap stream AFTER the content it maps
+    val cidPage = "BT <00410042> Tj 0 -14 Td [<0050> <00510052>] TJ " +
+      "<0060> Tj ET"
+    val latinPage = "BT (plain) Tj <21> Tj ET" // <21> odd-length: raw
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Page >>\nendobj\n" +
+      s"2 0 obj\n<< /Length ${cidPage.length} >>\nstream\n$cidPage\n" +
+      "endstream\nendobj\n" +
+      s"3 0 obj\n<< /Length ${latinPage.length} >>\nstream\n$latinPage\n" +
+      "endstream\nendobj\n" +
+      s"4 0 obj\n<< /Length ${cmapBody.length} >>\nstream\n$cmapBody\n" +
+      "endstream\nendobj\ntrailer\n%%EOF").getBytes("ISO-8859-1")
+    val r = Multimodal.pdfText(pdf)
+    assert(r.getLong(1) === 2L) // the CMap stream is not a page
+    assert(r.getString(2) ===
+      "--- Page 1 ---\nHé\nabcwo\n\n\n--- Page 2 ---\nplain!\n")
+    // a document with no CMap: hex strings stay raw Latin-1 bytes
+    val noCmap = ("%PDF-1.4\n1 0 obj\n<< /Length 24 >>\nstream\n" +
+      "BT <00410042> Tj ET\nendstream\nendobj\n%%EOF")
+      .getBytes("ISO-8859-1")
+    assert(Multimodal.pdfText(noCmap).getString(2) ===
+      "--- Page 1 ---\n\u0000A\u0000B\n")
+  }
+
   test("sampleFrameIndexes: metadata-only frame sampling") {
     val rows = java.util.Arrays.asList(
       Row(7L, "video", null, null, 1000L, null))
