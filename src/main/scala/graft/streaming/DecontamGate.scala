@@ -84,21 +84,20 @@ object DecontamGate {
     * `n_grams`, `bloom_hits`, `flagged` (≥ `minShared` sketched
     * hits — s19's corpus-level screen threshold). Works identically
     * on streaming and batch frames: the probe is one narrow pass
-    * (native shingle hash → broadcast sketch lookup), stateless by
-    * construction. */
+    * (native shingle hash → [[mightContain]] inside a higher-order
+    * `filter` — no ScalaUDF hop, the same native expression batch
+    * s19 scans with), stateless by construction. */
   def screen(docs: DataFrame, bloom: BloomFilter,
-      minShared: Int = MinShared): DataFrame = {
-    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
-    val probe = udf((gs: Seq[Long]) => {
-      val arr = if (gs == null) Seq.empty[Long] else gs
-      (arr.size.toLong, arr.count(bc.value.mightContainLong).toLong)
-    })
+      minShared: Int = MinShared): DataFrame =
     docs
-      .withColumn("_probe", probe(VectorExprs.shingleHash60(
-        Fns.tokens(col("text")), distinct = true)))
-      .withColumn("n_grams", col("_probe._1"))
-      .withColumn("bloom_hits", col("_probe._2"))
+      .withColumn("_gids", coalesce(
+        VectorExprs.shingleHash60(Fns.tokens(col("text")),
+          distinct = true),
+        array().cast("array<long>")))
+      .withColumn("n_grams", size(col("_gids")).cast("long"))
+      .withColumn("bloom_hits",
+        size(filter(col("_gids"), g => mightContain(bloom, g)))
+          .cast("long"))
       .withColumn("flagged", col("bloom_hits") >= minShared)
-      .drop("_probe")
-  }
+      .drop("_gids")
 }
