@@ -109,6 +109,15 @@ class SketchAnchorSpec extends SparkTestBase {
       assert(streamed === batch,
         "stream-over-microbatches diverged from the batch screen")
     } finally q.stop()
+    // the probe is NATIVE (BloomFilterMightContain inside a
+    // higher-order filter, round 9) — an interpreted ScalaUDF
+    // reappearing in the gate's plan is the per-document intake
+    // hot path regressing (the s19 anchor's same pin)
+    val gatePlan = graft.streaming.DecontamGate.screen(docs, bloom)
+      .queryExecution.executedPlan.toString
+    assert(!gatePlan.contains("ScalaUDF") &&
+      !gatePlan.contains("BatchEvalPython"),
+      "DecontamGate.screen plan carries an interpreted UDF node")
     // conservativeness: the gate probes a SUPERSET of s19's capped
     // grams with the same one-sided filter, so every doc the batch
     // audit flags must be flagged at the gate too
