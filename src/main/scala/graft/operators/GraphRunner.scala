@@ -48,7 +48,9 @@ object GraphRunner {
       terminals: Set[String],
       initialStates: DataFrame,
       nodeOutputs: Map[String, Map[String, String]],
-      maxSteps: Int = 100): DataFrame = {
+      maxSteps: Int = 100,
+      llm: Routing.LlmBoundary = Routing.LlmBoundary.Fallback)
+      : DataFrame = {
 
     // memory is Map[String,String]: safe_eval conditions address it as
     // memory.get('key'). Each CONDITIONAL expr compiles ONCE here; an
@@ -76,7 +78,9 @@ object GraphRunner {
           c
         } catch { case _: Exception => lit(false) }
       }.getOrElse(lit(false))
-      case _ => col("success") // llm_decide fallback edge.py:271-274
+      // llm_decide through the pluggable boundary; the default IS the
+      // reference's fallback (edge.py:271-274) — route on success
+      case _ => llm.decideEdge(e.source, e.target, col("success"))
     }
 
     // firstMatch compiled: per source node, edges in (priority desc,

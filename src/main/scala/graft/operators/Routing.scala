@@ -30,16 +30,50 @@ object Routing {
   final case class Conditional(expr: String) extends EdgeCondition
   case object LlmDecide extends EdgeCondition // deterministic fallback
 
+  /** The LLM plug-point (SURVEY §7.4) made first-class: the three
+    * places the reference calls a live model take THIS boundary, and
+    * every method's default is the reference's own documented
+    * deterministic fallback — so the engine analyzes identically with
+    * no client plugged, and a live client (a verdict table joined in,
+    * a scoring pandas-UDF, a real API caller resolved ahead of the
+    * plan) changes DECISIONS, never plan shapes: each hook returns a
+    * Column over the state row and composes into the same when-chains
+    * and projections the fallbacks use.
+    *
+    *  - [[decideEdge]]: LLM_DECIDE traversability
+    *    (`edge.py:206-274`; fallback `:271-274` = source success);
+    *  - [[judgeVerdict]]: the conversation judge
+    *    (`event_loop_node.py:1839-1931`; deterministic part =
+    *    [[implicitJudge]]);
+    *  - [[cleanOutput]]: LLM output cleaning (`output_cleaner.py:209+`;
+    *    deterministic fallback = balanced-brace extraction + repair).
+    */
+  trait LlmBoundary extends Serializable {
+    def decideEdge(source: String, target: String,
+        successCol: Column): Column = successCol
+    def judgeVerdict(toolCalls: Column, missingKeys: Column,
+        nullableOnlyNoneSet: Column): Column =
+      implicitJudge(toolCalls, missingKeys, nullableOnlyNoneSet)
+    def cleanOutput(raw: Column): Column =
+      graft.functions.JsonRepair.extractJson(raw)
+  }
+  object LlmBoundary {
+    /** All three reference fallbacks, unmodified. */
+    object Fallback extends LlmBoundary
+  }
+
   /** Traversability predicate for one edge over a state row that
     * carries a boolean `source_success` column plus flattened
-    * output/memory columns. */
+    * output/memory columns. LLM_DECIDE routes through the boundary
+    * (default: the reference's source-success fallback). */
   def traversable(cond: EdgeCondition,
-      schema: StructType = new StructType()): Column = cond match {
+      schema: StructType = new StructType(),
+      llm: LlmBoundary = LlmBoundary.Fallback): Column = cond match {
     case Always => lit(true)
     case OnSuccess => col("source_success")
     case OnFailure => !col("source_success")
     case Conditional(e) => SafeEval.condition(e, schema)
-    case LlmDecide => col("source_success") // edge.py:271-274 fallback
+    case LlmDecide => llm.decideEdge("", "", col("source_success"))
   }
 
   /** First-match routing: given per-row candidate edges (one row per

@@ -623,6 +623,75 @@ class MoreOperatorsSpec extends SparkTestBase {
     assert(out("ko") === (("lost", "completed")))
   }
 
+  test("LlmBoundary: a plugged decider overrides LLM_DECIDE routing " +
+      "per edge while the default stays the reference fallback; the " +
+      "judge and cleaner hooks default to implicitJudge/extractJson") {
+    import spark.implicits._
+    import graft.model.Model.EdgeSpec
+    import org.apache.spark.sql.Column
+    // a deterministic 'model': route to whichever target the state's
+    // memory hint names — the shape a real client resolves to (a
+    // per-row verdict column), exercised through the SAME when-chain
+    val hinted = new Routing.LlmBoundary {
+      override def decideEdge(source: String, target: String,
+          successCol: Column): Column =
+        coalesce(element_at(col("memory"), "llm_hint") === target,
+          lit(false))
+    }
+    val edges = Seq(
+      EdgeSpec("n", "won", condition = "llm_decide", priority = 2),
+      EdgeSpec("n", "alt", condition = "llm_decide", priority = 1))
+    val init = Seq(
+      // success=true: the FALLBACK would take 'won' (higher priority);
+      // the hinted decider must route to 'alt'
+      ("hint_alt", "n", true, Map("llm_hint" -> "alt")),
+      ("hint_won", "n", true, Map("llm_hint" -> "won")),
+      // no hint: the plugged decider declines both edges -> stuck
+      ("no_hint", "n", true, Map.empty[String, String]))
+      .toDF("state_id", "node", "success", "memory")
+    val out = graft.operators.GraphRunner
+      .run(spark, edges, Set("won", "alt"), init,
+        nodeOutputs = Map.empty, maxSteps = 3, llm = hinted)
+      .collect().map(r => r.getAs[String]("state_id") ->
+        ((r.getAs[String]("node"), r.getAs[String]("status")))).toMap
+    assert(out("hint_alt") === (("alt", "completed")))
+    assert(out("hint_won") === (("won", "completed")))
+    assert(out("no_hint")._2 === "stuck")
+    // same edges, default boundary: reference fallback routes both
+    // successes to the higher-priority edge (the previous test's pin)
+    val defOut = graft.operators.GraphRunner
+      .run(spark, edges, Set("won", "alt"), init,
+        nodeOutputs = Map.empty, maxSteps = 3)
+      .collect().map(r => r.getAs[String]("state_id") ->
+        r.getAs[String]("node")).toMap
+    assert(defOut.values.toSet === Set("won"))
+    // dataframe-grain traversable honors the same plug
+    val cand = Seq(("s1", true, "a"), ("s1", true, "b"))
+      .toDF("state_id", "source_success", "target")
+      .withColumn("memory", map(lit("llm_hint"), lit("b")))
+      .withColumn("priority", lit(1))
+    val kept = Routing.firstMatch(cand,
+      new Routing.LlmBoundary {
+        override def decideEdge(source: String, target: String,
+            successCol: Column): Column =
+          element_at(col("memory"), "llm_hint") === col("target")
+      }.decideEdge("", "", col("source_success")))
+      .collect()
+    assert(kept.length === 1 && kept(0).getAs[String]("target") === "b")
+    // the other two hooks default to the documented fallbacks
+    val fb = Routing.LlmBoundary.Fallback
+    val row = Seq((Seq.empty[String], Seq.empty[String], false,
+      """noise {"a": 1} tail"""))
+      .toDF("tool_calls", "missing_keys", "nullable_only", "raw")
+      .select(
+        fb.judgeVerdict(col("tool_calls"), col("missing_keys"),
+          col("nullable_only")).as("verdict"),
+        fb.cleanOutput(col("raw")).as("cleaned"))
+      .first()
+    assert(row.getString(0) === "accept")
+    assert(row.getString(1) === """{"a": 1}""")
+  }
+
   test("branch merge strategies (executor.py:73-99)") {
     import spark.implicits._
     val out = Seq(
