@@ -276,6 +276,65 @@ class RocksDbSoakSpec extends SparkTestBase {
     }
   }
 
+  test("RocksDB soak: stop/restart mid-stream resumes from the " +
+      "RocksDB checkpoint — no dup re-admitted, no batch replayed " +
+      "into the sink, final output equals an uninterrupted run") {
+    withRocksDb {
+      val batches = 12
+      val perBatch = 2000
+      val t0 = 1700000000000L
+      def textFor(id: Long): String = {
+        val r = new scala.util.Random(id * 0x9e3779b9L)
+        Seq.fill(8)("w" + r.nextInt(1 << 21)).mkString(" ")
+      }
+      // every batch ends with 400 copies of earlier-batch rows — the
+      // dups a lost state store would re-admit after restart
+      def batchRows(b: Int): Seq[SoakDoc] = {
+        val ts = new Timestamp(t0 + b * 60000L)
+        (0 until perBatch).map { j =>
+          val id = b.toLong * perBatch + j
+          val srcId =
+            if (j >= perBatch - 400 && b > 0)
+              (b - 1).toLong * perBatch + j - 400
+            else id
+          SoakDoc(id, textFor(srcId), ts)
+        }
+      }
+      val ckpt = ckptDir("resume")
+      val outDir = ckptDir("resume-out") // file sink: the
+      // fault-tolerant sink (memory sink refuses checkpoint recovery)
+      val input = MemoryStream[SoakDoc](spark)
+      def start() = IngestDedup
+        .nearDup(input.toDF(), watermark = "10 minutes")
+        .writeStream.format("parquet").option("path", outDir)
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      val q1 = start()
+      (0 until batches / 2).foreach { b =>
+        input.addData(batchRows(b)); q1.processAllAvailable()
+      }
+      q1.stop() // hard stop mid-stream; RocksDB state must survive
+      val halfway = spark.read.parquet(outDir).count()
+      val q2 = start()
+      try {
+        (batches / 2 until batches).foreach { b =>
+          input.addData(batchRows(b)); q2.processAllAvailable()
+        }
+        val kept = spark.read.parquet(outDir)
+        // batch 6's dups copy batch 5 (pre-restart) rows: if the
+        // restart lost state, 400 extra rows appear right here
+        val expected = (0 until batches).flatMap(batchRows)
+          .map(_.text).distinct.size.toLong
+        assert(kept.count() === expected,
+          s"resumed stream kept ${kept.count()}, expected $expected — " +
+            "state or sink offsets did not survive the restart")
+        assert(kept.select("fingerprint").distinct.count === expected)
+        assert(halfway < expected) // the restart actually split the run
+        val (rows, _, rocks) = stateReading(q2)
+        assert(rocks && rows > 0)
+      } finally q2.stop()
+    }
+  }
+
   test("RocksDB soak: SharedState.changesStream — one KeyState per " +
       "key, every op commits exactly one change, seq order held " +
       "across microbatches") {
