@@ -406,6 +406,17 @@ class MoreOperatorsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(rep.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       "t07 should prune the documents scan to doc_id+text")
+    // q06 is the selectivity showcase: every predicate must reach the
+    // parquet scan (at 100 TB the row-group skip IS the query) and the
+    // scan must not read the wide columns
+    val q06 = graft.queries.Relational.q06.run(spark, dir)
+      .queryExecution.executedPlan.toString
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach(c =>
+      assert(q06.contains(s"IsNotNull($c)") || q06.matches(
+        s"(?s).*PushedFilters: \\[[^\\]]*$c.*"),
+        s"q06 predicate on $c did not reach the scan"))
+    assert(!q06.contains("l_comment") && !q06.contains("l_orderkey"),
+      "q06 scan reads columns the query never touches")
   }
 
   test("d02 hub-shingle cap drops grams with df > 1000 " +
