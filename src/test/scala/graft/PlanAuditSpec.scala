@@ -63,6 +63,47 @@ class PlanAuditSpec extends SparkTestBase {
     walk(df.queryExecution.executedPlan)
   }
 
+  test("bucketed compaction co-locates the recurring equi-join: " +
+      "0 exchanges where the plain-parquet twin pays 2 " +
+      "(Compaction.compactBucketedForJoin's 100 TB claim, executed)") {
+    import org.apache.spark.sql.functions._
+    val tmpDb = java.nio.file.Files.createTempDirectory("graft-bktdb")
+    val tmpPq = java.nio.file.Files.createTempDirectory("graft-bktpq")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION " +
+      s"'${tmpDb.toString}'")
+    val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
+    val oldB = spark.conf.get(bcastKey)
+    spark.conf.set(bcastKey, "-1") // large-large: nothing broadcasts
+    try {
+      val docs = Tables.load(spark, dir, "documents")
+        .select("doc_id", "lang", "source")
+      val stats = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(graft.functions.Fns.tokens(col("text"))).as("n_tokens"))
+      graft.sources.Compaction.compactBucketedForJoin(
+        docs, "graft_bkt.docs_b", "doc_id", 4)
+      graft.sources.Compaction.compactBucketedForJoin(
+        stats, "graft_bkt.stats_b", "doc_id", 4)
+      val bucketed = spark.table("graft_bkt.docs_b")
+        .join(spark.table("graft_bkt.stats_b"), "doc_id")
+      assert(executedShuffleCount(bucketed) === 0,
+        "bucketed join paid an exchange — bucket co-location lost")
+      // the plain-parquet twin pays both sides' shuffles
+      docs.write.mode("overwrite").parquet(s"$tmpPq/docs")
+      stats.write.mode("overwrite").parquet(s"$tmpPq/stats")
+      val plain = spark.read.parquet(s"$tmpPq/docs")
+        .join(spark.read.parquet(s"$tmpPq/stats"), "doc_id")
+      assert(executedShuffleCount(plain) === 2)
+      // same rows either way
+      assert(bucketed.count() === plain.count())
+      assert(bucketed.agg(sum("n_tokens")).first().getLong(0) ===
+        plain.agg(sum("n_tokens")).first().getLong(0))
+    } finally {
+      spark.conf.set(bcastKey, oldB)
+      spark.sql("DROP DATABASE IF EXISTS graft_bkt CASCADE")
+    }
+  }
+
   test("no query in the inventory plans a CartesianProduct") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = build(name).queryExecution.executedPlan.toString
