@@ -195,7 +195,8 @@ class MultimodalSpec extends SparkTestBase {
   // 257=EOD, EarlyChange=1. The encoder's table runs one entry ahead
   // of the decoder's, so its width bump threshold is one higher
   // (next + 1 > 2^w where the decoder uses next + 1 >= 2^w).
-  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+  private def lzwEncode(data: Array[Byte],
+      earlyChange: Int = 1): Array[Byte] = {
     val dict = scala.collection.mutable.HashMap.empty[Seq[Byte], Int]
     (0 until 256).foreach(c => dict(Seq(c.toByte)) = c)
     var next = 258
@@ -218,7 +219,7 @@ class MultimodalSpec extends SparkTestBase {
         put(dict(w))
         if (next < 4096) {
           dict(wc.toSeq) = next; next += 1
-          if (width < 12 && next + 1 > (1 << width)) width += 1
+          if (width < 12 && next + earlyChange > (1 << width)) width += 1
         }
         w = Vector(ch)
       }
@@ -254,6 +255,19 @@ class MultimodalSpec extends SparkTestBase {
     val encR = lzwEncode(runs)
     assert(Multimodal.lzwDecode(encR, 0, encR.length).get.toSeq ===
       runs.toSeq)
+    // property: 20 seeded random inputs big enough to cross the
+    // 10→11-bit boundary (~1800 table entries), round-tripped under
+    // BOTH EarlyChange modes — the width bump must agree on every
+    // code or the decode shreds into garbage immediately
+    (1 to 20).foreach { seed =>
+      val pr = new scala.util.Random(seed)
+      val data = Array.fill(8000)((pr.nextInt(256)).toByte)
+      Seq(0, 1).foreach { ec =>
+        val e = lzwEncode(data, ec)
+        assert(Multimodal.lzwDecode(e, 0, e.length, ec).get.toSeq ===
+          data.toSeq, s"seed=$seed earlyChange=$ec")
+      }
+    }
     // malformed: a code ahead of the table must yield None, not junk
     // (0x80 0xFF 0xC0 = clear(256) then code 511 on an empty table)
     val badBytes = Array(0x80, 0xFF, 0xC0).map(_.toByte)
