@@ -195,8 +195,7 @@ def main():
             iso_ok = (rv is not None
                       and not (rv > ref[n] * scale * (1 + REL_TOL)
                                and rv > ref[n] * scale + ABS_TOL))
-            tag = ("ok" if n not in still else
-                   "REGRESSED" if not iso_ok else "REGRESSED")
+            tag = "ok" if n not in still else "REGRESSED"
             note = "" if excusable(n) or not iso_ok else \
                 " (isolated ok, but not cache-heavy: flag stands)"
             print(f"{tag:9s} {n:28s} ref={ref[n]:6.3f}  "

@@ -124,8 +124,13 @@ object Bench {
           ((System.nanoTime() - t0) / 1e9, ok)
         }
         val good = reruns.filter(_._2)
-        val rr = (if (good.nonEmpty) good else reruns).map(_._1).min
-        retried(name) = (t, rr, loadNow)
+        // both reruns FAILED: keep the first-pass measurement — a
+        // failure time is not a measurement, and folding its min in
+        // would under-report the query (and, via --update, bake a
+        // fake speedup into the guard reference); rerun == first in
+        // the artifact marks the retry as inconclusive.
+        if (good.nonEmpty) retried(name) = (t, good.map(_._1).min, loadNow)
+        else retried(name) = (t, t, loadNow)
       }
     }
     val finalResults: Map[String, Double] = results.map { case (n, t) =>

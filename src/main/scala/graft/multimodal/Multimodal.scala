@@ -716,10 +716,15 @@ object Multimodal {
             } else { // <lo> <hi> [ <d0> <d1> ... ]
               var j = i + 3 // past '['
               var code = lo
-              while (j < toks.length && hex(j) != null && code <= hi) {
-                m(code) = hexStr(hex(j)); code += 1; j += 1
+              // consume the WHOLE array (extras past hi-lo+1 are
+              // skipped, not left behind to be misparsed as the next
+              // range's <lo> — token sync over mapping a malformed
+              // surplus)
+              while (j < toks.length && hex(j) != null) {
+                if (code <= hi) { m(code) = hexStr(hex(j)); code += 1 }
+                j += 1
               }
-              if (j < toks.length && hex(j) == null) j += 1 // ']'
+              if (j < toks.length) j += 1 // the ']'
               i = j
             }
           } else i += 1

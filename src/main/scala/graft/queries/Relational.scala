@@ -812,8 +812,17 @@ object Relational {
   // widens to HUGEINT, which no parquet type carries). The fixture is
   // SF-independent — the operator under test is the CSV SQL surface,
   // not the corpus.
-  private[queries] val Q28Csv =
-    "/root/repo/src/test/resources/fixtures/q28_sales.csv"
+  // resolved relative to the working directory first (any checkout
+  // location), falling back to the canonical driver checkout — a
+  // hard-coded absolute path alone breaks every Verify/Bench run from
+  // a differently-located clone. The oracle SQL interpolates the SAME
+  // resolved path, so both engines always read one file.
+  private[queries] val Q28Csv: String = {
+    val rel = new java.io.File(
+      "src/test/resources/fixtures/q28_sales.csv")
+    if (rel.exists) rel.getAbsolutePath
+    else "/root/repo/src/test/resources/fixtures/q28_sales.csv"
+  }
   private val q28Select =
     """SELECT category,
       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -827,7 +836,7 @@ object Relational {
   val q28 = Q(
     "q28_csv_sql",
     s"""WITH data AS (SELECT * FROM read_csv_auto('$Q28Csv', header=true))
-      |${q28Select.replace("\n", "\n")}""".stripMargin) { (s, _) =>
+      |$q28Select""".stripMargin) { (s, _) =>
     graft.plans.SqlGate.csvSql(s, Q28Csv, q28Select)
   }
 

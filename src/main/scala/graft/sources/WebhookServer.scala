@@ -95,25 +95,47 @@ final class WebhookServer(
         else 202
       // EVERY request is enveloped — the engine pipeline re-derives
       // the outcome, and rejected requests are an audit trail, not a
-      // silent drop
-      appendEnvelope(path, method, headers, query, new String(body, UTF_8))
+      // silent drop. A body that does not round-trip UTF-8 (binary
+      // payload) additionally carries its exact bytes as body_b64 so
+      // the engine's HMAC re-verification sees what the listener saw.
+      val bodyStr = new String(body, UTF_8)
+      val b64 =
+        if (java.util.Arrays.equals(body, bodyStr.getBytes(UTF_8))) None
+        else Some(java.util.Base64.getEncoder.encodeToString(body))
+      appendEnvelope(path, method, headers, query, bodyStr, b64)
       val resp = status match {
         case 202 => """{"status":"accepted"}"""
         case 401 => """{"error":"Invalid signature"}"""
         case 404 => """{"error":"Not found"}"""
         case _ => """{"error":"Method not allowed"}"""
       }
-      val bytes = resp.getBytes(UTF_8)
-      exchange.getResponseHeaders.set("Content-Type", "application/json")
-      exchange.sendResponseHeaders(status, bytes.length)
-      val os: OutputStream = exchange.getResponseBody
-      os.write(bytes)
-      os.close()
+      respond(exchange, status, resp)
+    } catch {
+      // nothing may escape unanswered: a handler throw (I/O failure,
+      // envelope write error) still acks the client — best-effort 400,
+      // matching the "transport never drops silently" contract
+      case _: Exception =>
+        try respond(exchange, 400, """{"error":"Bad request"}""")
+        catch { case _: Exception => () }
     } finally exchange.close()
   }
 
+  private def respond(exchange: HttpExchange, status: Int,
+      resp: String): Unit = {
+    val bytes = resp.getBytes(UTF_8)
+    exchange.getResponseHeaders.set("Content-Type", "application/json")
+    exchange.sendResponseHeaders(status, bytes.length)
+    val os: OutputStream = exchange.getResponseBody
+    os.write(bytes)
+    os.close()
+  }
+
+  /** Tolerant %-decode: a malformed escape (`%zz`) keeps the raw
+    * token instead of throwing — aiohttp's lenient stance, and the
+    * request still envelopes/classifies instead of dying undecoded. */
   private def urlDecode(s: String): String =
-    java.net.URLDecoder.decode(s, UTF_8)
+    try java.net.URLDecoder.decode(s, UTF_8)
+    catch { case _: IllegalArgumentException => s }
 
   private def jsonMap(m: Map[String, String]): String =
     m.toSeq.sortBy(_._1).map { case (k, v) =>
@@ -122,13 +144,15 @@ final class WebhookServer(
 
   private def appendEnvelope(path: String, method: String,
       headers: Map[String, String], query: Map[String, String],
-      body: String): Unit = synchronized {
+      body: String, bodyB64: Option[String]): Unit = synchronized {
     val line = "{" +
       "\"path\":" + Sessions.jsonEscape(path) + "," +
       "\"method\":" + Sessions.jsonEscape(method) + "," +
       "\"headers\":" + jsonMap(headers) + "," +
       "\"query_params\":" + jsonMap(query) + "," +
       "\"body\":" + Sessions.jsonEscape(body) + "," +
+      bodyB64.map(b =>
+        "\"body_b64\":" + Sessions.jsonEscape(b) + ",").getOrElse("") +
       "\"ts\":" + Sessions.jsonEscape(java.time.Instant.now().toString) +
       "}\n"
     Files.write(envelopes, line.getBytes(UTF_8),

@@ -61,10 +61,10 @@ object WebhookSource {
     }.toDF("route_path", "source_id", "route_methods", "ikey", "okey")
   }
 
-  /** Lowercase-hex HMAC-SHA256 of `body` under the route's key blocks. */
-  private def hmacHex(body: Column, ikey: Column, okey: Column): Column =
-    sha2(concat(okey, unhex(sha2(concat(ikey,
-      coalesce(body, lit("")).cast("binary")), 256))), 256)
+  /** Lowercase-hex HMAC-SHA256 of `bodyBin` (already binary) under
+    * the route's key blocks. */
+  private def hmacHex(bodyBin: Column, ikey: Column, okey: Column): Column =
+    sha2(concat(okey, unhex(sha2(concat(ikey, bodyBin), 256))), 256)
 
   /** Classify every request and build its event payload. Output =
     * request columns + `source_id`, `status` (202/401/404/405) and,
@@ -83,10 +83,20 @@ object WebhookSource {
           "e -> lower(e.key) = 'x-hub-signature-256'), e -> e.value)"),
         lit(1)), lit(""))
     // full-string compare: a valid digest with trailing garbage is
-    // still a bad signature (webhook_server.py:152-158)
+    // still a bad signature (webhook_server.py:152-158). The digest
+    // input is the RAW request bytes: when the collector recorded a
+    // body that does not round-trip UTF-8 it carries `body_b64`
+    // alongside (see [[requestSchema]]) and the engine verifies over
+    // those exact bytes — re-encoding the lossy string would disagree
+    // with the listener on precisely the inputs HMAC protects
+    val bodyBin =
+      if (requests.columns.contains("body_b64"))
+        coalesce(unbase64(col("body_b64")),
+          coalesce(col("body"), lit("")).cast("binary"))
+      else coalesce(col("body"), lit("")).cast("binary")
     val sigOk = col("ikey").isNull ||
       sigHeader === concat(lit("sha256="),
-        hmacHex(col("body"), col("ikey"), col("okey")))
+        hmacHex(bodyBin, col("ikey"), col("okey")))
     val status = when(col("route_path").isNull, lit(404))
       .when(!array_contains(col("route_methods"), col("method")), lit(405))
       .when(!sigOk, lit(401))
@@ -126,10 +136,14 @@ object WebhookSource {
         lit(null).cast("string").as("correlation_id"),
         lit(null).cast("string").as("graph_id"))
 
-  /** The request-envelope schema a collector writes. */
+  /** The request-envelope schema a collector writes. `body_b64` is
+    * set ONLY when the raw request bytes do not round-trip UTF-8
+    * (binary payloads): `body` stays the lossy string for the payload
+    * tier, `body_b64` carries the exact bytes for HMAC re-verification. */
   val requestSchema: String =
     "path STRING, method STRING, headers MAP<STRING,STRING>, " +
-      "query_params MAP<STRING,STRING>, body STRING, ts TIMESTAMP"
+      "query_params MAP<STRING,STRING>, body STRING, " +
+      "body_b64 STRING, ts TIMESTAMP"
 
   /** Streaming ingest from a drop directory of request-envelope JSONL. */
   def fromDropDir(spark: SparkSession, dir: String): DataFrame =

@@ -185,6 +185,89 @@ class WebhookSourceSpec extends SparkTestBase {
       assert(gh.getAs[Map[String, String]]("data")("payload") === body)
     } finally srv.close()
   }
+
+  test("live HTTP ingress edge cases: a NON-UTF-8 signed body verifies " +
+      "byte-exactly through body_b64; a malformed %-escape query " +
+      "decodes tolerantly instead of dropping the request") {
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val dir = java.nio.file.Files.createTempDirectory("whs2")
+    val srv = new graft.sources.WebhookServer(Seq(
+      WebhookRoute("gh", "/hooks/github", Seq("POST"), Some("s3cret")),
+      WebhookRoute("open", "/hooks/open", Seq("POST"), None)), dir)
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val client = HttpClient.newHttpClient()
+      // binary payload: 0x89 'P' 'N' 'G' 0x00 0xFF — NOT valid UTF-8,
+      // signed over the RAW bytes (what any real sender signs)
+      val raw = Array(0x89, 'P', 'N', 'G', 0x00, 0xff).map(_.toByte)
+      val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+      mac.init(new javax.crypto.spec.SecretKeySpec(
+        "s3cret".getBytes("UTF-8"), "HmacSHA256"))
+      val sig = "sha256=" +
+        mac.doFinal(raw).map("%02x".format(_)).mkString
+      val st = client.send(
+        HttpRequest.newBuilder(
+          java.net.URI.create(base + "/hooks/github"))
+          .method("POST", HttpRequest.BodyPublishers.ofByteArray(raw))
+          .header("X-Hub-Signature-256", sig).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode()
+      assert(st === 202) // the listener verified over raw bytes
+      // malformed %-escape in the query string: only a NON-compliant
+      // client can even send this (HttpClient rejects the URI), so
+      // speak raw HTTP/1.1 over a socket. The JDK HttpServer layer
+      // itself answers 400 before the handler runs — the contract
+      // under test is that the CLIENT GETS AN ANSWER and the listener
+      // SURVIVES for the next request (the handler's tolerant decode
+      // + outer catch are defense-in-depth for escapes the transport
+      // does admit)
+      val sock = new java.net.Socket("127.0.0.1", srv.boundPort)
+      try {
+        val out = sock.getOutputStream
+        out.write(("POST /hooks/open?x=%zz&ok=1 HTTP/1.1\r\n" +
+          "Host: 127.0.0.1\r\nContent-Length: 2\r\n" +
+          "Connection: close\r\n\r\n{}").getBytes("US-ASCII"))
+        out.flush()
+        val line = new java.io.BufferedReader(
+          new java.io.InputStreamReader(sock.getInputStream)).readLine()
+        assert(line != null && line.startsWith("HTTP/1.1 4"),
+          s"malformed request must be answered, got: $line")
+      } finally sock.close()
+      // the listener survived: a normal request right after still acks
+      val stAfter = client.send(
+        HttpRequest.newBuilder(
+          java.net.URI.create(base + "/hooks/open?ok=1"))
+          .method("POST", HttpRequest.BodyPublishers.ofString("{}"))
+          .build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode()
+      assert(stAfter === 202)
+      // engine replay agrees with BOTH — the binary body's HMAC
+      // re-verifies over body_b64's exact bytes, where re-encoding
+      // the lossy UTF-8 string would read 401
+      val envelopes = spark.read
+        .schema(WebhookSource.requestSchema).json(dir.toString)
+      assert(envelopes.count() === 2)
+      val replayed = WebhookSource.ingest(envelopes, routes)
+        .select("path", "status", "body_b64").collect()
+      val ghRow = replayed.find(_.getString(0) == "/hooks/github").get
+      assert(ghRow.getInt(1) === 202)
+      assert(ghRow.getString(2) != null) // b64 present for binary body
+      val openRow = replayed.find(_.getString(0) == "/hooks/open").get
+      assert(openRow.getInt(1) === 202)
+      assert(openRow.getString(2) == null) // UTF-8 body: no b64 column
+      // the post-malformed request enveloped with its query intact
+      val q = envelopes.filter(col("path") === "/hooks/open")
+        .select("query_params").first().getAs[Map[String, String]](0)
+      assert(q("ok") === "1")
+      // and the tolerant decoder itself: a malformed escape keeps the
+      // raw token instead of throwing (the handler-level defense for
+      // escapes the transport admits)
+      val m = classOf[graft.sources.WebhookServer]
+        .getDeclaredMethod("urlDecode", classOf[String])
+      m.setAccessible(true)
+      assert(m.invoke(srv, "%zz") === "%zz")
+      assert(m.invoke(srv, "a%20b") === "a b")
+    } finally srv.close()
+  }
 }
 
 class SseSinkSpec extends SparkTestBase {
