@@ -1227,6 +1227,59 @@ class EventStreamSpec extends SparkTestBase {
     assert(got === Set((0L, "a", 3L), (0L, "b", 1L)))
   }
 
+  test("IngestDedup.nearDupBands: the d03 band grain at intake — a " +
+      "mutated copy d03 pairs is dropped within the horizon, docs d03 " +
+      "does not pair survive, stream ≡ batch-twin count") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val a = "the quick brown fox jumps over the lazy dog today"
+    val b = "extra " + a // shingle superset: most minhash bands agree
+    val c = "completely different words about training data pipelines"
+    val d = "yet another unrelated document mentioning spark executors"
+    // band-compatibility anchor: batch d03 must pair exactly (A, B) on
+    // this fixture — if the band construction here ever drifts from
+    // TextDedup's mhSigCte constants, this anchor breaks first
+    val dir = Files.createTempDirectory("bandsf").toFile.getAbsolutePath
+    import spark.implicits._
+    Seq((1L, a), (2L, b), (3L, c), (4L, d)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val pairs = graft.queries.TextDedup.d03.run(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)),
+      "fixture drifted: d03 should pair exactly (A, B)")
+    // streaming: A admitted in batch 1; B (its mutated copy) arrives
+    // in batch 2 inside the horizon and must drop; C/D survive; a
+    // short unshingleable text falls back to exact md5 per band
+    val t0 = java.sql.Timestamp.valueOf("2026-03-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-03-01 10:01:00")
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val q = IngestDedup.nearDupBands(
+      input.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("band_intake")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((1L, a, t0), (3L, c, t0), (5L, "hi", t0)))
+      q.processAllAvailable()
+      input.addData(Seq((2L, b, t1), (4L, d, t1), (6L, "hi", t1)))
+      q.processAllAvailable()
+      val kept = spark.table("band_intake")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 3L, 4L, 5L)) // B and the short dup drop
+    } finally q.stop()
+    // batch twin: greedy per-band global dedup keeps the same COUNT
+    // (which of A/B survives is arbitrary in batch — the backfill
+    // contract)
+    val batchKept = IngestDedup.nearDupBands(
+      Seq((1L, a, t0), (3L, c, t0), (5L, "hi", t0),
+        (2L, b, t1), (4L, d, t1), (6L, "hi", t1))
+        .toDF("doc_id", "text", "ts"))
+    assert(batchKept.count() === 4L)
+    val bk = batchKept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bk.intersect(Set(1L, 2L)).size === 1 && // one of the pair
+      bk.contains(3L) && bk.contains(4L))
+  }
+
   test("IngestDedup.exact on a BATCH frame: replay backfill dedups " +
       "globally (watermark variant is streaming-only in Spark)") {
     val batch = Seq(
