@@ -276,6 +276,76 @@ class RocksDbSoakSpec extends SparkTestBase {
     }
   }
 
+  test("RocksDB soak: nearDupBands' four chained dedup stages — " +
+      "state ≈ 4× admitted-in-horizon, plateaus, mutated copies drop " +
+      "at volume") {
+    withRocksDb {
+      val batches = 30
+      val perBatch = 4000
+      val t0 = 1700000000000L
+      def textFor(id: Long): String = {
+        val r = new scala.util.Random(id * 0x517cc1b727220a95L)
+        Seq.fill(10)("t" + r.nextInt(1 << 21)).mkString(" ")
+      }
+      // 10% of rows are MUTATED copies (one token appended — the band
+      // grain's class, invisible to exact/winnowing keys) of an
+      // original 1..5 batches back
+      def batchRows(b: Int): Seq[SoakDoc] = {
+        val ts = new Timestamp(t0 + b * 60000L)
+        (0 until perBatch).map { j =>
+          val id = b.toLong * perBatch + j
+          if (j % 10 == 0 && b > 0 && j + 1 < perBatch) {
+            val lag = 1 + (j / 10) % math.min(5, b)
+            val srcId = (b - lag).toLong * perBatch + (j + 1)
+            SoakDoc(id, textFor(srcId) + " extra" + (j % 7), ts)
+          } else SoakDoc(id, textFor(id), ts)
+        }
+      }
+      val input = MemoryStream[SoakDoc](spark)
+      val q = IngestDedup.nearDupBands(input.toDF(),
+        watermark = "10 minutes")
+        .writeStream.format("memory").queryName("soak_bands")
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir("bands")).start()
+      try {
+        val start = System.nanoTime()
+        val curve = new Array[Long](batches)
+        (0 until batches).foreach { b =>
+          input.addData(batchRows(b))
+          q.processAllAvailable()
+          curve(b) = Option(q.lastProgress)
+            .map(_.stateOperators.map(_.numRowsTotal).sum)
+            .getOrElse(if (b > 0) curve(b - 1) else 0L)
+        }
+        val secs = (System.nanoTime() - start) / 1e9
+        val total = batches * perBatch
+        val kept = spark.table("soak_bands").count()
+        // band recall is PROBABILISTIC by construction (d03's trade):
+        // an appended token perturbs ~1 of ~9 shingles, so all four
+        // bands break with p ≈ (1 − (8/9)²)⁴ ≈ 0.2% — allow that tail
+        // (measured: 8 of ~11.6k copies at this seed) but nothing
+        // remotely like the 10% that full leakage would show
+        val copies = total / 10 - perBatch / 10
+        val originals = total - copies
+        assert(kept <= originals + (copies * 5L) / 1000,
+          s"kept $kept vs $originals originals — mutated copies " +
+            "leaked beyond the band-recall tail")
+        assert(kept > (originals * 95L) / 100)
+        // state: 4 stages × admitted-in-horizon, FLAT once eviction
+        // engages (~batch 17: expiry = eventTime + delay plus the
+        // watermark/cleanup lag measured in the nearDup soak) — so the
+        // plateau reference sits at batch 24, well past it
+        val plateau = curve(24)
+        assert(curve.drop(25).max <= (plateau * 11) / 10,
+          "band state still growing after eviction should hold it flat")
+        assert(curve.max < 4L * 20 * perBatch) // ≈4 × ~17-batch horizon
+        info(f"bands soak: $total%,d docs in $secs%.1f s = " +
+          f"${total / secs}%,.0f rows/s; state plateau $plateau%,d " +
+          f"rows across 4 stages, kept $kept%,d")
+      } finally q.stop()
+    }
+  }
+
   test("RocksDB soak: stop/restart mid-stream resumes from the " +
       "RocksDB checkpoint — no dup re-admitted, no batch replayed " +
       "into the sink, final output equals an uninterrupted run") {
