@@ -812,17 +812,21 @@ object Relational {
   // widens to HUGEINT, which no parquet type carries). The fixture is
   // SF-independent — the operator under test is the CSV SQL surface,
   // not the corpus.
-  // resolved relative to the working directory first (any checkout
-  // location), falling back to the canonical driver checkout — a
+  // resolved by walking up from the working directory (any checkout
+  // location, incl. a cwd one or two levels inside/above the repo
+  // root), falling back to the canonical driver checkout — a
   // hard-coded absolute path alone breaks every Verify/Bench run from
   // a differently-located clone. The oracle SQL interpolates the SAME
-  // resolved path, so both engines always read one file.
+  // resolved path (single quotes doubled per SQL string rules), so
+  // both engines always read one file.
   private[queries] val Q28Csv: String = {
-    val rel = new java.io.File(
-      "src/test/resources/fixtures/q28_sales.csv")
-    if (rel.exists) rel.getAbsolutePath
-    else "/root/repo/src/test/resources/fixtures/q28_sales.csv"
+    val relPath = "src/test/resources/fixtures/q28_sales.csv"
+    val candidates = Iterator("", "../", "../../")
+      .map(p => new java.io.File(p + relPath))
+    candidates.find(_.exists).map(_.getAbsolutePath)
+      .getOrElse("/root/repo/" + relPath)
   }
+  private def sqlQuote(p: String): String = p.replace("'", "''")
   private val q28Select =
     """SELECT category,
       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -835,7 +839,8 @@ object Relational {
       |LIMIT 3""".stripMargin
   val q28 = Q(
     "q28_csv_sql",
-    s"""WITH data AS (SELECT * FROM read_csv_auto('$Q28Csv', header=true))
+    s"""WITH data AS (SELECT * FROM read_csv_auto('${sqlQuote(Q28Csv)}',
+      |  header=true))
       |$q28Select""".stripMargin) { (s, _) =>
     graft.plans.SqlGate.csvSql(s, Q28Csv, q28Select)
   }

@@ -293,15 +293,25 @@ object TextDedup {
 
   /** d03's frame: banded candidate pairs + minhash-agreement estimate
     * (also the edge generator for d07's cluster assignment). */
+  /** The 8 MinHash (a, b) mixing pairs — ONE Scala definition shared
+    * by [[minhashPairs]] and the streaming intake twin
+    * ([[graft.streaming.IngestDedup.nearDupBands]]); `mhSigCte` above
+    * is the same constants as SQL text (it is built by string
+    * interpolation before this object initializes, so it cannot
+    * reference this val — the band-anchor spec pins the two against
+    * each other). */
+  private[graft] val MhMix: Seq[(Long, Long)] = Seq(
+    1000000007L -> 12345L, 998244353L -> 54321L,
+    754974721L -> 88883L, 469762049L -> 13577L,
+    167772161L -> 97531L, 1224736769L -> 24680L,
+    1051721729L -> 86420L, 1107296257L -> 11111L)
+
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-      val as = Seq(1000000007L, 998244353L, 754974721L, 469762049L,
-        167772161L, 1224736769L, 1051721729L, 1107296257L)
-      val bs = Seq(12345L, 54321L, 88883L, 13577L, 97531L, 24680L,
-        86420L, 11111L)
       val h = gids(s, dir, distinct = false)
         .select(col("doc_id"), (col("gid") % 2147483647L).as("x"))
       val mins = (0 to 7).map(k =>
-        min((lit(as(k)) * col("x") + lit(bs(k))) % 2147483647L).as(s"m$k"))
+        min((lit(MhMix(k)._1) * col("x") + lit(MhMix(k)._2))
+          % 2147483647L).as(s"m$k"))
       // one row per doc; feeds 4 band joins + 2 signature re-joins —
       // pin it so the shingle+hash pass runs once
       val sig = Pin(h.groupBy("doc_id").agg(mins.head, mins.tail: _*))

@@ -58,38 +58,45 @@ object IngestDedup {
           md5(col("text")))),
       watermark, tsCol)
 
-  // d03's exact minhash mixing (TextDedup mhSigCte): 8 fixed
-  // multipliers mod 2^31−1 over the raw shingle hashes, 4 bands of 2
-  // rows — ONE definition of the constants would be circular here
-  // (TextDedup composes SQL text); the spec asserts the two stay
-  // band-compatible instead.
-  private val MhMix: Seq[(Long, Long)] = Seq(
-    1000000007L -> 12345L, 998244353L -> 54321L,
-    754974721L -> 88883L, 469762049L -> 13577L,
-    167772161L -> 97531L, 1224736769L -> 24680L,
-    1051721729L -> 86420L, 1107296257L -> 11111L)
-
   /** Near-dup intake dedup at the d03 MinHash-BAND grain: a document
     * drops when ANY of its 4 band signatures (2 minhashes each, the
-    * batch d03 construction bit-for-bit) was already ADMITTED within
-    * the watermark horizon — the mutated-copy class (a few token
-    * edits) that slips past [[nearDup]]'s single-fingerprint grain.
+    * batch d03 construction bit-for-bit —
+    * [[graft.queries.TextDedup.MhMix]] is the one shared definition
+    * of the mixing constants, and the band key is the same
+    * collision-free `m_even·(2³¹−1) + m_odd` long pairing d03's band
+    * join uses) matches an earlier document within the watermark
+    * horizon — the mutated-copy class (a few token edits) that slips
+    * past [[nearDup]]'s single-fingerprint grain.
     *
-    * Semantics note: the stages chain, so state holds only ADMITTED
-    * documents' signatures — the contract is dedup against the KEPT
-    * corpus (a transitive chain through an already-dropped doc is not
-    * consulted; batch d03+d07 owns transitive clustering). Texts too
-    * short to shingle fall back to exact md5 per band. Batch frames
-    * replay with global per-band dedup (the backfill contract, as
-    * [[dropDups]]). State cost: 4 small rows per admitted doc inside
-    * the horizon — still rate × horizon, never corpus. */
+    * Semantics: the stages chain, and each stage's state holds every
+    * document that SURVIVED the stages before it — a superset of the
+    * admitted corpus. A document can therefore drop through a chain:
+    * Q drops at stage 2 against admitted X but leaves its band-0/1
+    * keys behind, and a later R matching only Q's band 0 drops too.
+    * That is the TRANSITIVE-cluster direction (batch d03 pairs + d07
+    * components would put X, Q, R in one cluster and keep exactly one
+    * of them), so the stream sits between plain kept-corpus matching
+    * and the full d07 closure, keeping one first-arrival
+    * representative per chain it sees in-horizon. State cost: between
+    * 1 and 4 small rows per
+    * in-horizon document that reached the respective stage — still
+    * rate × horizon, never corpus.
+    *
+    * Texts too short to shingle fall back to exact content identity
+    * per band (hash in the NEGATIVE key domain — band pairings are
+    * non-negative, so the two can never collide). Batch frames replay
+    * with global per-band dedup (the backfill contract, as
+    * [[dropDups]]). */
   def nearDupBands(docs: DataFrame, watermark: String = "10 minutes",
       tsCol: String = "ts"): DataFrame = {
     val xs = expr( // x = gid % (2^31 − 1), the mhSigCte h-relation
       "transform(__gids, g -> g % 2147483647L)")
-    val mins = MhMix.map { case (a, b) =>
+    val mins = graft.queries.TextDedup.MhMix.map { case (a, b) =>
       array_min(expr(s"transform(__xs, x -> ($a*x + $b) % 2147483647L)"))
     }
+    // exact-content fallback for unshingleable texts: strictly
+    // negative, disjoint from the non-negative band pairings
+    val rawKey = -abs(xxhash64(col("text"))) - 1
     val withBands = (0 until 4).foldLeft(
       docs
         .withColumn("__gids", VectorExprs.shingleHash60(
@@ -97,9 +104,8 @@ object IngestDedup {
         .withColumn("__xs", xs)) { (df, bnd) =>
       df.withColumn(s"__band$bnd",
         coalesce(
-          concat(mins(2 * bnd).cast("string"), lit(":"),
-            mins(2 * bnd + 1).cast("string")),
-          concat(lit("raw:"), md5(col("text")))))
+          mins(2 * bnd) * lit(2147483647L) + mins(2 * bnd + 1),
+          rawKey))
     }.drop("__gids", "__xs")
     val deduped = (0 until 4).foldLeft(
       if (withBands.isStreaming) withBands.withWatermark(tsCol, watermark)

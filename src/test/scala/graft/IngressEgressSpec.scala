@@ -229,7 +229,12 @@ class WebhookSourceSpec extends SparkTestBase {
         out.flush()
         val line = new java.io.BufferedReader(
           new java.io.InputStreamReader(sock.getInputStream)).readLine()
-        assert(line != null && line.startsWith("HTTP/1.1 4"),
+        // which layer answers is JDK-implementation detail: current
+        // builds 400 at the HttpServer URI parse; a build that admits
+        // the escape reaches the handler's tolerant decode → 202.
+        // The contract is only: ANSWERED, and the listener survives.
+        assert(line != null && (line.startsWith("HTTP/1.1 4") ||
+          line.startsWith("HTTP/1.1 202")),
           s"malformed request must be answered, got: $line")
       } finally sock.close()
       // the listener survived: a normal request right after still acks
@@ -240,24 +245,24 @@ class WebhookSourceSpec extends SparkTestBase {
           .build(),
         HttpResponse.BodyHandlers.ofString()).statusCode()
       assert(stAfter === 202)
-      // engine replay agrees with BOTH — the binary body's HMAC
-      // re-verifies over body_b64's exact bytes, where re-encoding
-      // the lossy UTF-8 string would read 401
+      // engine replay agrees — the binary body's HMAC re-verifies
+      // over body_b64's exact bytes, where re-encoding the lossy
+      // UTF-8 string would read 401. Envelope count is 2 OR 3: on a
+      // JDK whose transport admits the malformed escape the handler
+      // envelopes that request too (by design).
       val envelopes = spark.read
         .schema(WebhookSource.requestSchema).json(dir.toString)
-      assert(envelopes.count() === 2)
+      assert(envelopes.count() >= 2 && envelopes.count() <= 3)
       val replayed = WebhookSource.ingest(envelopes, routes)
-        .select("path", "status", "body_b64").collect()
+        .select("path", "status", "body_b64", "query_params").collect()
       val ghRow = replayed.find(_.getString(0) == "/hooks/github").get
       assert(ghRow.getInt(1) === 202)
       assert(ghRow.getString(2) != null) // b64 present for binary body
-      val openRow = replayed.find(_.getString(0) == "/hooks/open").get
+      // the post-malformed follow-up request: select it by its query
+      val openRow = replayed.find(r => r.getString(0) == "/hooks/open" &&
+        r.getAs[Map[String, String]](3).get("ok").contains("1")).get
       assert(openRow.getInt(1) === 202)
       assert(openRow.getString(2) == null) // UTF-8 body: no b64 column
-      // the post-malformed request enveloped with its query intact
-      val q = envelopes.filter(col("path") === "/hooks/open")
-        .select("query_params").first().getAs[Map[String, String]](0)
-      assert(q("ok") === "1")
       // and the tolerant decoder itself: a malformed escape keeps the
       // raw token instead of throwing (the handler-level defense for
       // escapes the transport admits)
