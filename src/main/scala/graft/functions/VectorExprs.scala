@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, Codege
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** Native Catalyst expression for the integer dot product — the hot
   * inner loop of the similarity-search family (SURVEY §4.2c; the
@@ -811,6 +811,139 @@ case class RollingFp60(child: Expression)
       : Expression = copy(child = newChild)
 }
 
+/** Native Count–Min-Sketch probe (t16; the last closure UDF on a
+  * query path, retired per VERDICT r9 wrong #1). The sketch child is
+  * a serialized `org.apache.spark.util.sketch.CountMinSketch` — the
+  * binary the built-in `count_min_sketch` aggregate emits; the item
+  * child is the probed token. Deserialization is memoized per
+  * distinct byte image (the per-source sketches arrive as
+  * ≤|sources| distinct blobs through a broadcast join), so the
+  * per-row cost is the O(depth) probe alone. `doGenCode` calls the
+  * memoizing probe directly — no ScalaUDF, no interpreted hop; the
+  * anchor spec asserts the executed plan carries no ScalaUDF.
+  * Estimate semantics are exactly the previous closure's:
+  * `CountMinSketch.estimateCount(token: String)`. */
+case class CmsEstimate(sketch: Expression, item: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = sketch
+  override def right: Expression = item
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (sketch.dataType == BinaryType && item.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (binary, string), got " +
+        s"${sketch.dataType} / ${item.dataType}")
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_cms_estimate"
+
+  // per-instance, per-JVM memo: key = full byte image (ByteBuffer
+  // equality is a memcmp — exact, no hash-collision risk); bounded by
+  // the number of DISTINCT sketches this operator ever sees, which is
+  // the grouping cardinality of the sketch side (|sources|)
+  @transient private lazy val memo = new java.util.concurrent.ConcurrentHashMap[
+    java.nio.ByteBuffer, org.apache.spark.util.sketch.CountMinSketch]()
+
+  def probe(bytes: Array[Byte],
+      tok: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val key = java.nio.ByteBuffer.wrap(bytes)
+    var s = memo.get(key)
+    if (s == null) {
+      s = org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
+      memo.putIfAbsent(key, s)
+    }
+    s.estimateCount(tok.toString)
+  }
+
+  override protected def nullSafeEval(b: Any, t: Any): Any =
+    probe(b.asInstanceOf[Array[Byte]],
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cmsProbe", this,
+      classOf[CmsEstimate].getName)
+    nullSafeCodeGen(ctx, ev,
+      (b, t) => s"${ev.value} = $ref.probe($b, $t);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(sketch = newLeft, item = newRight)
+}
+
+/** The per-source CMS probe (t16): like [[CentroidArgmin]], born from
+  * a driver-collected parameter — here the |sources|-bounded sketch
+  * map, shipped as a BROADCAST handle so the megabyte sketch binaries
+  * never travel through row data at all (a (binary, string) probe
+  * behind a broadcast join measured 2× t16's whole runtime in pure
+  * per-row UnsafeRow copies of the sketch bytes — the binary column
+  * was copied into every joined output row). Deserialization is
+  * memoized per source per JVM; the probe itself is codegen'd — no
+  * ScalaUDF (VERDICT r9 wrong #1). An unknown source yields null
+  * (callers join on the sketch side's own grouping keys, so this is
+  * defensive). */
+case class CmsProbeBySource(source: Expression, item: Expression,
+    sketches: org.apache.spark.broadcast.Broadcast[Map[String, Array[Byte]]])
+    extends BinaryExpression {
+
+  override def left: Expression = source
+  override def right: Expression = item
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (source.dataType == StringType && item.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (string, string), got " +
+        s"${source.dataType} / ${item.dataType}")
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_cms_probe"
+
+  @transient private lazy val memo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.util.sketch.CountMinSketch]()
+
+  def probe(src: org.apache.spark.unsafe.types.UTF8String,
+      tok: org.apache.spark.unsafe.types.UTF8String): Any = {
+    val key = src.toString
+    var s = memo.get(key)
+    if (s == null) {
+      sketches.value.get(key) match {
+        case Some(bytes) =>
+          s = org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
+          memo.putIfAbsent(key, s)
+        case None => return null
+      }
+    }
+    java.lang.Long.valueOf(s.estimateCount(tok.toString))
+  }
+
+  override protected def nullSafeEval(src: Any, tok: Any): Any =
+    probe(src.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      tok.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cmsProbe", this,
+      classOf[CmsProbeBySource].getName)
+    nullSafeCodeGen(ctx, ev, (s, t) => s"""
+      |Object r = $ref.probe($s, $t);
+      |if (r == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = ((java.lang.Long) r).longValue(); }
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(source = newLeft, item = newRight)
+}
+
 object VectorExprs {
 
   /** Column wrapper: native integer dot product. */
@@ -849,6 +982,22 @@ object VectorExprs {
       centroids: Seq[Seq[Double]]): Column =
     GraftColumnBridge.column(CentroidArgmin(
       GraftColumnBridge.expression(x), cells, centroids))
+
+  /** Column wrapper: native Count–Min-Sketch probe (serialized
+    * sketch column × token column → estimate). */
+  def cmsEstimate(sketch: Column, item: Column): Column =
+    GraftColumnBridge.column(CmsEstimate(
+      GraftColumnBridge.expression(sketch),
+      GraftColumnBridge.expression(item)))
+
+  /** Column wrapper: native per-source CMS probe over a broadcast
+    * sketch map (t16's shape — the sketch bytes stay out of rows). */
+  def cmsProbeBySource(source: Column, item: Column,
+      sketches: org.apache.spark.broadcast.Broadcast[Map[String, Array[Byte]]])
+      : Column =
+    GraftColumnBridge.column(CmsProbeBySource(
+      GraftColumnBridge.expression(source),
+      GraftColumnBridge.expression(item), sketches))
 
   /** Column wrapper: native exact rounded pairwise L2 distance
     * between two vector columns (d14's in-join member distance). */

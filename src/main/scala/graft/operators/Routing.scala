@@ -65,15 +65,19 @@ object Routing {
   /** Traversability predicate for one edge over a state row that
     * carries a boolean `source_success` column plus flattened
     * output/memory columns. LLM_DECIDE routes through the boundary
-    * (default: the reference's source-success fallback). */
+    * (default: the reference's source-success fallback); callers that
+    * know the edge's endpoints pass them so a plugged boundary that
+    * routes on edge identity sees the real names — GraphRunner's
+    * compiled chain always does. */
   def traversable(cond: EdgeCondition,
       schema: StructType = new StructType(),
-      llm: LlmBoundary = LlmBoundary.Fallback): Column = cond match {
+      llm: LlmBoundary = LlmBoundary.Fallback,
+      source: String = "", target: String = ""): Column = cond match {
     case Always => lit(true)
     case OnSuccess => col("source_success")
     case OnFailure => !col("source_success")
     case Conditional(e) => SafeEval.condition(e, schema)
-    case LlmDecide => llm.decideEdge("", "", col("source_success"))
+    case LlmDecide => llm.decideEdge(source, target, col("source_success"))
   }
 
   /** First-match routing: given per-row candidate edges (one row per

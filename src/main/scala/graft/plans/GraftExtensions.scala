@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{Gram2PairHash60, Gram2Stats, LongArrayDot, Quant8Stats, RollingFp60, ScaleVec1e6, Shingle3Hash60, Sum128}
+import graft.functions.{CmsEstimate, Gram2PairHash60, Gram2Stats, LongArrayDot, Quant8Stats, RollingFp60, ScaleVec1e6, Shingle3Hash60, Sum128}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.gram2PairFunction)
     ext.injectFunction(GraftExtensions.scaleVecFunction)
     ext.injectFunction(GraftExtensions.rollingFpFunction)
+    ext.injectFunction(GraftExtensions.cmsEstimateFunction)
   }
 }
 
@@ -114,11 +115,22 @@ object GraftExtensions {
         RollingFp60(args.head)
       })
 
+  private[plans] val cmsEstimateFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName,
+        "graft_cms_estimate"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_cms_estimate takes exactly 2 arguments")
+        CmsEstimate(args.head, args(1))
+      })
+
   /** Register the functions into an already-running session. */
   def register(spark: SparkSession): Unit =
     Seq(dotFunction, sum128Function, shingleFunction, gram2Function,
       quant8Function, gram2PairFunction, scaleVecFunction,
-      rollingFpFunction)
+      rollingFpFunction, cmsEstimateFunction)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry
           .registerFunction(id, info, builder)

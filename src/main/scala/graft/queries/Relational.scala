@@ -812,18 +812,43 @@ object Relational {
   // widens to HUGEINT, which no parquet type carries). The fixture is
   // SF-independent — the operator under test is the CSV SQL surface,
   // not the corpus.
-  // resolved by walking up from the working directory (any checkout
-  // location, incl. a cwd one or two levels inside/above the repo
-  // root), falling back to the canonical driver checkout — a
-  // hard-coded absolute path alone breaks every Verify/Bench run from
-  // a differently-located clone. The oracle SQL interpolates the SAME
+  // resolved, in order: an explicit -Dgraft.q28.fixture / env
+  // GRAFT_Q28_FIXTURE override; a walk UP from the working directory
+  // to the filesystem root looking for the repo-root marker
+  // (build.sbt) with the fixture present beside it — so any checkout
+  // location works from any cwd inside it, and a same-named file in
+  // an unrelated project can never be picked up (the marker gates the
+  // match); the classpath resource (test/Verify runs), copied to a
+  // temp file so both engines read a filesystem path; finally the
+  // canonical driver checkout. The oracle SQL interpolates the SAME
   // resolved path (single quotes doubled per SQL string rules), so
   // both engines always read one file.
   private[queries] val Q28Csv: String = {
     val relPath = "src/test/resources/fixtures/q28_sales.csv"
-    val candidates = Iterator("", "../", "../../")
-      .map(p => new java.io.File(p + relPath))
-    candidates.find(_.exists).map(_.getAbsolutePath)
+    def override_ : Option[String] =
+      sys.props.get("graft.q28.fixture")
+        .orElse(sys.env.get("GRAFT_Q28_FIXTURE"))
+        .filter(p => new java.io.File(p).exists)
+    def repoWalk: Option[String] = Iterator
+      .iterate(new java.io.File(".").getAbsoluteFile.getParentFile)(
+        _.getParentFile)
+      .takeWhile(_ != null)
+      .collectFirst {
+        case d if new java.io.File(d, "build.sbt").exists &&
+            new java.io.File(d, relPath).exists =>
+          new java.io.File(d, relPath).getAbsolutePath
+      }
+    def classpath: Option[String] =
+      Option(getClass.getResource("/fixtures/q28_sales.csv")).map { u =>
+        val tmp = java.io.File.createTempFile("q28_sales", ".csv")
+        tmp.deleteOnExit()
+        val in = u.openStream()
+        try java.nio.file.Files.copy(in, tmp.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        finally in.close()
+        tmp.getAbsolutePath
+      }
+    override_.orElse(repoWalk).orElse(classpath)
       .getOrElse("/root/repo/" + relPath)
   }
   private def sqlQuote(p: String): String = p.replace("'", "''")

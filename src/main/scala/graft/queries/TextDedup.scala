@@ -144,11 +144,28 @@ object TextDedup {
     * broadcast (the t10 corpus-total pattern) — deriving it adds
     * df-histogram-grain work only, never a corpus-grain pass beyond
     * the df agg the hot list already paid. */
+  /** The pre-cap pinned inverted index: [[gids]](distinct = true)
+    * repartitioned by gid. Shared by [[cappedGids]] (which builds the
+    * hot-gram filter on top) and d16's tier count — both construct
+    * the identical plan, so the cache manager serves one entry. */
+  private[graft] def pinnedGids(s: SparkSession, dir: String): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    Pin(gids(s, dir, distinct = true)
+      .repartition(par, col("gid")))
+  }
+
+  /** Docs eligible for shingle-grain dedup = docs with ≥3 tokens =
+    * distinct doc_ids in [[pinnedGids]] (a ≥3-token doc has ≥1
+    * shingle; explode drops empty arrays). Counting off the pin means
+    * the tier decision's scalar costs a cache fill that every
+    * downstream detector reuses — NOT an extra corpus scan. */
+  private[graft] def eligibleDocCount(s: SparkSession, dir: String): Long =
+    pinnedGids(s, dir).agg(countDistinct(col("doc_id")))
+      .head().getLong(0)
+
   private[queries] def cappedGids(
       s: SparkSession, dir: String): DataFrame = {
-    val par = s.sparkContext.defaultParallelism
-    val g = Pin(gids(s, dir, distinct = true)
-      .repartition(par, col("gid")))
+    val g = pinnedGids(s, dir)
     val hot = g.groupBy("gid").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(autoDfCap(g)))
       .filter(col("df") > col("cap")).select("gid")
@@ -1208,11 +1225,13 @@ object TextDedup {
       df.select(col("doc_a"), col("doc_b"), lit(det).as("det"))
     val mh = tag(minhashPairs(s, dir), "minhash")
     val sh = tag(d04.run(s, dir), "simhash")
-    // tier decision: ONE scalar driver sync (a pruned count — the
-    // d14 auto-k precedent). It has to be plan-time: the two tiers
-    // differ in JOIN STRUCTURE, which no runtime column can switch
-    // without executing both arms.
-    val nd = tokenized(s, dir).filter(size(col("ws")) >= 3).count()
+    // tier decision: ONE scalar driver sync (the d14 auto-k
+    // precedent). It has to be plan-time: the two tiers differ in
+    // JOIN STRUCTURE, which no runtime column can switch without
+    // executing both arms. Served from the shared gids pin (filling
+    // the cache every detector below reads) — no dedicated corpus
+    // scan for the scalar.
+    val nd = eligibleDocCount(s, dir)
     val exact =
       if (nd <= EnsembleExactMax) {
         val cont = d15.run(s, dir).select(

@@ -95,8 +95,13 @@ object IngestDedup {
       array_min(expr(s"transform(__xs, x -> ($a*x + $b) % 2147483647L)"))
     }
     // exact-content fallback for unshingleable texts: strictly
-    // negative, disjoint from the non-negative band pairings
-    val rawKey = -abs(xxhash64(col("text"))) - 1
+    // negative, disjoint from the non-negative band pairings. The
+    // 63-bit mask (not abs) makes the negative-domain guarantee
+    // unconditional: abs(Long.MinValue) is itself negative, so an
+    // un-masked -abs(h)-1 would wrap to Long.MaxValue in that
+    // 2^-64 case and collide with the band domain.
+    val rawKey =
+      -(xxhash64(col("text")).bitwiseAND(lit(Long.MaxValue))) - 1
     val withBands = (0 until 4).foldLeft(
       docs
         .withColumn("__gids", VectorExprs.shingleHash60(

