@@ -20,6 +20,12 @@ Usage:
       # class sf0.1 cannot see: a pin silently dropped, a join
       # re-planned superlinear — visible only when the data is big
       # enough for the plan shape to dominate the scheduling floor.
+  python3 scripts/bench_guard.py --scale1000 [--update]
+      # FRONTIER mode (VERDICT r9 ask #2): the Heaps 1000x tier (5M
+      # docs / 2M vectors, /tmp/heaps_1000x) against
+      # scripts/bench_reference_1000x.json. ~an hour per pass — for
+      # deliberate campaigns, not the per-commit gate. Defaults
+      # SPARK_DRIVER_MEM=64g for the forked profile JVM.
 
 Run it before committing any change touching query plans; the driver
 can run it per-round. Re-baseline deliberately after a judged perf
@@ -32,11 +38,18 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SCALE = "--scale" in sys.argv
+# --scale = Heaps 10x (the per-commit at-scale gate); --scale1000 =
+# Heaps 1000x (5M docs / 2M vectors — the round-10 frontier tier; a
+# ~full-hour run, for deliberate campaigns rather than every commit)
+SCALE1000 = "--scale1000" in sys.argv
+SCALE = SCALE1000 or "--scale" in sys.argv
+SCALE_MULT = "1000" if SCALE1000 else "10"
 REF_PATH = os.path.join(
     REPO, "scripts",
-    "bench_reference_10x.json" if SCALE else "bench_reference.json")
-SCALE_DIR = os.environ.get("GRAFT_SCALE_DIR", "/tmp/heaps_10x")
+    f"bench_reference_{SCALE_MULT}x.json" if SCALE
+    else "bench_reference.json")
+SCALE_DIR = os.environ.get("GRAFT_SCALE_DIR",
+                           f"/tmp/heaps_{SCALE_MULT}x")
 # at-scale runs tolerate more relative noise (fewer, longer queries;
 # one I/O burst shifts a 3 s query further than a 0.3 s one) but
 # demand a bigger absolute move before flagging
@@ -46,7 +59,13 @@ ABS_TOL = 0.50 if SCALE else 0.15
 # transient I/O-wait bursts (~1 s, loadavg 2-3 on an idle box) that can
 # cover BOTH timed reps of a 3-rep profile and fake a 2x regression on
 # a random query; two extra reps make the min burst-resistant.
-REPS = int(os.environ.get("GRAFT_GUARD_REPS", "5"))
+REPS = int(os.environ.get("GRAFT_GUARD_REPS",
+                          "3" if SCALE1000 else "5"))
+# the forked profile JVM sizes its heap from SPARK_DRIVER_MEM
+# (build.sbt javaOptions); the 1000x tier needs more than the 8g
+# default for d02/s06's inverted indexes over 275M tokens
+if SCALE1000:
+    os.environ.setdefault("SPARK_DRIVER_MEM", "64g")
 
 
 def ensure_scale_corpus():
@@ -55,10 +74,11 @@ def ensure_scale_corpus():
     the reference was recorded on."""
     if os.path.isfile(os.path.join(SCALE_DIR, "documents.parquet")):
         return
-    print(f"generating {SCALE_DIR} (Heaps 10x, deterministic seed)...")
+    print(f"generating {SCALE_DIR} (Heaps {SCALE_MULT}x, "
+          "deterministic seed)...")
     subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "gen_scale.py"),
-         SCALE_DIR, "10", "heaps"],
+         SCALE_DIR, SCALE_MULT, "heaps"],
         check=True, cwd=REPO)
 
 
@@ -71,7 +91,7 @@ def run_profile(queries):
                SPARK_GRAFT_REPS=str(REPS))
     cmd = ["sbt", "-batch",
            f"runMain graft.BenchProfile {','.join(sorted(queries))}"]
-    limit = 3600 if SCALE else 1800
+    limit = 10800 if SCALE1000 else 3600 if SCALE else 1800
     try:
         proc = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
                               text=True, timeout=limit)

@@ -32,7 +32,15 @@ import scala.util.Random
   *    LIMIT appears only under a provably total order;
   *  - UPPER/LOWER and ordered comparisons on the non-ASCII column —
   *    collation/casing of non-ASCII is engine-locale territory;
-  *  - SUBSTRING with start < 1 — 0/negative-index semantics differ.
+  *  - SUBSTRING with start < 1 — 0/negative-index semantics differ;
+  *  - ROLLUP/CUBE/GROUPING SETS over an EMPTY input — the standard
+  *    (DuckDB, Postgres) emits one grand-total row for the ()
+  *    grouping set where Spark's Expand-based implementation emits
+  *    zero rows (found by this fuzzer, round 10); every generated
+  *    rollup query carries `HAVING COUNT(*) > 0`, which removes
+  *    exactly that row and nothing else, so the rest of the family
+  *    still diff-tests. Spark's behavior is pinned by a regression
+  *    test in SqlFuzzSpec.
   */
 object SqlFuzz {
 
@@ -185,13 +193,19 @@ object SqlFuzz {
     }
 
   /** One full query; kinds weighted toward the single-table surface
-    * the reference's csv_sql sees most. */
-  def genQuery(r: Random): String = r.nextInt(20) match {
-    case k if k < 8 => simple(r)
-    case k if k < 13 => joinQuery(r, 2)
-    case k if k < 15 => joinQuery(r, 3)
-    case k if k < 17 => setOp(r)
-    case _ => subQuery(r)
+    * the reference's csv_sql sees most. Round-10 widening: window
+    * functions, CTEs and ROLLUP/CUBE/GROUPING SETS join the grammar
+    * (the gate passes any pure SELECT through, so the analytic
+    * surface is reachable from csv_sql and must agree too). */
+  def genQuery(r: Random): String = r.nextInt(26) match {
+    case k if k < 7 => simple(r)
+    case k if k < 12 => joinQuery(r, 2)
+    case k if k < 14 => joinQuery(r, 3)
+    case k if k < 16 => setOp(r)
+    case k if k < 19 => subQuery(r)
+    case k if k < 22 => windowQuery(r)
+    case k if k < 24 => cteQuery(r)
+    case _ => rollupQuery(r)
   }
 
   /** (FROM clause, scope, alias of a never-null-extended table with
@@ -314,6 +328,138 @@ object SqlFuzz {
           s"EXISTS (SELECT 1 FROM t2 b WHERE b.id = a.id AND " +
           s"${pred(r, Seq("b" -> T2), 0)})"
     }
+  }
+
+  /** Window-function query (round-10 widening). Determinism rules:
+    * ROW_NUMBER / frames / LAG order by the UNIQUE never-null id (the
+    * same total-order anchor LIMIT uses), so row numbering and frame
+    * contents are identical in both engines; RANK/DENSE_RANK may
+    * order by a non-unique expression (ties collapse to the same
+    * rank either way) but then carry the explicit NULLS FIRST both
+    * dialects need to agree on; whole-partition aggregates take no
+    * ORDER BY at all (the frame is the full partition — no peer-row
+    * RANGE subtleties). */
+  private def windowQuery(r: Random): String = {
+    // only t1/t2 single-table or the 2-way inner join: every shape
+    // below needs the unique id of a never-fanned-out alias
+    val (from, scope, ida) = r.nextInt(3) match {
+      case 0 => ("t1 a", Seq("a" -> T1), "a")
+      case 1 => ("t2 b", Seq("b" -> T2), "b")
+      case _ => ("t1 a JOIN t2 b ON a.id = b.id",
+        Seq("a" -> T1, "b" -> T2), "a")
+    }
+    val part = colOf(r, scope, "s").get // nullable: NULL is its own
+    // partition in both engines
+    val wexprs = (0 until 1 + r.nextInt(3)).map { i =>
+      val e = r.nextInt(6) match {
+        case 0 => s"ROW_NUMBER() OVER (PARTITION BY $part " +
+          s"ORDER BY $ida.id ASC NULLS FIRST)"
+        case 1 => s"${pick(r, Seq("RANK", "DENSE_RANK"))}() OVER (" +
+          s"PARTITION BY $part ORDER BY ${intExpr(r, scope, 1)} " +
+          s"${pick(r, Seq("ASC", "DESC"))} NULLS FIRST)"
+        case 2 => s"${pick(r, Seq("SUM", "MIN", "MAX", "COUNT"))}(" +
+          s"${colOf(r, scope, "i").get}) OVER (PARTITION BY $part)"
+        case 3 => s"SUM(${intExpr(r, scope, 0)}) OVER (PARTITION BY " +
+          s"$part ORDER BY $ida.id ASC NULLS FIRST ROWS BETWEEN " +
+          "UNBOUNDED PRECEDING AND CURRENT ROW)"
+        case 4 => s"${pick(r, Seq("LAG", "LEAD"))}(" +
+          s"${colOf(r, scope, "is").get}, ${1 + r.nextInt(2)}) OVER (" +
+          s"PARTITION BY $part ORDER BY $ida.id ASC NULLS FIRST)"
+        case 5 => s"COUNT(*) OVER (ORDER BY $ida.id ASC NULLS FIRST " +
+          "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+      }
+      s"$e AS w$i"
+    }
+    val where =
+      if (r.nextInt(10) < 6) s" WHERE ${pred(r, scope, 1)}" else ""
+    val tail = // id is unique + projected -> a total order for LIMIT
+      if (r.nextInt(10) < 4)
+        s" ORDER BY cid ASC NULLS FIRST LIMIT ${5 + r.nextInt(40)}"
+      else ""
+    s"SELECT $ida.id AS cid, $part AS c0, ${wexprs.mkString(", ")} " +
+      s"FROM $from$where$tail"
+  }
+
+  /** CTE query (round-10 widening): a grouped WITH body consumed by
+    * an outer SELECT — alone or joined back to the t3 dimension. The
+    * outer scope types come from the CTE's own projection, so outer
+    * predicates/arithmetic exercise the analyzer's CTE column
+    * resolution in both dialects. */
+  private def cteQuery(r: Random): String = {
+    if (r.nextBoolean()) {
+      // shape A: WITH w AS (group t1|t2) SELECT ... FROM w WHERE ...
+      val (t, alias, key) = if (r.nextBoolean())
+        ("t1", "a", pick(r, Seq("a.grp", "a.name")))
+      else ("t2", "b", "b.cat")
+      val scope = Seq(alias -> Tables(t))
+      val where =
+        if (r.nextBoolean()) s" WHERE ${pred(r, scope, 1)}" else ""
+      val inner = s"SELECT $key AS k0, COUNT(*) AS cnt, " +
+        s"SUM(${intExpr(r, scope, 1)}) AS s0, " +
+        s"MAX(${colOf(r, scope, "i").get}) AS m0 FROM $t $alias" +
+        s"$where GROUP BY $key"
+      val wScope = Seq("w" -> Seq(Col("k0", 's'), Col("cnt", 'i'),
+        Col("s0", 'i'), Col("m0", 'i')))
+      val proj = (0 until 1 + r.nextInt(3))
+        .map(i => s"${scalarExpr(r, wScope)} AS c$i")
+      val ow =
+        if (r.nextBoolean()) s" WHERE ${pred(r, wScope, 1)}" else ""
+      s"WITH w AS ($inner) SELECT w.k0 AS ck, ${proj.mkString(", ")} " +
+        s"FROM w$ow"
+    } else {
+      // shape B: the CTE joined back to the t3 dimension on its key
+      val scope = Seq("b" -> T2)
+      val where =
+        if (r.nextBoolean()) s" WHERE ${pred(r, scope, 1)}" else ""
+      val joined = Seq("w" -> Seq(Col("k0", 's'), Col("tot", 'i'),
+        Col("cnt", 'i')), "c" -> T3)
+      val ow =
+        if (r.nextBoolean()) s" WHERE ${pred(r, joined, 1)}" else ""
+      s"WITH w AS (SELECT b.cat AS k0, SUM(b.amt) AS tot, COUNT(*) " +
+        s"AS cnt FROM t2 b$where GROUP BY b.cat) " +
+        s"SELECT w.k0 AS ck, w.tot AS c0, w.cnt AS c1, c.label AS " +
+        s"c2, (c.boost * ${1 + r.nextInt(5)}) AS c3 " +
+        s"FROM w JOIN t3 c ON w.k0 = c.cat$ow"
+    }
+  }
+
+  /** ROLLUP / CUBE / GROUPING SETS query (round-10 widening).
+    * GROUPING(key) flags are projected so super-aggregate NULLs stay
+    * distinguishable from data NULLs in the compared output — the
+    * classic cross-engine drift spot for these clauses. No ORDER BY
+    * needed: the compare sorts rows. */
+  private def rollupQuery(r: Random): String = {
+    val (t, alias) = if (r.nextBoolean()) ("t1", "a") else ("t2", "b")
+    val scope = Seq(alias -> Tables(t))
+    val keys = {
+      val all = Tables(t).filter(c => "isd".contains(c.kind))
+        .map(c => s"$alias.${c.name}")
+      r.shuffle(all).take(2)
+    }
+    val grouping = r.nextInt(3) match {
+      case 0 => s"ROLLUP(${keys.mkString(", ")})"
+      case 1 => s"CUBE(${keys.mkString(", ")})"
+      case _ => s"GROUPING SETS ((${keys.mkString(", ")}), " +
+        s"(${keys.head}), ())"
+    }
+    val where =
+      if (r.nextBoolean()) s" WHERE ${pred(r, scope, 1)}" else ""
+    val aggs = (0 until 1 + r.nextInt(2))
+      .map(i => s"${aggExpr(r, scope)} AS g$i")
+    val proj = keys.zipWithIndex.map { case (k, i) => s"$k AS k$i" } ++
+      keys.zipWithIndex.map { case (k, i) => s"GROUPING($k) AS gf$i" } ++
+      aggs
+    // HAVING COUNT(*) > 0 neutralizes the ONE divergence this family
+    // has (found by this fuzzer's first widened run, 5/500 queries):
+    // over an EMPTY filtered input the standard (and DuckDB/Postgres)
+    // emits a single grand-total row for the () grouping set
+    // (COUNT=0, aggs NULL) while Spark's Expand-based implementation
+    // emits zero rows. On non-empty input the clause is a no-op —
+    // every real group has COUNT(*) >= 1 — so everything else the
+    // family generates still diff-tests. Pinned in SqlFuzzSpec's
+    // "empty-input ROLLUP" regression test.
+    s"SELECT ${proj.mkString(", ")} FROM $t $alias$where " +
+      s"GROUP BY $grouping HAVING COUNT(*) > 0"
   }
 
   /** N queries from one seed — the whole fuzz corpus of a run. */

@@ -131,8 +131,37 @@ class SqlFuzzSpec extends SparkTestBase {
       s.contains("EXCEPT")))
     assert(sqls.exists(_.contains("EXISTS")))
     assert(sqls.exists(_.contains("LIMIT")))
+    // round-10 widening: the analytic surface is in the corpus too
+    assert(sqls.exists(_.contains(") OVER (")))
+    assert(sqls.exists(_.startsWith("WITH ")))
+    assert(sqls.exists(s => s.contains("ROLLUP") || s.contains("CUBE")))
+    assert(sqls.exists(_.contains("GROUPING SETS")))
+    assert(sqls.exists(_.contains("ROW_NUMBER()")))
     println(s"SQL_FUZZ: $n queries, seed=$seed, 100% agreement (" +
       summary.map(_.matched).getOrElse("") + ")")
+  }
+
+  test("empty-input ROLLUP divergence (found by the round-10 fuzz " +
+      "run): Spark emits ZERO rows where the standard emits one " +
+      "grand-total row for the () set; HAVING COUNT(*) > 0 is the " +
+      "documented neutralizer the generator applies") {
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("v", "k")
+      .createOrReplaceTempView("rt")
+    // Spark: empty input -> no rows at all from ROLLUP (DuckDB would
+    // return one row (NULL, 1, 0) for the grand-total set here)
+    val empty = SqlGate.query(spark,
+      "SELECT k, GROUPING(k) AS gf, COUNT(*) AS c FROM rt " +
+        "WHERE v > 99 GROUP BY ROLLUP(k)").collect()
+    assert(empty.isEmpty,
+      "Spark's empty-input ROLLUP behavior changed — revisit the " +
+        "generator's HAVING COUNT(*) > 0 exclusion and its scaladoc")
+    // the neutralizer is a no-op on non-empty input: all 3 grouping
+    // rows survive (2 groups + grand total)
+    val kept = SqlGate.query(spark,
+      "SELECT k, GROUPING(k) AS gf, COUNT(*) AS c FROM rt " +
+        "GROUP BY ROLLUP(k) HAVING COUNT(*) > 0").collect()
+    assert(kept.length == 3)
   }
 
   test("the fuzz gate rejects non-SELECT statements the same way the " +
