@@ -25,6 +25,16 @@ object Sessions {
       // the config you'd run with (parallelism comes from data volume)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         "false")
+      // GC-pause tolerance: at the Heaps-1000x tier (275M tokens in
+      // one 64g local JVM) a pin-fill full-GC pause can exceed the
+      // 10s default heartbeat, and in local mode a missed heartbeat
+      // tears down the scheduler endpoint and kills the app
+      // (observed: RpcTimeoutException -> RpcEndpointNotFoundException
+      // during d02's first rep at 100x/1000x on a slow round-10 VM).
+      // A real cluster runs with exactly these knobs raised; the
+      // network timeout must stay > the heartbeat interval.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
     extra.foreach { case (k, v) => b.config(k, v) }
     b.getOrCreate()
   }
