@@ -30,5 +30,6 @@ for s in $SCALES; do
   java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -Xmx"${SPARK_DRIVER_MEM:-48g}" \
     -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-    graft.BenchProfile "$Q" 2>/dev/null | grep -E 'PROFILE|WARMPASS' || true
+    graft.BenchProfile "$Q" 2>/dev/null \
+    | stdbuf -oL grep -E 'PROFILE|WARMPASS' || true
 done

@@ -39,6 +39,16 @@ object BenchProfile {
       }
       println(s"WARMPASS ${fmt((System.nanoTime() - t0) / 1e9)} s")
     }
+    // SPARK_GRAFT_ISOLATE=true: drop all cache entries AFTER each
+    // query so reps measure the query alone. Without it a long multi-
+    // query profile accumulates every query's persist pins in one JVM
+    // until storage memory saturates and later queries' reps inflate
+    // from eviction/disk churn (observed at Heaps-100x with 29
+    // queries: the s-family's rep 3 ran 2-4x rep 1). Isolation is the
+    // honest per-query steady state for campaign tables; the default
+    // (accumulate) matches a long-lived shared session and is what
+    // the bench_guard references were recorded with.
+    val isolate = sys.env.get("SPARK_GRAFT_ISOLATE").contains("true")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (only.forall(_.contains(name))) {
         val times = (1 to reps).map { _ =>
@@ -47,6 +57,7 @@ object BenchProfile {
           (System.nanoTime() - t0) / 1e9
         }
         println(f"PROFILE $name%-28s ${times.map(fmt).mkString(" ")}")
+        if (isolate) spark.catalog.clearCache()
       }
     }
     spark.stop()

@@ -826,27 +826,41 @@ object TextDedup {
   }
 
   /** Target vectors per (label, cell) block for [[d06]]'s width
-    * derivation: bits = 4 + Σ_{j=5..8} [Nv > target·2^(j−1)] — the
-    * smallest bits in [4..8] with Nv ≤ target·2^bits (clamped at 8).
-    * Test SFs (≤2k vectors) → 4 bits, the historical configuration
-    * bit-for-bit; the 20k/200k Heaps corpora → 8 bits, d13's width. */
+    * derivation: bits = 4 + Σ_{j=5..16} [Nv > target·2^(j−1)] — the
+    * smallest bits in [4..16] with Nv ≤ target·2^bits (clamped at 16,
+    * the bands' computed dim span). Test SFs (≤2k vectors) → 4 bits,
+    * the historical configuration bit-for-bit; the 20k/200k Heaps
+    * corpora → 8 bits, d13's width; the 2M-vector 1000× tier → 14
+    * bits. The ladder MUST outgrow 8 bits: with the clamp at 8 the
+    * expected cell population (Nv / (labels·2^bits)) resumes growing
+    * linearly in Nv beyond ~1.2M vectors and the within-cell pair
+    * volume goes quadratic again — measured as a 31× step for 10×
+    * data at the 1000× tier (249 s; ~25 s after this fix). Per-dim
+    * sign agreement for cos ≥ 0.99 true dups is ≈0.97, so band
+    * recall at 14 bits is ≈0.97^14 ≈ 0.65 and two bands give ≈0.88 —
+    * the documented wide-tier recall trade (d13 stays the fixed-width
+    * contrast tier). */
   private[queries] val D06TargetCell = 150L
 
   /** d06 with the v20 auto-width contract (VERDICT r8 ask #1): both
-    * orthant bands are always computed at the FULL 8-bit width and
+    * orthant bands are always computed at the FULL 16-bit span and
     * masked to the derived width with `% 2^bits`, where 2^bits =
     * 16·Π(1+[Nv>T·2^(j−1)]) is exact integer arithmetic mirrored in
-    * the oracle. Band 1 reads dims 1–8 and band 2 dims 5–12 — band 2
+    * the oracle. Band 1 reads dims 1–16 and band 2 dims 5–20 — band 2
     * is ANCHORED at dim 5 so that at bits = 4 the masked cells are
-    * exactly the historical dims 1–4 / 5–8 bands (orthant(5,8) % 16 ≡
-    * orthant(5,4) by the bit layout) and the narrow-tier output is
-    * unchanged; at bits = 8 the bands overlap on dims 5–8 (a bounded
-    * recall correlation, traded for output stability at the narrow
-    * tier — d13 keeps the non-overlapping 1–8/9–16 layout). Fixes the
-    * measured cell-population quadratic (15 s at 200k vectors, fixed
-    * 4-bit cells) without a manual tier swap. */
+    * exactly the historical dims 1–4 / 5–8 bands (orthant(5,16) % 16
+    * ≡ orthant(5,4) by the bit layout) and the narrow-tier output is
+    * unchanged; at bits = 8 the mask reduces both bands to the
+    * round-9 dims-1–8 / 5–12 layout bit-for-bit, so every oracled SF
+    * (≤200k vectors) is byte-identical to the 8-span construction.
+    * Bands overlap above 4 bits (a bounded recall correlation, traded
+    * for output stability at the narrow tier — d13 keeps the
+    * non-overlapping 1–8/9–16 layout). Fixes the measured
+    * cell-population quadratic — first at 200k vectors (15 s, fixed
+    * 4-bit cells), then again at 2M when the ladder clamped at 8 bits
+    * (249 s at the 1000× tier) — without a manual tier swap. */
   private def embNearDupAutoQ(name: String): Q = {
-    val thresholds = (5 to 8).map(j => D06TargetCell * (1L << (j - 1)))
+    val thresholds = (5 to 16).map(j => D06TargetCell * (1L << (j - 1)))
     val b2Sql = "16" +
       thresholds.map(t => s" * (1 + (tot.nv > $t)::BIGINT)").mkString
     Q(name,
@@ -856,8 +870,8 @@ object TextDedup {
         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM embeddings),
         |n AS (SELECT vec_id, label, sx,
         |  CAST(list_sum(list_transform(sx, x -> x*x)) AS BIGINT) AS nn,
-        |  ${orthantSql(1, 8)} % ($b2Sql) AS c1,
-        |  ${orthantSql(5, 8)} % ($b2Sql) AS c2
+        |  ${orthantSql(1, 16)} % ($b2Sql) AS c1,
+        |  ${orthantSql(5, 16)} % ($b2Sql) AS c2
         |  FROM e, tot)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
         |  CAST(list_sum(list_transform(list_zip(a.sx, b.sx),
@@ -869,7 +883,7 @@ object TextDedup {
       // same plan as [[embNearDupQ]] (exact cosine INSIDE the band
       // joins — see its builder comments) plus the 1-row corpus total
       // broadcast into the pin for the width mask
-      val ind = (5 to 8).map(j =>
+      val ind = (5 to 16).map(j =>
         when(col("nv") > D06TargetCell * (1L << (j - 1)), 1L)
           .otherwise(0L))
       val tot = Tables.load(s, dir, "embeddings")
@@ -881,8 +895,8 @@ object TextDedup {
           Fns.scaleVec(col("embedding")).as("sx"))
         .withColumn("nn", VectorExprs.normSqIntNative(col("sx")))
         .crossJoin(broadcast(tot))
-        .withColumn("c1", orthantCol(1, 8) % col("b2"))
-        .withColumn("c2", orthantCol(5, 8) % col("b2"))
+        .withColumn("c1", orthantCol(1, 16) % col("b2"))
+        .withColumn("c2", orthantCol(5, 16) % col("b2"))
         .drop("b2"))
       val cos = Fns.cosineFromScaled(
         VectorExprs.dotIntNative(col("sx_a"), col("sx_b")),
