@@ -166,16 +166,27 @@ def main():
     n_docs, n_vecs = int(5000 * mult), int(2000 * mult)
     docs = (gen_documents_heaps(42, n_docs) if heaps
             else gen_documents(rng, n_docs))
-    pq.write_table(docs, os.path.join(out_dir, "documents.parquet"))
+    # row_group_size cap (VERDICT r10 ask #2): pyarrow's default row
+    # group is 1Mi rows, so a 100x corpus (500k docs) lands in ONE
+    # row group and no split boundary can parallelize the scan — the
+    # round-10 campaign's d02 tokenize ran on one task because of it.
+    # 65536-row groups (~10 MB at the measured ~170 B/row) make every
+    # tier splittable by Sessions.local's 16m maxPartitionBytes floor
+    # while keeping groups large enough for real column compression.
+    # Layout-only: same rows, same seed, same bytes per value.
+    RG = 65536
+    pq.write_table(docs, os.path.join(out_dir, "documents.parquet"),
+                   row_group_size=RG)
     pq.write_table(gen_embeddings(42, n_vecs),
-                   os.path.join(out_dir, "embeddings.parquet"))
+                   os.path.join(out_dir, "embeddings.parquet"),
+                   row_group_size=RG)
     if heaps:
         shutil.copyfile(os.path.join(BASE, "events.parquet"),
                         os.path.join(out_dir, "events.parquet"))
     else:
         pq.write_table(
             gen_events(42, int(100000 * mult), int(1500 * mult)),
-            os.path.join(out_dir, "events.parquet"))
+            os.path.join(out_dir, "events.parquet"), row_group_size=RG)
     for t in ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem"]:
         src = os.path.join(BASE, f"{t}.parquet")

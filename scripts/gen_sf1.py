@@ -152,7 +152,11 @@ def main():
                      ("part", part), ("orders", orders),
                      ("lineitem", lineitem), ("events", events)]:
         out_tbl = replicate(t[name], mult, fn)
-        pq.write_table(out_tbl, os.path.join(out, f"{name}.parquet"))
+        # 65536-row groups keep the single-file sf1 fixtures
+        # splittable under Sessions.local's 16m scan floor (see
+        # gen_scale.py; layout-only, identical data)
+        pq.write_table(out_tbl, os.path.join(out, f"{name}.parquet"),
+                       row_group_size=65536)
         print(f"  {name}: {out_tbl.num_rows} rows")
     for name in ["region", "nation"]:
         shutil.copyfile(os.path.join(BASE, f"{name}.parquet"),

@@ -57,7 +57,17 @@ object BenchProfile {
           (System.nanoTime() - t0) / 1e9
         }
         println(f"PROFILE $name%-28s ${times.map(fmt).mkString(" ")}")
-        if (isolate) spark.catalog.clearCache()
+        if (isolate) {
+          // clearCache() only drops CacheManager (persist) entries;
+          // under PIN=localCheckpoint the checkpointed-RDD blocks are
+          // NOT catalog-tracked (ADVICE r10) — unpersist them through
+          // the context's persistent-RDD registry so isolation frees
+          // storage under every pin mode, not just the campaign's
+          // persist regime.
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
       }
     }
     spark.stop()

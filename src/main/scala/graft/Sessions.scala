@@ -35,6 +35,20 @@ object Sessions {
       // network timeout must stay > the heartbeat interval.
       .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.network.timeout", "600s")
+      // Scan-parallelism floor (VERDICT r10 ask #2): a few-large-files
+      // layout is a real production ingest shape, and under the 128m
+      // default a single-file corpus scan gets ONE task regardless of
+      // cores (the round-10 campaign's d02 tokenize read 207 s at
+      // 100x because the whole 82 MB documents.parquet landed in one
+      // split). 16m keeps such layouts parallel at every tier the
+      // engine is measured at (82 MB -> 6 splits, 863 MB -> ~54)
+      // while staying production-sane at 100 TB (tasks are packed by
+      // openCostInBytes; tokenize-grade scans are CPU-bound per byte,
+      // so smaller splits trade a little scheduling overhead for
+      // cluster-wide parallelism). Split use still requires row
+      // groups smaller than the file — gen_scale.py/gen_sf1.py cap
+      // row_group_size so fixtures are splittable end to end.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
     extra.foreach { case (k, v) => b.config(k, v) }
     b.getOrCreate()
   }
