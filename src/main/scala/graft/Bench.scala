@@ -12,8 +12,36 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    // 1-min system load BEFORE any work: distinguishes "machine was
-    // already busy" from "this suite loaded the machine"
+    // ---- suite-level load gate (VERDICT r10 ask #5) ----
+    // BENCH_r10 went into the permanent record at loadavg 7 /
+    // ref_scale 1.678 / 7 retries: the per-query defenses (min-of-2
+    // reps, end-of-suite retries) absorb bursts but not a machine
+    // that is busy for the WHOLE suite. Rounds are compared by these
+    // committed artifacts, so a contended start is spin-waited out:
+    // poll the 1-min loadavg every 15 s until it drops under the
+    // threshold (default 4, SPARK_GRAFT_LOAD_GATE) or the wait budget
+    // runs out (default 600 s, SPARK_GRAFT_LOAD_GATE_WAIT — refusing
+    // outright would zero a driver round, so after the budget the
+    // suite runs anyway and the artifact records how long it waited
+    // and the load it surrendered at: its own justification).
+    val gateBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+    val loadAtLaunch = gateBean.getSystemLoadAverage
+    val gateThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "4.0").toDouble
+    val gateBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE_WAIT", "600").toLong
+    var gateWaited = 0L
+    while (gateBean.getSystemLoadAverage > gateThreshold &&
+        gateWaited < gateBudgetSec) {
+      System.err.println(s"[bench] load gate: loadavg " +
+        f"${gateBean.getSystemLoadAverage}%.2f > $gateThreshold%.1f, " +
+        s"waiting (${gateWaited}s/${gateBudgetSec}s)")
+      Thread.sleep(15000)
+      gateWaited += 15
+    }
+    // 1-min system load BEFORE any work (post-gate): distinguishes
+    // "machine was already busy" from "this suite loaded the machine"
     val loadStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     // Untimed warmup: touch every table at the bench SF (parquet
@@ -158,7 +186,7 @@ object Bench {
     val loadEnd = osBean.getSystemLoadAverage
     val envJson = {
       val pin = spark.conf.getOption("spark.graft.pin").getOrElse("persist")
-      s"""{"load_avg_start":${ms(loadStart)},"load_avg_end":${ms(loadEnd)},"nproc":${Runtime.getRuntime.availableProcessors},"cpus_env":${Sessions.jsonEscape(cpus)},"default_parallelism":${spark.sparkContext.defaultParallelism},"shuffle_partitions":${Sessions.jsonEscape(spark.conf.get("spark.sql.shuffle.partitions"))},"pin":${Sessions.jsonEscape(pin)},"ref_scale":${ms(refScale)},"n_retried":${retried.size}}"""
+      s"""{"load_avg_start":${ms(loadStart)},"load_avg_end":${ms(loadEnd)},"load_at_launch":${ms(loadAtLaunch)},"load_gate_threshold":${ms(gateThreshold)},"load_gate_waited_sec":$gateWaited,"nproc":${Runtime.getRuntime.availableProcessors},"cpus_env":${Sessions.jsonEscape(cpus)},"default_parallelism":${spark.sparkContext.defaultParallelism},"shuffle_partitions":${Sessions.jsonEscape(spark.conf.get("spark.sql.shuffle.partitions"))},"pin":${Sessions.jsonEscape(pin)},"ref_scale":${ms(refScale)},"n_retried":${retried.size}}"""
     }
     // compact suite-total line FIRST (always parseable even if the
     // driver's capture clips the long detail line), then the full

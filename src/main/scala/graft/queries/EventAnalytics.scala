@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.operators.Pin
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -415,16 +416,39 @@ object EventAnalytics {
 
   // e14 — approximate distinct (HLL): the distinct-at-scale path
   // (SURVEY §2.4 aggregator stats note: approx_count_distinct
-  // acceptable at 100 TB, flagged approximate). No oracle — sketch
-  // implementations differ across engines, so the driver records the
-  // rows-only check; the ±5% accuracy bound is asserted in
-  // OperatorsSpec against the exact count.
-  val e14 = Q.noOracle("e14_approx_distinct") { (s, dir) =>
+  // acceptable at 100 TB, flagged approximate). Sketch VALUES are
+  // engine-specific, so the registered row is a BOUNDED-ERROR oracle
+  // row (VERDICT r10 ask #6): the query carries both arms — the
+  // exact counts (DuckDB-verified, e21's semantics) and a per-group
+  // flag asserting the HLL estimate lands within the accuracy bound
+  // of the exact arm (|approx−exact| ≤ max(2, 5%·exact) — 2.5× the
+  // rsd=0.02 the sketch is built with, the same bound the
+  // SourcesOperatorsSpec anchor has held at every SF since r8). The
+  // oracle emits TRUE for the flags, so a sketch drifting out of
+  // bound hash-mismatches the round instead of hiding behind
+  // `no_oracle`. At 100 TB the production call is the approx
+  // aggregate ALONE (single pass, no expand); the exact arm here is
+  // the audit the correctness gate buys its row with.
+  val e14 = Q(
+    "e14_approx_distinct",
+    """SELECT event_type,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(COUNT(DISTINCT props) AS BIGINT) AS n_payloads,
+      |  TRUE AS hll_users_ok, TRUE AS hll_payloads_ok
+      |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+    def withinBound(approx: Column, exact: Column) =
+      abs(approx - exact) <=
+        greatest(lit(2L), (exact * lit(0.05)).cast(LongType))
     Tables.load(s, dir, "events")
       .groupBy("event_type")
       .agg(
-        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-        approx_count_distinct(col("props"), 0.02).as("approx_payloads"))
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("props")).as("n_payloads"),
+        approx_count_distinct(col("user_id"), 0.02).as("au"),
+        approx_count_distinct(col("props"), 0.02).as("ap"))
+      .select(col("event_type"), col("n_users"), col("n_payloads"),
+        withinBound(col("au"), col("n_users")).as("hll_users_ok"),
+        withinBound(col("ap"), col("n_payloads")).as("hll_payloads_ok"))
   }
 
   // ---------------------------------------------------------------
@@ -755,21 +779,38 @@ object EventAnalytics {
   // per-type quantiles need a full per-partition sort — at 100 TB the
   // mergeable-sketch answer is percentile_approx (Spark's KLL-style
   // quantile summary: bounded state, map-side partial, one exchange
-  // at sketch grain). No oracle — sketch internals differ across
-  // engines, so the driver records the rows-only check; e06 is the
-  // exact twin and the spec asserts every approximate quantile lands
-  // within the sketch's rank-error bound of e06's exact answer at
-  // every SF, the same anchoring contract as e14↔e21.
-  val e22 = Q.noOracle("e22_approx_quantiles") { (s, dir) =>
+  // at sketch grain). Sketch VALUES are engine-specific, so the
+  // registered row is a BOUNDED-ERROR oracle row (VERDICT r10 ask
+  // #6, e14's contract on the quantile axis): the query emits the
+  // exact group count (DuckDB-verified) plus per-group flags
+  // asserting each approximate quantile lands inside the exact value
+  // window at q ± 0.005 — 5× the sketch's deterministic GK
+  // rank-error guarantee of 1/accuracy = 0.001, computed with
+  // Spark's exact interpolating percentile in the SAME aggregation
+  // (no extra exchange). The oracle emits TRUE, so a sketch drifting
+  // out of its rank window fails the round's hash gate instead of
+  // hiding behind `no_oracle`. The production call at 100 TB is the
+  // approx aggregate alone; e06 remains the exact full-quantile twin.
+  val e22 = Q(
+    "e22_approx_quantiles",
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_values,
+      |  TRUE AS median_ok, TRUE AS p90_ok
+      |FROM events WHERE value IS NOT NULL
+      |GROUP BY event_type""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "events")
       .filter(col("value").isNotNull)
       .groupBy("event_type")
       .agg(
-        percentile_approx(col("value"), lit(0.5), lit(1000))
-          .as("approx_median"),
-        percentile_approx(col("value"), lit(0.9), lit(1000))
-          .as("approx_p90"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("am"),
+        percentile_approx(col("value"), lit(0.9), lit(1000)).as("ap"),
+        expr("percentile(value, array(0.495, 0.505, 0.895, 0.905))")
+          .as("ex"),
         count(lit(1)).as("n_values"))
+      .select(col("event_type"), col("n_values"),
+        (col("am") >= col("ex")(0) && col("am") <= col("ex")(1))
+          .as("median_ok"),
+        (col("ap") >= col("ex")(2) && col("ap") <= col("ex")(3))
+          .as("p90_ok"))
   }
 
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,

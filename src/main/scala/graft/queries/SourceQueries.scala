@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.{Fns, VectorExprs}
-import graft.operators.ContextCompaction
+import graft.operators.{ContextCompaction, Pin}
 import graft.sources.TimerSource
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
@@ -1075,16 +1075,42 @@ object SourceQueries {
   // (quarantine a hair too much — the safe direction for eval
   // hygiene).
   //
-  // No oracle — Bloom bit layouts are engine-specific (rows-only
-  // gate, e14/e22's contract); the anchor spec asserts per-doc
-  // hits ≥ the exact join twin's hits (zero false negatives) and
-  // total overcount within the fpp bound at every SF, against the
-  // same [[TextDedup.cappedGids]] relation s06 audits.
+  // Bloom bit layouts are engine-specific, so the registered row is
+  // a BOUNDED-ERROR oracle row (VERDICT r10 ask #6, e14's contract):
+  // the query carries both arms — per train doc the exact gram count
+  // and exact eval-set hit count (DuckDB-verified against the same
+  // capped-gram CTE s06 uses), plus two flags the oracle pins TRUE:
+  // `screen_sound` (the one-sided-error law per doc: the Bloom probe
+  // NEVER undercounts the exact hits, so no leak can pass the
+  // screen) and `fp_bounded` (suite-level overcount within 3×fpp of
+  // the clean-probe volume + slack, attached per row via a broadcast
+  // 1-row aggregate — the SketchAnchorSpec bound, now hash-gated).
+  // The exact arm's eval-gid semi-join is the AUDIT's price, paid to
+  // buy the oracle row; the production screen stays the zero-join
+  // broadcast-sketch probe (graft.streaming.DecontamGate.screen —
+  // the per-document intake hot path, spec'd for plan parity with
+  // this audit's filter).
   private[queries] val BloomFpp = 0.01
-  val s19 = Q.noOracle("s19_bloom_decontaminate") { (s, dir) =>
+  val s19 = Q(
+    "s19_bloom_decontaminate",
+    s"""${TextDedup.gidsCte},
+      |h AS (SELECT doc_id, gid FROM g WHERE gid NOT IN
+      |        (SELECT gid FROM g GROUP BY gid HAVING COUNT(*) > ${TextDedup.capSql("g")})),
+      |a AS (SELECT doc_id, gid,
+      |    CASE WHEN ${Fns.hash60Sql("doc_id")} % 100 < 80
+      |         THEN 'train' ELSE 'eval' END AS split FROM h),
+      |e AS (SELECT DISTINCT gid FROM a WHERE split = 'eval')
+      |SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN e.gid IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS exact_hits,
+      |  TRUE AS screen_sound, TRUE AS fp_bounded
+      |FROM a LEFT JOIN e ON a.gid = e.gid
+      |WHERE a.split = 'train' GROUP BY a.doc_id""".stripMargin) {
+      (s, dir) =>
     val a = graft.operators.Sampling.assignSplits(
       TextDedup.cappedGids(s, dir), col("doc_id"),
       Seq("train" -> 80, "eval" -> 100))
+    val evalGids = a.filter(col("split") === "eval").select("gid")
     // the filter build (incl. the dedup it owns) is the SHARED
     // definition with the streaming intake gate
     // (graft.streaming.DecontamGate — its screen probes the same
@@ -1092,18 +1118,31 @@ object SourceQueries {
     // count up front, the second (build) pass being the price of a
     // correctly-sized filter
     val bloom = graft.streaming.DecontamGate.buildFilter(
-      a.filter(col("split") === "eval").select("gid"), BloomFpp)
+      evalGids, BloomFpp)
     // the probe is Spark's own codegen'd BloomFilterMightContain over
     // the serialized sketch literal (VERDICT r8 ask #8) — the corpus
     // scan stays inside whole-stage codegen, no ScalaUDF hop
     val hit = graft.streaming.DecontamGate.mightContain(bloom, col("gid"))
-    a.filter(col("split") === "train")
+    // exact arm: both sides descend from the gid-partitioned
+    // cappedGids pin, so the eval-distinct + membership join align
+    // without a fresh corpus shuffle
+    val perDoc = Pin(a.filter(col("split") === "train")
+      .join(evalGids.distinct().withColumn("in_eval", lit(1L)),
+        Seq("gid"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
-        sum(when(hit, 1L).otherwise(0L)).as("bloom_hits"))
-      .select(col("doc_id"), col("n_grams"), col("bloom_hits"),
-        (col("bloom_hits") >= graft.streaming.DecontamGate.MinShared)
-          .as("flagged"))
+        sum(coalesce(col("in_eval"), lit(0L))).as("exact_hits"),
+        sum(when(hit, 1L).otherwise(0L)).as("bloom_hits")))
+    // fp bound at suite grain: expected false positives ≈ fpp ·
+    // non-member probes; 3× + slack 10 (SketchAnchorSpec's bound)
+    val tot = perDoc.agg(
+      sum(col("bloom_hits") - col("exact_hits")).as("fp"),
+      sum(col("n_grams") - col("exact_hits")).as("clean"))
+    perDoc.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_grams"), col("exact_hits"),
+        (col("bloom_hits") >= col("exact_hits")).as("screen_sound"),
+        (col("fp") <= lit(3 * BloomFpp) * col("clean") + lit(10.0))
+          .as("fp_bounded"))
   }
 
   val all: Seq[Q] =

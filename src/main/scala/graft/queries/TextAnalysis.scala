@@ -731,20 +731,41 @@ object TextAnalysis {
   // anchor cannot drift) probed against the sketch: per row the
   // exact count, the CMS estimate, and the overcount.
   //
-  // No oracle — sketch internals are engine-specific (e14/e22's
-  // rows-only contract); determinism comes from the fixed seed, and
-  // the anchor spec asserts CMS's two guarantees against t08's
-  // materialized truth at every SF: estimates NEVER undercount, and
-  // overcount stays within ε·N (N = the source's token stream
-  // length). The |sources|-bounded sketch collect is the same
-  // driver-side sync point as s13's 8192-bucket models — bounded by
-  // construction, then broadcast back into the native codegen'd
-  // graft_cms_probe expression (round 10 — the last query-path
-  // closure UDF retired).
+  // Sketch internals are engine-specific, so the registered row is a
+  // BOUNDED-ERROR oracle row (VERDICT r10 ask #6, e14's contract on
+  // the frequency axis): per top-20 row the exact count, the exact
+  // per-source token-stream length N (both DuckDB-verified — the
+  // stream length is what CMS's ε·N guarantee is stated against),
+  // and two flags the oracle pins TRUE: `no_undercount` (the
+  // DETERMINISTIC CMS law: estimateCount ≥ true count, always) and
+  // `within_eps` (overcount ≤ max(8, 4·ε·N) — the guarantee itself
+  // is ε·N at confidence 1−δ = 0.99 PER PROBE, so the hashed flag
+  // carries 4× headroom over the bound the SketchAnchorSpec audits
+  // at 1×; with the fixed seed the reading is deterministic per
+  // fixture, and a sketch bug that breaks either law flips the flag
+  // and fails the round's hash gate instead of hiding behind
+  // `no_oracle`). The raw estimates stay OUT of the hashed output
+  // (engine-specific values); the anchor spec still audits them.
   private[queries] val CmsEps = 1e-4
   private val CmsConfidence = 0.99
   private val CmsSeed = 42
-  val t16 = Q.noOracle("t16_cms_topfreq") { (s, dir) =>
+  val t16 = Q(
+    "t16_cms_topfreq",
+    """WITH tok AS (SELECT source, unnest(string_split(text,' ')) AS token
+      |             FROM documents),
+      |c AS (SELECT source, token, COUNT(*) AS n
+      |      FROM tok GROUP BY source, token),
+      |tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_source_tokens
+      |        FROM c GROUP BY source),
+      |r AS (SELECT source, token, n,
+      |        ROW_NUMBER() OVER (PARTITION BY source
+      |                           ORDER BY n DESC, token) AS rank
+      |      FROM c)
+      |SELECT r.source, r.token, CAST(r.rank AS INT) AS rank,
+      |  r.n AS n_exact, tot.n_source_tokens,
+      |  TRUE AS no_undercount, TRUE AS within_eps
+      |FROM r JOIN tot ON r.source = tot.source
+      |WHERE r.rank <= 20""".stripMargin) { (s, dir) =>
     // |sources|-bounded driver collect of the sketches (s13's
     // bounded-sync pattern, judged OK), broadcast back and probed by
     // the NATIVE codegen'd graft_cms_probe expression — the r9
@@ -764,12 +785,24 @@ object TextAnalysis {
       .map(r => r.getString(0) -> r.getAs[Array[Byte]]("cms"))
       .toMap
     val bc = s.sparkContext.broadcast(sketches)
+    // exact per-source stream length: one corpus-grain agg at
+    // |sources| grain, broadcast-joined back onto the 20·|sources|
+    // top rows (the exact arm the oracle verifies the bound against)
+    val totals = docs(s, dir)
+      .select(col("source"), size(col("ws")).cast(LongType).as("k"))
+      .groupBy("source").agg(sum("k").as("n_source_tokens"))
     t08.run(s, dir)
       .select(col("source"), col("token"), col("rank"),
         col("n").as("n_exact"))
+      .join(broadcast(totals), "source")
       .withColumn("cms_estimate", graft.functions.VectorExprs
         .cmsProbeBySource(col("source"), col("token"), bc))
-      .withColumn("overcount", col("cms_estimate") - col("n_exact"))
+      .select(col("source"), col("token"), col("rank"),
+        col("n_exact"), col("n_source_tokens"),
+        (col("cms_estimate") >= col("n_exact")).as("no_undercount"),
+        (col("cms_estimate") - col("n_exact") <=
+          greatest(lit(8.0), lit(4 * CmsEps) * col("n_source_tokens")))
+          .as("within_eps"))
   }
 
   val all: Seq[Q] =

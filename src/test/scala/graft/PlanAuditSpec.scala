@@ -422,12 +422,17 @@ class PlanAuditSpec extends SparkTestBase {
       //  s19: the shared cappedGids relation is a cache hit here
       //       (d02's earlier audit materialized it — s06's own
       //       convention); s19's OWN exchanges are the eval-gram
-      //       distinct and the per-train-doc probe agg. The Bloom
-      //       build + sizing count pay in driver jobs (v08's
-      //       codebook pattern); the probe itself is a narrow
-      //       broadcast-sketch scan — THE point of the operator:
-      //       zero corpus-grain joins anywhere
-      "s19_bloom_decontaminate" -> 2,
+      //       distinct, the per-train-doc agg (probe + exact arms in
+      //       ONE grouping), and the 1-row fp-bound combine that the
+      //       r11 bounded-error oracle row added (VERDICT r10 ask
+      //       #6) — the exact-arm membership join itself aligns on
+      //       cappedGids' gid partitioning, exchange-free. The Bloom
+      //       build + sizing count pay in driver jobs (v08's codebook
+      //       pattern); the production screen (DecontamGate.screen)
+      //       remains the zero-join broadcast-sketch probe — a 4th
+      //       exchange here means the audit join stopped aligning
+      //       and the corpus is being shuffled
+      "s19_bloom_decontaminate" -> 3,
       //  t16: t08's own audited tail in the returned plan (vocab agg
       //       + per-source rank window); the per-source sketch agg
       //       pays in the |sources|-bounded driver-collect job, and
@@ -435,8 +440,11 @@ class PlanAuditSpec extends SparkTestBase {
       //       broadcast sketch map (round 10 — no ScalaUDF; a
       //       broadcast JOIN variant was tried and reverted: copying
       //       the ~1 MB sketch binary into every joined row cost 2×
-      //       the whole query)
-      "t16_cms_topfreq" -> 2,
+      //       the whole query). +1 in r11: the exact per-source
+      //       stream-length agg the bounded-error oracle row needs
+      //       (VERDICT r10 ask #6) — |sources|-grain output,
+      //       broadcast back onto the 20·|sources| top rows
+      "t16_cms_topfreq" -> 3,
       //  q27: the pinned 1-row stats agg pays its exchanges once in
       //       the cache build (global agg + the event_id distinct's
       //       expand — q26/e21's documented cost); the six verdict

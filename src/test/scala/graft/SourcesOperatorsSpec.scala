@@ -993,7 +993,12 @@ class MoreOperatorsSpec extends SparkTestBase {
     // columns at each scale the driver gates.
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
         "/root/testdata/sf0.1").foreach { dir =>
-      val approx = graft.queries.EventAnalytics.e14.run(spark, dir)
+      // independent audit: rebuild the raw HLL estimates (e14 now
+      // hash-gates the bound as flags and no longer emits them)
+      val approx = graft.Tables.load(spark, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("au"),
+          approx_count_distinct(col("props"), 0.02).as("ap"))
         .collect()
         .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
       val exact = graft.queries.EventAnalytics.e21.run(spark, dir)
@@ -1007,6 +1012,18 @@ class MoreOperatorsSpec extends SparkTestBase {
         assert(math.abs(ap - np) <= math.max(2L, (np * 0.05).toLong),
           s"$dir $k payloads: approx=$ap exact=$np")
       }
+      // the hash-gated row: exact arms equal e21's truth, every
+      // bound flag TRUE (VERDICT r10 ask #6)
+      val e14out = graft.queries.EventAnalytics.e14.run(spark, dir)
+        .collect()
+      assert(e14out.map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("n_payloads"))))
+        .toMap === exact, s"e14 exact arm diverged from e21 at $dir")
+      e14out.foreach { r =>
+        assert(r.getAs[Boolean]("hll_users_ok") &&
+          r.getAs[Boolean]("hll_payloads_ok"),
+          s"$dir ${r.getAs[String]("event_type")} bound flag false")
+      }
     }
   }
 
@@ -1019,7 +1036,15 @@ class MoreOperatorsSpec extends SparkTestBase {
     // percentile within 1% (10× the nominal bound, noise headroom).
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
         "/root/testdata/sf0.1").foreach { dir =>
-      val approx = graft.queries.EventAnalytics.e22.run(spark, dir)
+      // independent audit: rebuild the raw sketch values (e22 now
+      // hash-gates the rank window as flags and no longer emits them)
+      val approx = graft.Tables.load(spark, dir, "events")
+        .filter(col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(percentile_approx(col("value"), lit(0.5), lit(1000))
+          .as("approx_median"),
+          percentile_approx(col("value"), lit(0.9), lit(1000))
+            .as("approx_p90"))
         .collect()
         .map(r => r.getAs[String]("event_type") ->
           ((r.getAs[Double]("approx_median"),
@@ -1045,6 +1070,17 @@ class MoreOperatorsSpec extends SparkTestBase {
         assert(pLo - 0.01 <= 0.9 && 0.9 <= pHi + 0.01,
           s"$dir $k p90 rank [$pLo,$pHi] misses 0.9")
       }
+      // the hash-gated row: exact counts, every rank-window flag
+      // TRUE (VERDICT r10 ask #6)
+      graft.queries.EventAnalytics.e22.run(spark, dir).collect()
+        .foreach { r =>
+          val k = r.getAs[String]("event_type")
+          assert(r.getAs[Long]("n_values") === vals(k).length.toLong,
+            s"$dir $k n_values")
+          assert(r.getAs[Boolean]("median_ok") &&
+            r.getAs[Boolean]("p90_ok"),
+            s"$dir $k quantile rank-window flag false")
+        }
     }
   }
 
