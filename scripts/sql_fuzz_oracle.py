@@ -3,11 +3,16 @@
 ask #1; driven by graft.SqlFuzzSpec).
 
 Usage:
-  python3 scripts/sql_fuzz_oracle.py <fixtureDir> <queriesJson> <sparkOutDir>
+  python3 scripts/sql_fuzz_oracle.py <fixtureDir> <queriesJson> \
+      <sparkOutDir> [tables]
 
-<fixtureDir> holds t1/t2/t3 parquet dirs (written by the spec; BOTH
-engines read these same files). <queriesJson> maps query id -> SQL.
-<sparkOutDir>/<qid>/ holds Spark's result parquet per query.
+<fixtureDir> holds the fixture parquet — either a dir per table
+(t1/t2/t3, written by the spec) or a single file per table
+(<t>.parquet, the driver's sf layout); BOTH engines read these same
+files. <queriesJson> maps query id -> SQL. <sparkOutDir>/<qid>/
+holds Spark's result parquet per query. [tables] is an optional
+comma list of view names (default t1,t2,t3 — pass
+lineitem,orders,customer,events,nation for the sf profile).
 
 Each SQL runs in DuckDB over the fixture views and is compared with
 the Spark parquet using check_oracle.py's exact normalization (sort
@@ -28,11 +33,14 @@ import duckdb  # noqa: E402
 
 def main():
     fix_dir, queries_json, out_dir = sys.argv[1], sys.argv[2], sys.argv[3]
+    tables = (sys.argv[4].split(",") if len(sys.argv) > 4
+              else ["t1", "t2", "t3"])
     con = duckdb.connect()
-    for t in ("t1", "t2", "t3"):
+    for t in tables:
+        single = os.path.join(fix_dir, f"{t}.parquet")
+        src = single if os.path.isfile(single) else f"{fix_dir}/{t}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{fix_dir}/{t}/*.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     queries = json.load(open(queries_json))
     n_pass = n_fail = 0
     for qid, sql in sorted(queries.items()):

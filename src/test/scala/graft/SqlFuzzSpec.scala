@@ -9,16 +9,26 @@ import scala.util.Random
 
 import graft.plans.SqlGate
 
-/** Differential SQL fuzz gate (VERDICT r9 ask #1): hundreds of
-  * seeded random SELECTs from [[SqlFuzz]]'s grammar, each executed
-  * through the REAL parsed-plan gate ([[SqlGate.query]]) on Spark
-  * and replayed by DuckDB over the same parquet fixtures
+/** Differential SQL fuzz gate (VERDICT r9 ask #1, widened r10/r11):
+  * hundreds of seeded random SELECTs from [[SqlFuzz]]'s grammar, each
+  * executed through the REAL parsed-plan gate ([[SqlGate.query]]) on
+  * Spark and replayed by DuckDB over the same parquet fixtures
   * (scripts/sql_fuzz_oracle.py, check_oracle.py normalization).
   * 100% agreement required — any divergence the fuzzer finds prints
-  * its SQL, ready to lock as a regression query.
+  * its SQL and seed, ready to lock as a regression query.
+  *
+  * Two corpora per suite run (VERDICT r10 ask #3):
+  *  - the synthetic adversarial views (NULL-dense, non-ASCII,
+  *    engineered key overlaps) — the failure-surface probe;
+  *  - the driver's REAL sf0.01 parquet (lineitem/orders/customer/
+  *    events/nation: real dates, doubles, FK join keys, 60k-row
+  *    cardinalities) — dialect coverage on real data shapes.
   *
   * Deterministic by default (fixed seed, so CI is stable); explore
-  * new corpus space with GRAFT_FUZZ_SEED / GRAFT_FUZZ_N.
+  * new corpus space with GRAFT_FUZZ_SEED / GRAFT_FUZZ_N, or set
+  * GRAFT_FUZZ_ROTATE=1 (scripts/gate.sh does) to ALSO run a
+  * date-derived rotating seed — printed with every run, so a
+  * rotating-seed failure is reproducible verbatim.
   */
 class SqlFuzzSpec extends SparkTestBase {
 
@@ -70,21 +80,15 @@ class SqlFuzzSpec extends SparkTestBase {
     cand.get.getAbsolutePath
   }
 
-  test("differential SQL fuzz: 500 seeded SELECTs through the real " +
-      "gate agree with DuckDB on the same parquet fixtures " +
-      "(VERDICT r9 ask #1; seed/N via GRAFT_FUZZ_SEED/GRAFT_FUZZ_N)") {
-    val seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong)
-      .getOrElse(DefaultSeed)
-    val n = sys.env.get("GRAFT_FUZZ_N").map(_.toInt).getOrElse(DefaultN)
-    val dir = Files.createTempDirectory("sqlfuzz")
-    writeFixtures(dir)
-    // both engines read the SAME parquet — Spark registers views over
-    // the written files, not the in-memory frames
-    Seq("t1", "t2", "t3").foreach { t =>
-      spark.read.parquet(s"$dir/$t").createOrReplaceTempView(t)
-    }
-    val corpus = SqlFuzz.corpus(seed, n)
-    val outDir = dir.resolve("out")
+  /** One full differential run: generate the corpus, execute every
+    * query through the real gate, replay in DuckDB, demand 100%
+    * agreement. Returns the corpus for grammar-coverage asserts. */
+  private def runFuzz(cfg: SqlFuzz.Config, fixtureDir: String,
+      tables: Seq[String], seed: Long, n: Int, tag: String)
+      : Seq[(String, String)] = {
+    val work = Files.createTempDirectory(s"sqlfuzz-$tag")
+    val corpus = SqlFuzz.corpus(cfg, seed, n)
+    val outDir = work.resolve("out")
     val sparkFailures = mutable.Buffer.empty[String]
     corpus.foreach { case (qid, sql) =>
       try {
@@ -97,48 +101,102 @@ class SqlFuzzSpec extends SparkTestBase {
       }
     }
     assert(sparkFailures.isEmpty,
-      s"${sparkFailures.size}/$n generated queries failed on Spark " +
-        s"(generator must emit only valid SQL):\n" +
+      s"[$tag seed=$seed] ${sparkFailures.size}/$n generated queries " +
+        "failed on Spark (generator must emit only valid SQL):\n" +
         sparkFailures.take(5).mkString("\n"))
-    val qJson = dir.resolve("queries.json")
+    val qJson = work.resolve("queries.json")
     Files.write(qJson, corpus.map { case (qid, sql) =>
       Sessions.jsonEscape(qid) + ":" + Sessions.jsonEscape(sql)
     }.mkString("{", ",", "}").getBytes(UTF_8))
     // DuckDB replay + compare (check_oracle normalization)
     val pb = new ProcessBuilder("python3", scriptPath,
-      dir.toString, qJson.toString, outDir.toString)
+      fixtureDir, qJson.toString, outDir.toString, tables.mkString(","))
     pb.redirectErrorStream(true)
     val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes(), UTF_8)
     val rc = proc.waitFor()
     val failLines = out.linesIterator.filter(_.startsWith("FAIL")).toSeq
     assert(rc == 0 && failLines.isEmpty,
-      s"differential fuzz found ${failLines.size} divergence(s) — " +
-        "each SQL below is a ready-made regression query:\n" +
-        failLines.take(10).mkString("\n") + "\n--- tail ---\n" +
+      s"[$tag seed=$seed] differential fuzz found ${failLines.size} " +
+        "divergence(s) — each SQL below is a ready-made regression " +
+        "query:\n" + failLines.take(10).mkString("\n") +
+        "\n--- tail ---\n" +
         out.linesIterator.toSeq.takeRight(3).mkString("\n"))
     // the compare actually compared: the summary must count ALL n
     // (an empty queries.json would exit 0 with "0 pass")
     val summary = "(\\d+) pass, (\\d+) fail".r.findFirstMatchIn(out)
     assert(summary.exists(_.group(1).toInt == n),
-      s"oracle summary did not cover all $n queries: " +
+      s"[$tag seed=$seed] oracle summary did not cover all $n " +
+        "queries: " +
         out.linesIterator.toSeq.takeRight(3).mkString(" | "))
-    // the corpus actually exercised the grammar: every family present
-    val sqls = corpus.map(_._2)
+    println(s"SQL_FUZZ[$tag]: $n queries, seed=$seed, 100% agreement (" +
+      summary.map(_.matched).getOrElse("") + ")")
+    corpus
+  }
+
+  /** Rotating seed: a new corpus each calendar day, stable within a
+    * day so a red CI run reproduces with the printed seed. */
+  private def rotatingSeed: Long =
+    java.time.LocalDate.now(java.time.ZoneOffset.UTC).toEpochDay
+
+  private def grammarCoverage(sqls: Seq[String]): Unit = {
     assert(sqls.exists(_.contains("GROUP BY")))
     assert(sqls.exists(_.contains("LEFT JOIN")))
     assert(sqls.exists(s => s.contains("INTERSECT") ||
       s.contains("EXCEPT")))
     assert(sqls.exists(_.contains("EXISTS")))
     assert(sqls.exists(_.contains("LIMIT")))
-    // round-10 widening: the analytic surface is in the corpus too
     assert(sqls.exists(_.contains(") OVER (")))
     assert(sqls.exists(_.startsWith("WITH ")))
     assert(sqls.exists(s => s.contains("ROLLUP") || s.contains("CUBE")))
     assert(sqls.exists(_.contains("GROUPING SETS")))
     assert(sqls.exists(_.contains("ROW_NUMBER()")))
-    println(s"SQL_FUZZ: $n queries, seed=$seed, 100% agreement (" +
-      summary.map(_.matched).getOrElse("") + ")")
+  }
+
+  test("differential SQL fuzz: 500 seeded SELECTs through the real " +
+      "gate agree with DuckDB on the synthetic adversarial fixtures " +
+      "(VERDICT r9 ask #1; seed/N via GRAFT_FUZZ_SEED/GRAFT_FUZZ_N)") {
+    val seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong)
+      .getOrElse(DefaultSeed)
+    val n = sys.env.get("GRAFT_FUZZ_N").map(_.toInt).getOrElse(DefaultN)
+    val dir = Files.createTempDirectory("sqlfuzz")
+    writeFixtures(dir)
+    // both engines read the SAME parquet — Spark registers views over
+    // the written files, not the in-memory frames
+    Seq("t1", "t2", "t3").foreach { t =>
+      spark.read.parquet(s"$dir/$t").createOrReplaceTempView(t)
+    }
+    val corpus = runFuzz(SqlFuzz.Synthetic, dir.toString,
+      Seq("t1", "t2", "t3"), seed, n, "synthetic")
+    // the corpus actually exercised the grammar: every family present
+    grammarCoverage(corpus.map(_._2))
+    if (sys.env.contains("GRAFT_FUZZ_ROTATE"))
+      runFuzz(SqlFuzz.Synthetic, dir.toString,
+        Seq("t1", "t2", "t3"), rotatingSeed, n, "synthetic-rotating")
+  }
+
+  test("differential SQL fuzz over the REAL sf0.01 parquet: 500 " +
+      "seeded SELECTs over lineitem/orders/customer/events/nation " +
+      "agree with DuckDB (VERDICT r10 ask #3 — real dates, doubles, " +
+      "FK join keys, 60k-row cardinalities)") {
+    val sfDir = sys.env.getOrElse("GRAFT_FUZZ_SF_DIR",
+      "/root/testdata/sf0.01")
+    val seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong)
+      .getOrElse(DefaultSeed)
+    val n = sys.env.get("GRAFT_FUZZ_N").map(_.toInt).getOrElse(DefaultN)
+    val tables = Seq("lineitem", "orders", "customer", "events",
+      "nation")
+    // plain views over the raw parquet files — BOTH engines read the
+    // same bytes (no Tables.load normalization: events.ts stays out
+    // of the fuzz schema for exactly that reason, see SqlFuzz.Tpch)
+    tables.foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
+    }
+    val corpus = runFuzz(SqlFuzz.Tpch, sfDir, tables, seed, n, "sf")
+    grammarCoverage(corpus.map(_._2))
+    if (sys.env.contains("GRAFT_FUZZ_ROTATE"))
+      runFuzz(SqlFuzz.Tpch, sfDir, tables, rotatingSeed, n,
+        "sf-rotating")
   }
 
   test("empty-input ROLLUP divergence (found by the round-10 fuzz " +
@@ -167,11 +225,6 @@ class SqlFuzzSpec extends SparkTestBase {
   test("the fuzz gate rejects non-SELECT statements the same way the " +
       "handwritten adversarial corpus does (gate still guards the " +
       "fuzz path)") {
-    Seq("t1", "t2", "t3").foreach { t =>
-      // views may or may not exist here; the gate must reject BEFORE
-      // resolution either way
-      s"DROP VIEW IF EXISTS nonexistent_$t"
-    }
     intercept[SqlGate.BlockedSqlException] {
       SqlGate.query(spark, "DROP TABLE t1")
     }
