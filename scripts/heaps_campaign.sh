@@ -23,13 +23,26 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
 done
 for s in $SCALES; do
   echo "=== heaps_$s ==="
+  # per-section scratch dir for Spark's shuffle/spill files, removed
+  # after the section: the round-11 campaign died at the 1000x tier
+  # on ENOSPC after a prior (killed) JVM left 56 GB of blockmgr spill
+  # in /tmp, and the old `|| true` swallowed the death entirely --
+  # the section now reports its exit code and never leaks spill.
+  RUNTMP="$(mktemp -d /tmp/graft-campaign-$s.XXXXXX)"
+  rc=0
   SPARK_GRAFT_SF_DIR=/tmp/heaps_$s \
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
   SPARK_GRAFT_PIN=persist \
   SPARK_GRAFT_REPS="${SPARK_GRAFT_REPS:-3}" \
   java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -Djava.io.tmpdir="$RUNTMP" \
     -Xmx"${SPARK_DRIVER_MEM:-48g}" \
     -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-    graft.BenchProfile "$Q" 2>/dev/null \
-    | stdbuf -oL grep -E 'PROFILE|WARMPASS' || true
+    graft.BenchProfile "$Q" 2>"$RUNTMP/stderr.log" \
+    | stdbuf -oL grep -E 'PROFILE|WARMPASS' || rc=$?
+  if [ "$rc" -ne 0 ]; then
+    echo "=== heaps_$s FAILED rc=$rc ==="
+    tail -5 "$RUNTMP/stderr.log" | sed 's/^/    /' || true
+  fi
+  rm -rf "$RUNTMP"
 done

@@ -823,12 +823,21 @@ object Relational {
   // canonical driver checkout. The oracle SQL interpolates the SAME
   // resolved path (single quotes doubled per SQL string rules), so
   // both engines always read one file.
-  private[queries] val Q28Csv: String = {
+  // lazy-once (VERDICT r10 ask #8): the classpath branch copies the
+  // resource to a temp file, so resolution must not run at object
+  // init — it runs on the first q28 use (Q.oracle is itself lazy)
+  // and caches for the JVM. The resolver is a function so the spec
+  // can drive each branch of the order: override > repo-walk >
+  // classpath > canonical.
+  private[queries] lazy val Q28Csv: String =
+    resolveQ28(sys.props.get("graft.q28.fixture")
+      .orElse(sys.env.get("GRAFT_Q28_FIXTURE")))
+
+  private[queries] def resolveQ28(explicitOverride: Option[String])
+      : String = {
     val relPath = "src/test/resources/fixtures/q28_sales.csv"
     def override_ : Option[String] =
-      sys.props.get("graft.q28.fixture")
-        .orElse(sys.env.get("GRAFT_Q28_FIXTURE"))
-        .filter(p => new java.io.File(p).exists)
+      explicitOverride.filter(p => new java.io.File(p).exists)
     def repoWalk: Option[String] = Iterator
       .iterate(new java.io.File(".").getAbsoluteFile.getParentFile)(
         _.getParentFile)

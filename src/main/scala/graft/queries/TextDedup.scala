@@ -829,9 +829,12 @@ object TextDedup {
     * derivation: bits = 4 + Σ_{j=5..16} [Nv > target·2^(j−1)] — the
     * smallest bits in [4..16] with Nv ≤ target·2^bits (clamped at 16,
     * the bands' computed dim span). Test SFs (≤2k vectors) → 4 bits,
-    * the historical configuration bit-for-bit; the 20k/200k Heaps
-    * corpora → 8 bits, d13's width; the 2M-vector 1000× tier → 14
-    * bits. The ladder MUST outgrow 8 bits: with the clamp at 8 the
+    * the historical configuration bit-for-bit; the 20k-vector Heaps
+    * 10× / sf1 tier → 8 bits, d13's width; the 200k-vector 100× tier
+    * → 11 bits (150·2^10 = 153,600 < 200,000 ≤ 307,200 — the r10
+    * widening moved this tier OFF the round-9 8-bit construction, so
+    * its output and recall change there by design; ADVICE r10); the
+    * 2M-vector 1000× tier → 14 bits. The ladder MUST outgrow 8 bits: with the clamp at 8 the
     * expected cell population (Nv / (labels·2^bits)) resumes growing
     * linearly in Nv beyond ~1.2M vectors and the within-cell pair
     * volume goes quadratic again — measured as a 31× step for 10×
@@ -852,7 +855,12 @@ object TextDedup {
     * ≡ orthant(5,4) by the bit layout) and the narrow-tier output is
     * unchanged; at bits = 8 the mask reduces both bands to the
     * round-9 dims-1–8 / 5–12 layout bit-for-bit, so every oracled SF
-    * (≤200k vectors) is byte-identical to the 8-span construction.
+    * (≤20k vectors — the test SFs at 4 bits and the sf1/Heaps-10×
+    * tier at 8) is byte-identical to the 8-span construction. The
+    * 200k-vector 100× tier derives 11 bits under the widened ladder
+    * (ADVICE r10), so ITS output is not — a deliberate recall/cell
+    * trade at a tier no oracle gates; cross-engine agreement is
+    * unaffected because the oracle mirrors the same derivation.
     * Bands overlap above 4 bits (a bounded recall correlation, traded
     * for output stability at the narrow tier — d13 keeps the
     * non-overlapping 1–8/9–16 layout). Fixes the measured

@@ -1480,3 +1480,163 @@ class ProfileStreamSpec extends SparkTestBase {
     assert(streamed("value").meanNum === 0.6 / 3)
   }
 }
+
+/** VERDICT r10 ask #7 — chaos tests for the streaming intake: the
+  * stop/restart soak (RocksDbSoakSpec) proves CLEAN resume; these two
+  * prove the UGLY paths. Both assert observable behavior (sink
+  * contents, surfaced exceptions), never logs.
+  */
+class StreamingChaosSpec extends SparkTestBase {
+  import spark.implicits._
+  private implicit def s: org.apache.spark.sql.SparkSession = spark
+
+  private val RocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+  private def withRocksDb[T](f: => T): T = {
+    val old = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksProvider)
+    try f
+    finally old match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None    => spark.conf.unset(ProviderKey)
+    }
+  }
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-chaos-$tag").toString
+
+  private def walkFiles(root: java.nio.file.Path)
+      : Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.exists(root)) Seq.empty
+    else java.nio.file.Files.walk(root).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_)).toSeq
+  }
+
+  /** The two flavors of a damaged checkpoint: state files GONE, and
+    * state files present but garbage. Either way the restart must
+    * surface an error — silently re-admitting dups (i.e. starting
+    * from empty state while the offset log claims batches are done)
+    * would corrupt the corpus downstream forever. */
+  test("chaos: restart from a checkpoint whose RocksDB state was " +
+      "lost or corrupted FAILS LOUD — the sink never silently " +
+      "re-admits dups (VERDICT r10 ask #7)") {
+    def run(corrupt: Boolean): Unit = withRocksDb {
+      val ckpt = tmp(if (corrupt) "ckpt-garbage" else "ckpt-missing")
+      val out = tmp("chaos-out")
+      val input = MemoryStream[SoakDoc](spark)
+      def start() = graft.streaming.IngestDedup
+        .exact(input.toDF().toDF("doc_id", "text", "ts"),
+          watermark = "10 minutes")
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      val q1 = start()
+      // timestamps ride a real epoch base: ts=0 would sit AT the
+      // initial watermark and be dropped as late data
+      val t0 = 1700000000000L
+      input.addData(SoakDoc(1, "alpha text", new Timestamp(t0)),
+        SoakDoc(2, "beta text", new Timestamp(t0 + 1000)))
+      q1.processAllAvailable()
+      // second committed batch so the state is versioned > 1
+      input.addData(SoakDoc(3, "gamma text", new Timestamp(t0 + 2000)))
+      q1.processAllAvailable()
+      q1.stop()
+      val cleanRows = spark.read.parquet(out).count()
+      assert(cleanRows === 3L)
+      // damage ONLY the state store; offsets/commits stay — the
+      // checkpoint now CLAIMS batches are done but cannot prove
+      // what it admitted
+      val stateDir = java.nio.file.Paths.get(ckpt, "state")
+      assert(walkFiles(stateDir).nonEmpty, "no state files written?")
+      if (corrupt)
+        walkFiles(stateDir).foreach { p =>
+          java.nio.file.Files.write(p,
+            Array.fill[Byte](64)(0x5A))
+        }
+      else {
+        walkFiles(stateDir).sorted.reverse
+          .foreach(java.nio.file.Files.delete)
+        // delete emptied dirs too (a fully MISSING tree)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(stateDir).iterator().asScala.toSeq
+          .sorted.reverse.foreach(java.nio.file.Files.delete)
+      }
+      // restart + a batch full of dups a lost state would re-admit
+      val q2 = start()
+      val surfaced = intercept[Exception] {
+        input.addData(SoakDoc(4, "alpha text", new Timestamp(t0 + 3000)),
+          SoakDoc(5, "beta text", new Timestamp(t0 + 4000)))
+        q2.processAllAvailable()
+        // if no exception surfaced, the store silently re-admitted:
+        // fail the intercept with the evidence
+        val rows = spark.read.parquet(out).count()
+        throw new AssertionError(
+          s"restart from a damaged checkpoint did NOT fail: sink has " +
+            s"$rows rows (was $cleanRows) — silent re-admit")
+      }
+      assert(!surfaced.isInstanceOf[AssertionError], surfaced.getMessage)
+      try q2.stop() catch { case _: Exception => () }
+      // the sink must not have grown: no dup slipped out before the
+      // failure surfaced
+      assert(spark.read.parquet(out).count() === cleanRows,
+        "damaged-checkpoint restart leaked rows into the sink")
+    }
+    run(corrupt = false)
+    run(corrupt = true)
+  }
+
+  test("chaos: a sink-visible PARTIAL write inside foreachBatch, then " +
+      "a crash and restart — exactly-once holds through the batchId " +
+      "idempotence contract (VERDICT r10 ask #7)") {
+    val ckpt = tmp("fb-ckpt")
+    val out = tmp("fb-out")
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val input = MemoryStream[SoakDoc](spark)
+    // The contract every graft foreachBatch sink follows (SseSink,
+    // Checkpoints): the write is an idempotent OVERWRITE keyed by
+    // batchId — a retried epoch replaces its own partial leftovers
+    // instead of appending next to them.
+    def start() = input.toDF().toDF("doc_id", "text", "ts")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val dir = s"$out/batch=$id"
+        if (id == 1L && failOnce.getAndSet(false)) {
+          // sink-VISIBLE partial write: half the rows land, then the
+          // batch dies mid-flight
+          df.limit(1).write.mode("overwrite").parquet(dir)
+          throw new RuntimeException("injected mid-batch sink failure")
+        }
+        df.write.mode("overwrite").parquet(dir)
+      }
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    val t0 = 1700000000000L
+    input.addData(SoakDoc(1, "one", new Timestamp(t0)))
+    q1.processAllAvailable() // batch 0 commits clean
+    val failed = intercept[Exception] {
+      input.addData(SoakDoc(2, "two", new Timestamp(t0 + 1000)),
+        SoakDoc(3, "three", new Timestamp(t0 + 2000)),
+        SoakDoc(4, "four", new Timestamp(t0 + 3000)))
+      q1.processAllAvailable()
+    }
+    assert(failed.getMessage != null)
+    try q1.stop() catch { case _: Exception => () }
+    // the partial IS visible at the sink — that is the chaos premise
+    // (an uncommitted epoch left bytes behind)
+    val partial = spark.read.parquet(s"$out/batch=1").count()
+    assert(partial === 1L,
+      s"expected the injected partial write to be sink-visible, saw " +
+        s"$partial rows")
+    // restart from the same checkpoint: Spark re-offers the SAME
+    // epoch (batchId 1) with the same data; the overwrite-by-batchId
+    // contract replaces the partial instead of appending
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(s"$out/batch=*")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(rows === Seq(1L, 2L, 3L, 4L),
+      s"exactly-once violated across the retried epoch: $rows")
+  }
+}
