@@ -67,6 +67,14 @@ object BenchProfile {
           spark.catalog.clearCache()
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = false))
+          // shuffle FILES are only deleted when the ContextCleaner
+          // sees their ShuffleDependency get GC'd — a 29-query
+          // campaign at the 1000x tier otherwise accumulates every
+          // query's spill on disk until ENOSPC (observed r11: 56 GB
+          // of blockmgr files killed the tier at d02). The pause
+          // lands before the NEXT query's rep 1, which steady state
+          // (min of reps 2+) already excludes.
+          System.gc()
         }
       }
     }
