@@ -23,9 +23,15 @@ Usage:
   python3 scripts/bench_guard.py --scale1000 [--update]
       # FRONTIER mode (VERDICT r9 ask #2): the Heaps 1000x tier (5M
       # docs / 2M vectors, /tmp/heaps_1000x) against
-      # scripts/bench_reference_1000x.json. ~an hour per pass — for
+      # scripts/bench_reference_1000x.json. HOURS per full pass — for
       # deliberate campaigns, not the per-commit gate. Defaults
       # SPARK_DRIVER_MEM=64g for the forked profile JVM.
+  python3 scripts/bench_guard.py --scale1000 --only d02,d06,s06
+      # SPOT-CHECK: guard only the named queries against the committed
+      # reference. The median-scale normalization then runs over just
+      # those queries, so pick a cross-family handful (>= 3) — meant
+      # for a same-day sanity pass after recording a frontier
+      # reference, when a second multi-hour full pass buys nothing.
 
 Run it before committing any change touching query plans; the driver
 can run it per-round. Re-baseline deliberately after a judged perf
@@ -151,11 +157,42 @@ def load_ref_doc():
     }
 
 
+def parse_only():
+    """--only a,b,c — guard a subset of the committed reference."""
+    if "--only" not in sys.argv:
+        return None
+    if "--update" in sys.argv:
+        print("FAIL: --only with --update would record a PARTIAL "
+              "reference; re-baseline runs the full guarded set")
+        sys.exit(1)
+    i = sys.argv.index("--only")
+    if i + 1 >= len(sys.argv):
+        print("FAIL: --only needs a comma-separated query list")
+        sys.exit(1)
+    names = [q for q in sys.argv[i + 1].split(",") if q]
+    if len(names) < 3:
+        # the median-scale normalization degenerates below 3 samples:
+        # with 1-2 queries a real regression IS the median and
+        # silently re-scales itself green
+        print("FAIL: --only needs >= 3 queries (median normalization)")
+        sys.exit(1)
+    return names
+
+
 def main():
     if SCALE:
         ensure_scale_corpus()
+    only = parse_only()
     doc = load_ref_doc()
     ref = doc["queries"]
+    if only:
+        unknown = sorted(set(only) - set(ref))
+        if unknown:
+            print(f"FAIL: --only names not in {REF_PATH}: {unknown}")
+            sys.exit(1)
+        ref = {q: ref[q] for q in only}
+        print(f"spot-check: {len(ref)}/{len(doc['queries'])} "
+              f"reference queries ({', '.join(sorted(ref))})")
     got = run_profile(ref.keys())
     missing = sorted(set(ref) - set(got))
     if missing:
