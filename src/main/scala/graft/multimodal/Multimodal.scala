@@ -486,12 +486,7 @@ object Multimodal {
           math.min(i - objStart, 512), "ISO-8859-1")
         if (dict.contains("/ObjStm")) {
           val decoded: Option[Array[Byte]] =
-            if (dict.contains("/FlateDecode")) inflate(b, from, until)
-            else if (dict.contains("/LZWDecode"))
-              lzwDecode(b, from, until,
-                earlyChange = if (dict.contains("/EarlyChange 0")) 0 else 1)
-            else if (dict.contains("/Filter")) None
-            else Some(java.util.Arrays.copyOfRange(b, from, until))
+            decodeChain(dict, b, from, until)
           decoded.foreach { body =>
             pages += countPages(body)
             // the dict declares how many objects it packs
@@ -567,9 +562,11 @@ object Multimodal {
   // graph), pages are the document-order content streams that
   // contain BT (exact for the common one-stream-per-page layout;
   // object-stream-packed pages degrade like the metadata tier), and
-  // DCT/JBIG2/other image filters skip (FlateDecode and LZWDecode
-  // both decode). Tolerant throughout: a malformed stream
-  // contributes nothing, never a dead row.
+  // image-codec filters (DCT/JBIG2/JPX/CCITT) skip — every
+  // byte-deterministic filter decodes: Flate, LZW, ASCIIHex, ASCII85
+  // and RunLength, chained in declared order with per-stage
+  // predictors ([[decodeChain]]). Tolerant throughout: a malformed
+  // stream contributes nothing, never a dead row.
 
   val pdfTextSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -646,6 +643,256 @@ object Multimodal {
       }
       if (bad || out.size == 0) None else Some(out.toByteArray)
     } catch { case _: Exception => None }
+
+  // --- /Filter chain decoding (PDF 32000-1 §7.4) --------------------
+  // Streams may declare a CASCADE of filters (`/Filter [/ASCII85Decode
+  // /FlateDecode]`) with per-stage `/DecodeParms`; the transport
+  // filters (ASCIIHex, ASCII85, RunLength) and the predictor
+  // post-pass (§7.4.4.4: TIFF 2, PNG 10-15 — standard on xref and
+  // object streams) are all byte-deterministic, so they belong to the
+  // zero-dependency half. A chain containing a codec this tier cannot
+  // decode (CCITT/JBIG2/JPX/Crypt) degrades to None like any other
+  // malformed stream — except DCTDecode as the TERMINAL stage of an
+  // image XObject, which [[pdfImageObjects]] hands to ImageIO after
+  // running the transport prefix below.
+
+  /** ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, `>` is
+    * EOD, an odd trailing digit is padded with 0. */
+  private[graft] def asciiHexDecode(b: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val out = new java.io.ByteArrayOutputStream(math.max(16, b.length / 2))
+      var hi = -1
+      var i = 0
+      var done = false
+      while (!done && i < b.length) {
+        val c = b(i) & 0xff
+        val v =
+          if (c >= '0' && c <= '9') c - '0'
+          else if (c >= 'A' && c <= 'F') c - 'A' + 10
+          else if (c >= 'a' && c <= 'f') c - 'a' + 10
+          else if (c == '>') { done = true; -1 }
+          else if (isPdfWs(c)) -1
+          else return None // a non-hex, non-ws byte is malformed
+        if (v >= 0) {
+          if (hi < 0) hi = v
+          else { out.write((hi << 4) | v); hi = -1 }
+        }
+        i += 1
+      }
+      if (hi >= 0) out.write(hi << 4) // odd final digit: low nibble 0
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+
+  /** ASCII85Decode (§7.4.3): 5 chars `!`..`u` → 4 bytes base-85,
+    * `z` → four zero bytes (group start only), `~>` is EOD, a final
+    * partial group of n chars yields n-1 bytes (padded with `u`). */
+  private[graft] def ascii85Decode(b: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val out = new java.io.ByteArrayOutputStream(math.max(16, b.length))
+      val grp = new Array[Int](5)
+      var g = 0
+      var i = 0
+      var done = false
+      while (!done && i < b.length) {
+        val c = b(i) & 0xff
+        if (c == '~') done = true // `~>` EOD (trailing `>` unchecked)
+        else if (c == 'z' && g == 0) { out.write(0); out.write(0)
+          out.write(0); out.write(0) }
+        else if (c >= '!' && c <= 'u') {
+          grp(g) = c - '!'; g += 1
+          if (g == 5) {
+            var v = 0L
+            var k = 0
+            while (k < 5) { v = v * 85 + grp(k); k += 1 }
+            if (v > 0xffffffffL) return None // group overflows 32 bits
+            out.write((v >>> 24).toInt); out.write((v >>> 16).toInt)
+            out.write((v >>> 8).toInt); out.write(v.toInt)
+            g = 0
+          }
+        } else if (!isPdfWs(c)) return None
+        i += 1
+      }
+      if (g == 1) return None // a 1-char tail cannot encode any byte
+      if (g > 1) {
+        var v = 0L
+        var k = 0
+        while (k < 5) { v = v * 85 + (if (k < g) grp(k) else 84); k += 1 }
+        if (v > 0xffffffffL) return None
+        val tail = Array((v >>> 24).toInt, (v >>> 16).toInt,
+          (v >>> 8).toInt, v.toInt)
+        var t = 0
+        while (t < g - 1) { out.write(tail(t)); t += 1 }
+      }
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+
+  /** RunLengthDecode (§7.4.5): length byte L — 0..127 copies the next
+    * L+1 bytes, 129..255 repeats the next byte 257-L times, 128 is
+    * EOD. Truncation mid-run is malformed. */
+  private[graft] def runLengthDecode(b: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val out = new java.io.ByteArrayOutputStream(math.max(16, b.length))
+      var i = 0
+      var done = false
+      while (!done && i < b.length) {
+        val l = b(i) & 0xff
+        if (l == 128) done = true
+        else if (l < 128) {
+          if (i + 1 + l + 1 > b.length) return None
+          out.write(b, i + 1, l + 1)
+          i += l + 1
+        } else {
+          if (i + 1 >= b.length) return None
+          val v = b(i + 1) & 0xff
+          var k = 257 - l
+          while (k > 0) { out.write(v); k -= 1 }
+          i += 1
+        }
+        i += 1
+      }
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+
+  /** Reverse a §7.4.4.4 predictor over decompressed Flate/LZW output.
+    * Predictor 2 = TIFF horizontal differencing (8-bit components
+    * only — other widths degrade to None); 10-15 = PNG per-row filter
+    * bytes (None/Sub/Up/Average/Paeth — the value only records the
+    * encoder's choice, every row carries its own filter byte); 1 or
+    * absent = identity. Rows beyond the last complete one pass
+    * through untouched (tolerance contract). */
+  private[graft] def applyPredictor(data: Array[Byte], parms: String)
+      : Option[Array[Byte]] =
+    try {
+      def pInt(key: String, dflt: Int): Int =
+        (key + "\\s+(\\d+)").r.findFirstMatchIn(parms)
+          .map(_.group(1).toInt).getOrElse(dflt)
+      val pred = pInt("/Predictor", 1)
+      if (pred <= 1) return Some(data)
+      val columns = pInt("/Columns", 1)
+      val colors = pInt("/Colors", 1)
+      val bpc = pInt("/BitsPerComponent", 8)
+      if (columns <= 0 || colors <= 0 || bpc <= 0) return None
+      if (pred == 2) {
+        if (bpc != 8) return None
+        val rowBytes = columns * colors
+        val out = data.clone()
+        var r = 0
+        while ((r + 1) * rowBytes <= out.length) {
+          var i = r * rowBytes + colors
+          val end = (r + 1) * rowBytes
+          while (i < end) {
+            out(i) = ((out(i) + out(i - colors)) & 0xff).toByte
+            i += 1
+          }
+          r += 1
+        }
+        Some(out)
+      } else if (pred >= 10 && pred <= 15) {
+        val rowBytes = (columns * colors * bpc + 7) / 8
+        val bpp = math.max(1, colors * bpc / 8)
+        val stride = rowBytes + 1
+        val rows = data.length / stride
+        val out = new Array[Byte](rows * rowBytes)
+        var r = 0
+        while (r < rows) {
+          val ft = data(r * stride) & 0xff
+          var x = 0
+          while (x < rowBytes) {
+            val raw = data(r * stride + 1 + x) & 0xff
+            val left = if (x >= bpp) out(r * rowBytes + x - bpp) & 0xff else 0
+            val up = if (r > 0) out((r - 1) * rowBytes + x) & 0xff else 0
+            val ul = if (r > 0 && x >= bpp)
+              out((r - 1) * rowBytes + x - bpp) & 0xff else 0
+            val rec = ft match {
+              case 0 => raw
+              case 1 => raw + left
+              case 2 => raw + up
+              case 3 => raw + (left + up) / 2
+              case 4 => // Paeth
+                val p = left + up - ul
+                val pa = math.abs(p - left)
+                val pb = math.abs(p - up)
+                val pc = math.abs(p - ul)
+                raw + (if (pa <= pb && pa <= pc) left
+                       else if (pb <= pc) up else ul)
+              case _ => return None // undefined filter type: malformed
+            }
+            out(r * rowBytes + x) = (rec & 0xff).toByte
+            x += 1
+          }
+          r += 1
+        }
+        Some(out)
+      } else None // 3..9 undefined by the spec
+    } catch { case _: Exception => None }
+
+  /** Parse a stream dict's /Filter entry (name or array form) into
+    * ordered (filter name, per-stage DecodeParms dict text) pairs —
+    * empty when the stream declares no filter. /DecodeParms pairs by
+    * position: a single `<< >>` applies to the lone filter; the array
+    * form aligns `null` / `<< >>` entries with the filter array.
+    * Inline-image abbreviations (AHx/A85/RL/Fl/LZW/DCT) normalize to
+    * the full names so one match covers both spellings. */
+  private[graft] def parseFilters(dict: String): Seq[(String, String)] = {
+    val fm = "/Filter\\s*(\\[[^\\]]*\\]|/[A-Za-z0-9]+)".r
+      .findFirstMatchIn(dict)
+    if (fm.isEmpty) return Seq.empty
+    val longName = Map("AHx" -> "ASCIIHexDecode", "A85" -> "ASCII85Decode",
+      "RL" -> "RunLengthDecode", "Fl" -> "FlateDecode",
+      "LZW" -> "LZWDecode", "DCT" -> "DCTDecode", "CCF" -> "CCITTFaxDecode")
+    val names = "/([A-Za-z0-9]+)".r.findAllMatchIn(fm.get.group(1))
+      .map(m => longName.getOrElse(m.group(1), m.group(1))).toSeq
+    // /DecodeParms (or its pre-1.2 alias /DP) — single dict or array
+    val pm = "/(?:DecodeParms|DP)\\s*(\\[.*?\\]|<<.*?>>|null)".r
+      .findFirstMatchIn(dict.replace('\n', ' ').replace('\r', ' '))
+    val parms: Seq[String] = pm.map(_.group(1)) match {
+      case Some(v) if v.startsWith("[") =>
+        // array entries in order: null or << .. >>
+        "<<.*?>>|null".r.findAllIn(v.drop(1)).toSeq
+      case Some(v) => Seq(v)
+      case None => Seq.empty
+    }
+    names.zipWithIndex.map { case (nm, ix) =>
+      nm -> parms.lift(ix).filterNot(_ == "null").getOrElse("")
+    }
+  }
+
+  /** Run a transport-filter prefix over a stream body: every stage
+    * must be one of the five byte-deterministic filters, Flate/LZW
+    * stages apply their stage's predictor. None on any unsupported
+    * stage or decode failure; an EMPTY stage list is the raw body. */
+  private[graft] def decodeStages(stages: Seq[(String, String)],
+      b: Array[Byte], from: Int, until: Int): Option[Array[Byte]] = {
+    var cur = java.util.Arrays.copyOfRange(b, from, until)
+    for ((name, parms) <- stages) {
+      val step: Option[Array[Byte]] = name match {
+        case "FlateDecode" =>
+          inflate(cur, 0, cur.length).flatMap(applyPredictor(_, parms))
+        case "LZWDecode" =>
+          lzwDecode(cur, 0, cur.length,
+            earlyChange =
+              if (parms.contains("/EarlyChange 0")) 0 else 1)
+            .flatMap(applyPredictor(_, parms))
+        case "ASCIIHexDecode" => asciiHexDecode(cur)
+        case "ASCII85Decode" => ascii85Decode(cur)
+        case "RunLengthDecode" => runLengthDecode(cur)
+        case _ => None
+      }
+      step match {
+        case Some(next) => cur = next
+        case None => return None
+      }
+    }
+    Some(cur)
+  }
+
+  /** Decode a stream body through its full declared /Filter chain —
+    * the one entry point every non-image tier uses. Raw copy when the
+    * dict declares no filter; None when any stage is unsupported
+    * (CCITT/JBIG2/JPX/Crypt/DCT outside the image tier) or fails. */
+  private[graft] def decodeChain(dict: String, b: Array[Byte],
+      from: Int, until: Int): Option[Array[Byte]] =
+    decodeStages(parseFilters(dict), b, from, until)
 
   /** Parse a decoded /ToUnicode CMap stream (PDF 32000-1 §9.10.3)
     * into a 2-byte-code → Unicode map: `beginbfchar` pairs, both
@@ -965,12 +1212,7 @@ object Multimodal {
         val dict = new String(b, objStart,
           math.min(i - objStart, 512), "ISO-8859-1")
         val decoded: Option[Array[Byte]] =
-          if (dict.contains("/FlateDecode")) inflate(b, from, until)
-          else if (dict.contains("/LZWDecode"))
-            lzwDecode(b, from, until,
-              earlyChange = if (dict.contains("/EarlyChange 0")) 0 else 1)
-          else if (dict.contains("/Filter")) None // unsupported codec
-          else Some(java.util.Arrays.copyOfRange(b, from, until))
+          decodeChain(dict, b, from, until)
         decoded.foreach(d => bodies += ((objNum, d)))
         i = if (end >= 0) end + 9 else n
       } else i += 1
@@ -1389,21 +1631,26 @@ object Multimodal {
         val dict = new String(b, objStart,
           math.min(i - objStart, 512), "ISO-8859-1")
         if (dict.contains("/Image")) { // /Subtype /Image XObject
+          val stages = parseFilters(dict)
           val img: Option[(String, java.awt.image.BufferedImage)] =
-            if (dict.contains("/DCTDecode"))
-              // the stream body is a complete JPEG file
-              (try Option(javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(
-                  java.util.Arrays.copyOfRange(b, from, until))))
-              catch { case _: Throwable => None }).map("dct" -> _)
-            else if (dict.contains("/FlateDecode") &&
-                (dict.contains("/DeviceRGB") ||
+            if (stages.nonEmpty && stages.last._1 == "DCTDecode")
+              // run the transport prefix (ASCII85/Hex/RunLength —
+              // empty for the common bare /DCTDecode), then the
+              // remaining body is a complete JPEG file for ImageIO
+              decodeStages(stages.init, b, from, until).flatMap { jb =>
+                try Option(javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(jb)))
+                catch { case _: Throwable => None }
+              }.map("dct" -> _)
+            else if ((dict.contains("/DeviceRGB") ||
                   dict.contains("/DeviceGray")) &&
                 dictInt(dict, "/BitsPerComponent").contains(8))
               (for {
                 w <- dictInt(dict, "/Width") if w > 0
                 h <- dictInt(dict, "/Height") if h > 0
-                raw <- inflate(b, from, until)
+                // the full transport chain incl. per-stage predictors
+                // (unsupported codecs anywhere in it → None)
+                raw <- decodeChain(dict, b, from, until)
                 rgb = dict.contains("/DeviceRGB")
                 bpp = if (rgb) 3 else 1
                 if raw.length >= w * h * bpp
@@ -1424,7 +1671,9 @@ object Multimodal {
                   }
                   y += 1
                 }
-                "flate-raster" -> im
+                (if (stages.exists(_._1 == "FlateDecode"))
+                   "flate-raster"
+                 else "raster") -> im
               })
             else None // JBIG2/JPX/CCITT: documented degrade
           img.foreach { case (codec, im) =>
