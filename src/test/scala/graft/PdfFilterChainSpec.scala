@@ -305,6 +305,33 @@ class PdfFilterChainSpec extends SparkTestBase {
     }
   }
 
+  test("property: 80 seeded random transport chains (depth 1-3 over " +
+      "Hex/A85/RLE/Flate on random binary payloads) round-trip " +
+      "through decodeChain in declared order") {
+    val rng = new scala.util.Random(20260817)
+    val names = Vector("/ASCIIHexDecode", "/ASCII85Decode",
+      "/RunLengthDecode", "/FlateDecode")
+    for (it <- 0 until 80) {
+      val data = Array.fill(1 + rng.nextInt(900))(rng.nextInt(256).toByte)
+      val chain = Seq.fill(1 + rng.nextInt(3))(rng.nextInt(4))
+      // the dict lists decode order; encoding applies it reversed
+      val body = chain.reverse.foldLeft(data) { (cur, f) =>
+        f match {
+          case 0 => hexEncode(cur)
+          case 1 => a85Encode(cur)
+          case 2 => rleEncode(cur)
+          case _ => deflate(cur)
+        }
+      }
+      val dict =
+        if (chain.length == 1) s"<< /Filter ${names(chain.head)} >>"
+        else s"<< /Filter [ ${chain.map(names).mkString(" ")} ] >>"
+      val got = Multimodal.decodeChain(dict, body, 0, body.length)
+      assert(got.isDefined, s"iter $it chain $chain")
+      assert(got.get.toSeq === data.toSeq, s"iter $it chain $chain")
+    }
+  }
+
   test("sniffPdf: an ObjStm behind [ASCIIHex + Flate] still counts " +
       "its packed objects and pages (the metadata tier shares the " +
       "chain decoder)") {
