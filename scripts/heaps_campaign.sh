@@ -10,7 +10,12 @@
 # Regime matches the round-5 scale run: 8 cpus, persist pin, 3 reps
 # (steady state = min of reps 2+). Runs plain `java` against the
 # sbt-compiled classes -- compile first (sbt compile).
-set -eu
+# pipefail: the java | grep pipeline's status is grep's (0 as soon as
+# one PROFILE line matched), so a JVM death mid-suite — the round-11
+# rerun lost a 1000x section to a silent kill on d02 — reported
+# nothing and the cleanup below erased the stderr evidence; with
+# pipefail the section FAILS and its stderr tail survives in the log.
+set -euo pipefail
 cd "$(dirname "$0")/.."
 Q="${1:-d01_exact_dedup,d02_ngram_jaccard,d03_minhash_lsh,d04_simhash,d05_fingerprint_groups,d06_embedding_neardup,d07_components,d08_cross_source_dups,d09_lsh_quality,s06_decontamination,t10_unigram_surprisal}"
 SCALES="${2:-1x 10x 100x}"
@@ -42,7 +47,9 @@ for s in $SCALES; do
     | stdbuf -oL grep -E 'PROFILE|WARMPASS' || rc=$?
   if [ "$rc" -ne 0 ]; then
     echo "=== heaps_$s FAILED rc=$rc ==="
-    tail -5 "$RUNTMP/stderr.log" | sed 's/^/    /' || true
+    tail -30 "$RUNTMP/stderr.log" | sed 's/^/    /' || true
+    # keep the full stderr for the post-mortem; spill dirs still go
+    cp "$RUNTMP/stderr.log" "/tmp/graft-campaign-$s-stderr.log" || true
   fi
   rm -rf "$RUNTMP"
 done
