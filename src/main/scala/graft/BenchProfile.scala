@@ -25,7 +25,15 @@ object BenchProfile {
       "spark.sql.adaptive.enabled" ->
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"),
       graft.operators.Pin.Key ->
-        sys.env.getOrElse("SPARK_GRAFT_PIN", "localCheckpoint")))
+        sys.env.getOrElse("SPARK_GRAFT_PIN", "localCheckpoint"),
+      // spill/shuffle codec knob: lz4 (the Spark default) for parity
+      // with every committed bench reference; zstd trades ~2x better
+      // spill compression for some CPU — the production choice when
+      // shuffle volume is the binding constraint, and the escape
+      // hatch when a frontier tier's per-rep spill outgrows local
+      // scratch (any run using it must say so in its regime note)
+      "spark.io.compression.codec" ->
+        sys.env.getOrElse("SPARK_GRAFT_CODEC", "lz4")))
     spark.sparkContext.setLogLevel("WARN")
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     // optional: untimed pass over the whole suite at a (small) warm
@@ -51,10 +59,23 @@ object BenchProfile {
     val isolate = sys.env.get("SPARK_GRAFT_ISOLATE").contains("true")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (only.forall(_.contains(name))) {
-        val times = (1 to reps).map { _ =>
+        val times = (1 to reps).map { i =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          // ONE query's reps can ENOSPC the scratch disk before the
+          // post-query cleanup below ever runs: every rep re-shuffles
+          // (a fresh action = fresh shuffle IDs — nothing is reused
+          // across reps), and a finished rep's files stay on disk
+          // until its ShuffleDependency is GC'd. At the 1000x tier
+          // d02's per-rep spill is tens of GB, so three reps
+          // accumulate past the box's scratch space (observed r11:
+          // the tier died at stage 89 of a d02 rep with the disk
+          // full). Nudge the cleaner BETWEEN reps — after the clock
+          // stops, so the pause is untimed; the persist pin is
+          // registry-held and survives GC.
+          if (isolate && i < reps) System.gc()
+          dt
         }
         println(f"PROFILE $name%-28s ${times.map(fmt).mkString(" ")}")
         if (isolate) {
