@@ -40,7 +40,13 @@ object GraphOps {
         .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("depth", lit(depth))
         .pipe(pins.pin)
-      if (next.isEmpty) { done = true; Pin.release(next) }
+      // count(), not isEmpty: under the default lazy-persist pin an
+      // isEmpty (take(1)) materializes only the partitions it
+      // touches, leaving the pin partially cached for the union
+      // consumer to finish — and escalates through 1-3 jobs on the
+      // empty terminal round. One count materializes the pin fully
+      // and answers emptiness in a single job.
+      if (next.count() == 0L) { done = true; Pin.release(next) }
       else {
         visited = pins.pin(visited.union(next))
         frontier = next
@@ -113,8 +119,10 @@ object GraphOps {
       .localCheckpoint(true)
     var converged = false
     var it = 0
+    val dbg = sys.env.get("SPARK_GRAFT_CC_DEBUG").contains("true")
     while (!converged && it < maxIters) {
       it += 1
+      val tRound = System.nanoTime()
       // smallest label visible from each node's neighborhood this round
       val nbrMin = sym.join(labels, sym("src") === labels("id"))
         .groupBy(col("dst").as("id"))
@@ -146,11 +154,18 @@ object GraphOps {
                 .as("component"),
               col("old"))
         }
+      // LAZY checkpoint + one full-scan scalar as the materializing
+      // action: the convergence count must read every partition
+      // anyway, so it doubles as the checkpoint's materializer — the
+      // previous eager checkpoint ran its own job and the isEmpty
+      // probe added 1-3 more (take(1) escalates through partitions
+      // on the converged round, when nothing matches); one action
+      // per round replaces both (guide §1.2: fewer passes).
       val next = jumped
         .withColumn("improved", col("component") < col("old"))
         .drop("old")
-        .localCheckpoint(true)
-      converged = next.filter(col("improved")).isEmpty
+        .localCheckpoint(false)
+      converged = next.filter(col("improved")).count() == 0L
       // next is fully materialized (eager checkpoint + the probe), so
       // the previous round's snapshot has no remaining consumer — free
       // its executor blocks now instead of waiting for driver GC
@@ -158,6 +173,8 @@ object GraphOps {
       // per round)
       org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(labels)
       labels = next.drop("improved")
+      if (dbg) System.err.println(f"[cc] round $it%d " +
+        f"${(System.nanoTime() - tRound) / 1e9}%.3f s converged=$converged")
     }
     Pin.release(sym)
     // an unconverged result is WRONG (one component reported as many,

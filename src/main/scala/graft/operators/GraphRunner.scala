@@ -150,19 +150,29 @@ object GraphRunner {
           when(col("status") === "active", col("tgt"))
             .otherwise(col("node")))
         .select(cols: _*)
-      // Eager localCheckpoint, NOT Pin/persist: each round's state
+      // localCheckpoint, NOT Pin/persist: each round's state
       // re-references the previous round's tree, so a lazy pin keeps a
       // logical plan that grows exponentially in the round count — at
       // maxSteps=6 that was minutes of pure Catalyst analysis before a
       // row moved (measured: sf0.01 traversal >9 min under persist,
       // seconds under checkpoint). This is exactly Pin's documented
-      // localCheckpoint escape hatch (unbounded iterative lineage);
-      // the round's convergence probe doubles as the materializer,
-      // the same contract as GraphOps.connectedComponents.
-      states = finished
-        .unionByName(stepped)
-        .localCheckpoint(true)
-      activeLeft = !states.filter(col("status") === "active").isEmpty
+      // localCheckpoint escape hatch (unbounded iterative lineage).
+      // LAZY + a count as the materializing action: the active-left
+      // probe must scan every partition anyway, so it doubles as the
+      // checkpoint materializer — the eager variant ran a separate
+      // full-compute job and the isEmpty probe escalated through 1-3
+      // more on the terminal round. The LAST allowed round skips both
+      // (the loop exits regardless; the caller's action materializes
+      // the final narrow projection from the prior checkpoint).
+      if (iter < maxSteps) {
+        states = finished
+          .unionByName(stepped)
+          .localCheckpoint(false)
+        activeLeft = states.filter(col("status") === "active").count() > 0
+      } else {
+        states = finished.unionByName(stepped)
+        activeLeft = false
+      }
     }
     states.withColumn("status",
       when(col("status") === "active", "max_steps")

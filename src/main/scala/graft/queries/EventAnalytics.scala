@@ -439,13 +439,27 @@ object EventAnalytics {
     def withinBound(approx: Column, exact: Column) =
       abs(approx - exact) <=
         greatest(lit(2L), (exact * lit(0.05)).cast(LongType))
-    Tables.load(s, dir, "events")
-      .groupBy("event_type")
+    // TWO aggregations joined on event_type, not one: HLL++ is an
+    // ImperativeAggregate, and a single agg mixing it with the two
+    // COUNT(DISTINCT)s disables whole-stage codegen for the entire
+    // Expand-×3 multi-distinct pipeline (guide §4.1 — prefer
+    // codegen'd expressions in the hot path; measured 0.95 s fused
+    // vs e21's 0.35 s for the identical exact arm alone). Split, the
+    // exact arm keeps e21's fully codegen'd expand-distinct shape
+    // and the approx arm is one narrow pass carrying |event_type|
+    // sketch buffers; both sides leave the agg partitioned by
+    // event_type, so the join adds no exchange. Values are identical
+    // by construction — each HLL sees exactly the same rows.
+    val ev = Tables.load(s, dir, "events")
+    val exact = ev.groupBy("event_type")
       .agg(
         countDistinct(col("user_id")).as("n_users"),
-        countDistinct(col("props")).as("n_payloads"),
+        countDistinct(col("props")).as("n_payloads"))
+    val approx = ev.groupBy("event_type")
+      .agg(
         approx_count_distinct(col("user_id"), 0.02).as("au"),
         approx_count_distinct(col("props"), 0.02).as("ap"))
+    exact.join(approx, "event_type")
       .select(col("event_type"), col("n_users"), col("n_payloads"),
         withinBound(col("au"), col("n_users")).as("hll_users_ok"),
         withinBound(col("ap"), col("n_payloads")).as("hll_payloads_ok"))

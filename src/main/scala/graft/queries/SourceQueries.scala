@@ -1110,15 +1110,22 @@ object SourceQueries {
     val a = graft.operators.Sampling.assignSplits(
       TextDedup.cappedGids(s, dir), col("doc_id"),
       Seq("train" -> 80, "eval" -> 100))
-    val evalGids = a.filter(col("split") === "eval").select("gid")
-    // the filter build (incl. the dedup it owns) is the SHARED
-    // definition with the streaming intake gate
-    // (graft.streaming.DecontamGate — its screen probes the same
-    // sketch this audit was run with); sizing needs the distinct-gram
-    // count up front, the second (build) pass being the price of a
-    // correctly-sized filter
+    // ONE pinned distinct eval-gid relation serves all three
+    // consumers (guide §2.4 "two operations keyed the same way share
+    // one exchange"): the filter's sizing count, the sketch build,
+    // and the exact arm's membership join below previously each ran
+    // their own distinct aggregation over the capped-gid pin — the
+    // sizing count now materializes this pin and the other two read
+    // cache. assumeDistinct skips buildFilter's internal re-dedup
+    // (cache substitution happens after redundant-aggregate
+    // elimination, so it would plan as a second full aggregation).
+    val evalDistinct = Pin(
+      a.filter(col("split") === "eval").select("gid").distinct())
+    // the filter build stays the SHARED definition with the
+    // streaming intake gate (graft.streaming.DecontamGate — its
+    // screen probes the same sketch this audit was run with)
     val bloom = graft.streaming.DecontamGate.buildFilter(
-      evalGids, BloomFpp)
+      evalDistinct, BloomFpp, assumeDistinct = true)
     // the probe is Spark's own codegen'd BloomFilterMightContain over
     // the serialized sketch literal (VERDICT r8 ask #8) — the corpus
     // scan stays inside whole-stage codegen, no ScalaUDF hop
@@ -1127,7 +1134,7 @@ object SourceQueries {
     // cappedGids pin, so the eval-distinct + membership join align
     // without a fresh corpus shuffle
     val perDoc = Pin(a.filter(col("split") === "train")
-      .join(evalGids.distinct().withColumn("in_eval", lit(1L)),
+      .join(evalDistinct.withColumn("in_eval", lit(1L)),
         Seq("gid"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),

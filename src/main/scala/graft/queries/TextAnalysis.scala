@@ -776,21 +776,31 @@ object TextAnalysis {
     // handle inside the expression keeps sketch bytes out of rows
     // entirely. Estimate semantics identical:
     // CountMinSketch.estimateCount(token), memoized deserialize.
-    val sketches = docs(s, dir)
+    // The exact per-source stream length N (the arm the oracle
+    // verifies the ε·N bound against) rides the SAME aggregation:
+    // count(*) over the exploded stream ≡ the former separate
+    // sum(size(ws)) pass row for row, so the sketch build and the
+    // stream-length arm share one corpus scan + tokenize instead of
+    // two (guide §1.2 "don't compute things twice" / §2.3 aggregate
+    // before you shuffle — the agg is |sources|-grain either way).
+    val skRows = docs(s, dir)
       .select(col("source"), explode(col("ws")).as("token"))
       .groupBy("source")
       .agg(count_min_sketch(col("token"), lit(CmsEps),
-        lit(CmsConfidence), lit(CmsSeed)).as("cms"))
+        lit(CmsConfidence), lit(CmsSeed)).as("cms"),
+        count(lit(1)).as("n_source_tokens"))
       .collect()
+    val sketches = skRows
       .map(r => r.getString(0) -> r.getAs[Array[Byte]]("cms"))
       .toMap
     val bc = s.sparkContext.broadcast(sketches)
-    // exact per-source stream length: one corpus-grain agg at
-    // |sources| grain, broadcast-joined back onto the 20·|sources|
-    // top rows (the exact arm the oracle verifies the bound against)
-    val totals = docs(s, dir)
-      .select(col("source"), size(col("ws")).cast(LongType).as("k"))
-      .groupBy("source").agg(sum("k").as("n_source_tokens"))
+    // |sources|-bounded local relation (collected above) joined back
+    // onto the 20·|sources| top rows — replaces the second
+    // corpus-grain totals aggregation with rows already in hand
+    import s.implicits._
+    val totals = skRows
+      .map(r => (r.getString(0), r.getLong(r.fieldIndex("n_source_tokens"))))
+      .toSeq.toDF("source", "n_source_tokens")
     t08.run(s, dir)
       .select(col("source"), col("token"), col("rank"),
         col("n").as("n_exact"))

@@ -69,12 +69,22 @@ object DecontamGate {
         org.apache.spark.sql.GraftColumnBridge.expression(gid)))
   }
 
-  def buildFilter(gids: DataFrame, fpp: Double = 0.01): BloomFilter = {
+  def buildFilter(gids: DataFrame, fpp: Double = 0.01,
+      assumeDistinct: Boolean = false): BloomFilter = {
     require(gids.columns.sameElements(Array("gid")),
       s"buildFilter expects exactly one column named 'gid', got " +
         s"[${gids.columns.mkString(", ")}] — project the gram-hash " +
         "column explicitly")
-    val g = gids.distinct()
+    // assumeDistinct: a caller that already holds (and typically
+    // pins) the deduplicated relation skips the internal distinct —
+    // cache substitution happens AFTER the optimizer's redundant-
+    // aggregate elimination, so a distinct-over-cached-distinct
+    // would otherwise plan a second full aggregation per build
+    // (batch s19 pays it twice: sizing count + sketch build).
+    // Duplicates under assumeDistinct would only inflate the sizing
+    // count n — the filter stays sound (Bloom inserts are
+    // idempotent), just oversized.
+    val g = if (assumeDistinct) gids else gids.distinct()
     val n = g.count()
     if (n == 0) BloomFilter.create(1L, fpp)
     else g.stat.bloomFilter("gid", n, fpp)

@@ -440,11 +440,15 @@ class PlanAuditSpec extends SparkTestBase {
       //       broadcast sketch map (round 10 — no ScalaUDF; a
       //       broadcast JOIN variant was tried and reverted: copying
       //       the ~1 MB sketch binary into every joined row cost 2×
-      //       the whole query). +1 in r11: the exact per-source
-      //       stream-length agg the bounded-error oracle row needs
-      //       (VERDICT r10 ask #6) — |sources|-grain output,
-      //       broadcast back onto the 20·|sources| top rows
-      "t16_cms_topfreq" -> 3,
+      //       the whole query). The exact per-source stream length
+      //       the bounded-error oracle row needs (VERDICT r10 ask
+      //       #6) rides the SAME |sources|-bounded driver-collect
+      //       agg as the sketches (r11 optimization: count(*) over
+      //       the exploded stream ≡ the former separate
+      //       sum(size(ws)) pass) and joins back as a collected
+      //       local relation — a 3rd exchange means the stream
+      //       length regressed to its own corpus-grain pass
+      "t16_cms_topfreq" -> 2,
       //  q27: the pinned 1-row stats agg pays its exchanges once in
       //       the cache build (global agg + the event_id distinct's
       //       expand — q26/e21's documented cost); the six verdict
