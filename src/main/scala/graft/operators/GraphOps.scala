@@ -114,9 +114,12 @@ object GraphOps {
     // This is the unbounded-iterative-lineage case [[Pin]] reserves
     // eager localCheckpoint for: truncate per round, and the round's
     // convergence probe doubles as the checkpoint's materializer.
+    // lazy: round 1's materializing action computes it (both round-1
+    // consumers read through the checkpoint RDD's cache layer), so
+    // the init pays no job of its own
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var converged = false
     var it = 0
     val dbg = sys.env.get("SPARK_GRAFT_CC_DEBUG").contains("true")
@@ -191,7 +194,11 @@ object GraphOps {
   /** Out/in degree per node over distinct edges; fan-out = >1 distinct
     * successor (reference counts ON_SUCCESS edges, `edge.py:506-523`). */
   def degrees(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val e = edges.select("src", "dst").distinct()
+    // pinned: the distinct edge relation fans out into BOTH degree
+    // aggregations below — unpinned, the (possibly expensive) edges
+    // subtree plus the distinct ran once per branch (r11; g02's
+    // events window+lag edge build paid twice)
+    val e = Pin(edges.select("src", "dst").distinct())
     val out = e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("out_degree"))
     val in = e.groupBy(col("dst").as("id"))
