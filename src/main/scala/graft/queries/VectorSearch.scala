@@ -69,9 +69,7 @@ object VectorSearch {
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
       |        ORDER BY cosine DESC, neighbor_id) AS rnk FROM p) t
       |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
-    val e = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), Fns.scaleVec(col("embedding")).as("sx"))
-      .withColumn("n", VectorExprs.normSqIntNative(col("sx")))
+    val e = eFrame(s, dir)
     // the bounded query set: sampled ids, unique-key ORDER BY + LIMIT
     // so both engines pick the identical set; broadcast size is
     // V01Queries rows regardless of corpus size
@@ -107,6 +105,20 @@ object VectorSearch {
     graft.operators.Pin(emb
       .select(col("vec_id"), col("label"),
         Fns.scaleVec(col("embedding")).as("sx"))
+      .withColumn("n", VectorExprs.normSqIntNative(col("sx"))))
+
+  /** Spark twin of [[normCte]]'s `e` (vec_id, scaled vector, squared
+    * norm), PINNED — seven v-family queries build this exact relation
+    * inline (r11: each paid its own scan + scaleVec + norm pass, and
+    * the composed reports v14/v18 paid it once per embedded method).
+    * One definition → identical canonical plan → the session's cache
+    * manager serves every consumer from one entry, the
+    * [[graft.queries.TextDedup.cappedGids]] convention applied to the
+    * vector side. Consumers needing fewer columns project the cache
+    * (InMemoryTableScan prunes). */
+  private def eFrame(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pin(Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), Fns.scaleVec(col("embedding")).as("sx"))
       .withColumn("n", VectorExprs.normSqIntNative(col("sx"))))
 
   /** Shared coarse-assignment CTE chain (v02 + v04): per-label
@@ -216,9 +228,7 @@ object VectorSearch {
         .map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001 - 1000
     }
-    val emb = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), Fns.scaleVec(col("embedding")).as("sx"))
-      .withColumn("n", VectorExprs.normSqIntNative(col("sx")))
+    val emb = eFrame(s, dir)
     val bucket = (0 to 7).map { p =>
       val coefs = typedlit((1 to Dims).map(pos => planeCoef(p, pos)))
       when(VectorExprs.dotIntNative(col("sx"), coefs) > 0, lit(1L << p))
@@ -990,9 +1000,7 @@ object VectorSearch {
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
       |        ORDER BY cosine DESC, neighbor_id) AS rnk FROM r) t
       |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
-    val emb = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), Fns.scaleVec(col("embedding")).as("sx"))
-      .withColumn("n", VectorExprs.normSqIntNative(col("sx")))
+    val emb = eFrame(s, dir)
     // one 32-bit sign word: sum of literal-shift whens (codegen
     // collapses this into straight-line bit math — v03's pattern)
     def word(off: Int): Column = (0 until 32).map { i =>
@@ -1109,8 +1117,7 @@ object VectorSearch {
     (s, dir) =>
       val truth = graft.operators.Pin(
         v01.run(s, dir).select("q_id", "neighbor_id"))
-      val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), Fns.scaleVec(col("embedding")).as("sx"))
+      val e = eFrame(s, dir)
       val q = graft.operators.Pin(e.filter(col("vec_id") % 50 === 0)
         .orderBy("vec_id").limit(V01Queries)
         .select(col("vec_id").as("q_id"), col("sx").as("q_sx")))
@@ -1210,9 +1217,7 @@ object VectorSearch {
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
       |    ORDER BY rrf_score DESC, doc_id) AS rrf_rank FROM fused) t
       |WHERE rrf_rank <= 10""".stripMargin) { (s, dir) =>
-    val e = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), Fns.scaleVec(col("embedding")).as("sx"))
-      .withColumn("n", VectorExprs.normSqIntNative(col("sx")))
+    val e = eFrame(s, dir)
     val q = e.filter(col("vec_id") % 50 === 0)
       .orderBy("vec_id").limit(V01Queries)
       .select(col("vec_id").as("q_id"), col("sx").as("q_sx"),
@@ -1642,9 +1647,7 @@ object VectorSearch {
       |SELECT q_id, sel_rank, cand_id AS neighbor_id, rel AS relevance,
       |  ms AS max_sim_prior
       |FROM s$MmrK""".stripMargin) { (s, dir) =>
-    val e = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), Fns.scaleVec(col("embedding")).as("sx"))
-      .withColumn("n", VectorExprs.normSqIntNative(col("sx")))
+    val e = eFrame(s, dir)
     val q = e.filter(col("vec_id") % 50 === 0)
       .orderBy("vec_id").limit(V01Queries)
       .select(col("vec_id").as("q_id"), col("sx").as("q_sx"),
@@ -1856,9 +1859,7 @@ object VectorSearch {
         // stage 2 — exact refine: the ≤ queries×20 pool BROADCASTS
         // against the raw-vector relation (corpus side never
         // shuffles), query spine broadcasts as in v01
-        val e = emb
-          .select(col("vec_id"), Fns.scaleVec(col("embedding")).as("sx"))
-          .withColumn("n", VectorExprs.normSqIntNative(col("sx")))
+        val e = eFrame(s, dir)
         val q = e.filter(col("vec_id") % 50 === 0)
           .orderBy("vec_id").limit(V01Queries)
           .select(col("vec_id").as("q_id"), col("sx").as("q_sx"),
