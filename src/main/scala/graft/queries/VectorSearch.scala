@@ -146,11 +146,14 @@ object VectorSearch {
   private def coarseDistances(emb: DataFrame): DataFrame = {
     val ex = emb.select(col("label"),
       posexplode(col("embedding")).as(Seq("pos0", "x")))
-    val cm = ex.groupBy("label", "pos0")
+    // pinned: (label × dim)-bounded output of a corpus-grain agg,
+    // shared by v02 and v04 in the same session (r11 — each paid its
+    // own centroid pass before)
+    val cm = graft.operators.Pin(ex.groupBy("label", "pos0")
       .agg(sum(round(col("x").cast(DoubleType) * 1e9).cast(LongType))
         .as("sxs"), count(lit(1)).as("c"))
       .select(col("label"), col("pos0"),
-        (col("sxs").cast(DoubleType) / (col("c") * lit(1e9))).as("m"))
+        (col("sxs").cast(DoubleType) / (col("c") * lit(1e9))).as("m")))
     val qx = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"),
         posexplode(col("embedding")).as(Seq("pos0", "x")))
@@ -684,12 +687,17 @@ object VectorSearch {
     * sync point every quantizer pays). None on an empty corpus. */
   private def collectCodebook(
       emb: DataFrame): Option[(Seq[Int], Map[Int, Array[Double]])] = {
-    val cenRows = emb
+    // pinned BEFORE the collect: the codebook is (labels × dims) rows
+    // but its build is a corpus-grain posexplode+agg — v09, v10, v17
+    // each call this per invocation and v18 embeds two of them, so
+    // without the pin the corpus pass re-ran per caller (r11; the
+    // collect itself stays |labels·dims|-bounded driver sync)
+    val cenRows = graft.operators.Pin(emb
       .select(col("label"),
         posexplode(col("embedding")).as(Seq("pos0", "x")))
       .groupBy("label", "pos0")
       .agg(sum(round(col("x").cast(DoubleType) * 1e9).cast(LongType))
-        .as("sxs"), count(lit(1)).as("c"))
+        .as("sxs"), count(lit(1)).as("c")))
       .collect()
     if (cenRows.isEmpty) None
     else {
